@@ -1,0 +1,241 @@
+"""Vectorized hash kernels for the sketch library.
+
+MurmurHash3 x64 128-bit, implemented twice:
+
+* ``murmur3_x64_128(data, seed)`` — scalar reference over arbitrary
+  ``bytes``, written directly from the public-domain algorithm spec
+  (Austin Appleby's MurmurHash3.cpp). Used for strings and as the
+  ground truth in tests.
+* ``murmur64_int32 / murmur64_int64`` — numpy-vectorized batch kernels
+  for fixed-width integer keys (the hot path: exploded ``tokens:
+  array<int32>`` batches). They hash the little-endian 4/8-byte
+  encoding of each value and return the first 64-bit half (h1), which
+  is a full-avalanche 64-bit hash. Bit-exact vs. the scalar reference
+  (property-tested in tests/test_hashing.py).
+
+Reference parity: twitter/algebird hashes with the same murmur3 family
+(algebird-core .../MurmurHash.scala:5-49, Hash128.scala:43-86, default
+seed 12345678). We match the *algorithm and seed defaults*, not
+algebird's byte-level register layout — per SURVEY.md §2.1, only the
+error bounds are contractual.
+
+Also here: the Count-Min universal hash family
+``h_i(x) = ((a_i * x) mod (2^31-1)) mod width`` using the
+``(y + (y >> 32)) & INT_MAX`` folding trick from
+algebird-core .../CMSHasher.scala:68-92 — fully vectorizable in uint64.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+MASK64 = (1 << 64) - 1
+DEFAULT_SEED = 12345678  # algebird Hash128 default (Hash128.scala:46)
+
+_C1 = 0x87C37B91114253D5
+_C2 = 0x4CF5AD432745937F
+_F1 = 0xFF51AFD7ED558CCD
+_F2 = 0xC4CEB9FE1A85EC53
+
+
+def _rotl64(x: int, r: int) -> int:
+    return ((x << r) | (x >> (64 - r))) & MASK64
+
+
+def _fmix64(k: int) -> int:
+    k ^= k >> 33
+    k = (k * _F1) & MASK64
+    k ^= k >> 33
+    k = (k * _F2) & MASK64
+    k ^= k >> 33
+    return k
+
+
+def murmur3_x64_128(data: bytes, seed: int = DEFAULT_SEED) -> tuple[int, int]:
+    """Scalar MurmurHash3 x64 128-bit. Returns (h1, h2) as uint64 ints."""
+    length = len(data)
+    h1 = seed & MASK64
+    h2 = seed & MASK64
+    nblocks = length // 16
+    for i in range(nblocks):
+        k1 = int.from_bytes(data[i * 16 : i * 16 + 8], "little")
+        k2 = int.from_bytes(data[i * 16 + 8 : i * 16 + 16], "little")
+        k1 = (k1 * _C1) & MASK64
+        k1 = _rotl64(k1, 31)
+        k1 = (k1 * _C2) & MASK64
+        h1 ^= k1
+        h1 = _rotl64(h1, 27)
+        h1 = (h1 + h2) & MASK64
+        h1 = (h1 * 5 + 0x52DCE729) & MASK64
+        k2 = (k2 * _C2) & MASK64
+        k2 = _rotl64(k2, 33)
+        k2 = (k2 * _C1) & MASK64
+        h2 ^= k2
+        h2 = _rotl64(h2, 31)
+        h2 = (h2 + h1) & MASK64
+        h2 = (h2 * 5 + 0x38495AB5) & MASK64
+    tail = data[nblocks * 16 :]
+    k1 = 0
+    k2 = 0
+    tl = len(tail)
+    if tl >= 9:
+        k2 = int.from_bytes(tail[8:tl], "little")
+        k2 = (k2 * _C2) & MASK64
+        k2 = _rotl64(k2, 33)
+        k2 = (k2 * _C1) & MASK64
+        h2 ^= k2
+    if tl >= 1:
+        k1 = int.from_bytes(tail[: min(tl, 8)], "little")
+        k1 = (k1 * _C1) & MASK64
+        k1 = _rotl64(k1, 31)
+        k1 = (k1 * _C2) & MASK64
+        h1 ^= k1
+    h1 ^= length
+    h2 ^= length
+    h1 = (h1 + h2) & MASK64
+    h2 = (h2 + h1) & MASK64
+    h1 = _fmix64(h1)
+    h2 = _fmix64(h2)
+    h1 = (h1 + h2) & MASK64
+    h2 = (h2 + h1) & MASK64
+    return h1, h2
+
+
+def _u64(x: int) -> np.uint64:
+    return np.uint64(x & MASK64)
+
+
+def _vrotl(x: np.ndarray, r: int) -> np.ndarray:
+    return (x << _u64(r)) | (x >> _u64(64 - r))
+
+
+def _vfmix64(k: np.ndarray) -> np.ndarray:
+    k = k ^ (k >> _u64(33))
+    k = k * _u64(_F1)
+    k = k ^ (k >> _u64(33))
+    k = k * _u64(_F2)
+    k = k ^ (k >> _u64(33))
+    return k
+
+
+def _murmur128_fixed(k1: np.ndarray, length: int, seed: int,
+                     k2: np.ndarray | None = None) -> tuple[np.ndarray, np.ndarray]:
+    """Vectorized tail+finalize for keys of <=16 bytes (no body blocks).
+
+    ``k1``/``k2`` are the little-endian uint64 reads of the tail, exactly
+    as the scalar algorithm would read them for a key of ``length`` bytes.
+    """
+    h1 = np.full(k1.shape, _u64(seed), dtype=np.uint64)
+    h2 = np.full(k1.shape, _u64(seed), dtype=np.uint64)
+    if k2 is not None:
+        t2 = k2 * _u64(_C2)
+        t2 = _vrotl(t2, 33)
+        t2 = t2 * _u64(_C1)
+        h2 = h2 ^ t2
+    t1 = k1 * _u64(_C1)
+    t1 = _vrotl(t1, 31)
+    t1 = t1 * _u64(_C2)
+    h1 = h1 ^ t1
+    h1 = h1 ^ _u64(length)
+    h2 = h2 ^ _u64(length)
+    h1 = h1 + h2
+    h2 = h2 + h1
+    h1 = _vfmix64(h1)
+    h2 = _vfmix64(h2)
+    h1 = h1 + h2
+    h2 = h2 + h1
+    return h1, h2
+
+
+def murmur128_int32(values: np.ndarray, seed: int = DEFAULT_SEED) -> tuple[np.ndarray, np.ndarray]:
+    """murmur3_x64_128 of each int32's 4-byte little-endian encoding."""
+    k1 = np.ascontiguousarray(values, dtype=np.int32).view(np.uint32).astype(np.uint64)
+    return _murmur128_fixed(k1, 4, seed)
+
+
+def murmur128_int64(values: np.ndarray, seed: int = DEFAULT_SEED) -> tuple[np.ndarray, np.ndarray]:
+    """murmur3_x64_128 of each int64's 8-byte little-endian encoding."""
+    k1 = np.ascontiguousarray(values, dtype=np.int64).view(np.uint64)
+    return _murmur128_fixed(k1, 8, seed)
+
+
+def murmur64_int32(values: np.ndarray, seed: int = DEFAULT_SEED) -> np.ndarray:
+    """First 64-bit half of murmur3_x64_128 over int32 keys (hot path)."""
+    return murmur128_int32(values, seed)[0]
+
+
+def murmur64_int64(values: np.ndarray, seed: int = DEFAULT_SEED) -> np.ndarray:
+    return murmur128_int64(values, seed)[0]
+
+
+def murmur64_any(values: np.ndarray, seed: int = DEFAULT_SEED) -> np.ndarray:
+    """Dispatch on dtype; object/str arrays fall back to the scalar kernel."""
+    arr = np.asarray(values)
+    if arr.dtype == np.int32 or arr.dtype == np.uint32:
+        return murmur64_int32(arr.astype(np.int32, copy=False), seed)
+    if arr.dtype == np.int64 or arr.dtype == np.uint64:
+        return murmur64_int64(arr.view(np.int64) if arr.dtype == np.uint64 else arr, seed)
+    if np.issubdtype(arr.dtype, np.integer):
+        return murmur64_int64(arr.astype(np.int64), seed)
+    if np.issubdtype(arr.dtype, np.floating):
+        return murmur64_int64(arr.astype(np.float64).view(np.int64), seed)
+    # strings / bytes: scalar loop (cold path — prefer integer keys)
+    out = np.empty(arr.shape[0], dtype=np.uint64)
+    for i, v in enumerate(arr):
+        b = v if isinstance(v, bytes) else str(v).encode("utf-8")
+        out[i] = murmur3_x64_128(b, seed)[0]
+    return out
+
+
+# ---------------------------------------------------------------------------
+# bit utilities (numpy 1.x has no popcount/clz ufuncs)
+# ---------------------------------------------------------------------------
+
+_M1 = np.uint64(0x5555555555555555)
+_M2 = np.uint64(0x3333333333333333)
+_M4 = np.uint64(0x0F0F0F0F0F0F0F0F)
+_H01 = np.uint64(0x0101010101010101)
+
+
+def popcount64(x: np.ndarray) -> np.ndarray:
+    """SWAR popcount over uint64 arrays."""
+    x = x - ((x >> np.uint64(1)) & _M1)
+    x = (x & _M2) + ((x >> np.uint64(2)) & _M2)
+    x = (x + (x >> np.uint64(4))) & _M4
+    return (x * _H01) >> np.uint64(56)
+
+
+def trailing_zeros64(x: np.ndarray) -> np.ndarray:
+    """Count of trailing zero bits; returns 64 for x == 0."""
+    lowbit = x & (np.uint64(0) - x)
+    return popcount64(lowbit - np.uint64(1))
+
+
+# ---------------------------------------------------------------------------
+# Count-Min universal hash family (CMSHasher.scala:68-92 trick)
+# ---------------------------------------------------------------------------
+
+_P31 = np.uint64(0x7FFFFFFF)
+
+
+def cms_hash_params(depth: int, seed: int) -> np.ndarray:
+    """Per-row multipliers a_i, drawn like algebird's generateHashes
+    (CountMinSketch.scala:338-352): positive ints below 2^31-1 from a
+    seeded PRNG."""
+    rng = np.random.default_rng(seed)
+    return rng.integers(1, int(_P31), size=depth, dtype=np.int64).astype(np.uint64)
+
+
+def cms_hash(a: int | np.uint64, x: np.ndarray, width: int) -> np.ndarray:
+    """h(x) = ((a*x mod 2^31-1) mod width) over a non-negative int batch.
+
+    Uses the fold trick: for y < 2^62, (y mod 2^31-1) == ((y + (y>>31)*?)...)
+    algebird folds as ``(y + (y >> 32)) & INT_MAX`` which is what we
+    replicate for estimate parity (CMSHasher.scala:85-90).
+    """
+    xs = np.asarray(x)
+    if xs.dtype != np.uint64:
+        xs = xs.astype(np.int64).view(np.uint64) & _P31
+    y = np.uint64(a) * xs
+    folded = (y + (y >> np.uint64(32))) & _P31
+    return (folded % np.uint64(width)).astype(np.int64)

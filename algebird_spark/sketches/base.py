@@ -1,0 +1,144 @@
+"""Mergeable sketch state protocol + versioned binary envelope.
+
+This is algebird's ``MonoidAggregator`` contract
+(algebird-core .../Aggregator.scala:545-632) re-expressed in
+Arrow-batch form (SURVEY.md §2.9):
+
+    empty(params)  -> state            (Monoid.zero)
+    update_batch(state, np.ndarray)    (prepare + sumOption, vectorized)
+    merge_in_place(state, other)       (Semigroup.plus; validates params)
+    present(state) -> result           (Aggregator.present)
+    to_bytes / from_bytes              (the serialized middle type B)
+
+Every serialized state carries a header
+``(magic, version, kind, params-json)`` so incompatible merges fail
+loudly — mirroring ``CMSMonoid.plus`` requiring equal hash families
+(algebird-core .../CountMinSketch.scala:117-120) and ``DenseHLL``
+asserting equal sizes (HyperLogLog.scala:408,417).
+
+Estimates are returned as ``Approximate`` intervals, mirroring
+algebird-core .../Approximate.scala:25-174: the probability is a lower
+bound that the true value lies in [low, high].
+"""
+
+from __future__ import annotations
+
+import json
+import struct
+from dataclasses import dataclass
+from typing import Any, Callable, ClassVar
+
+MAGIC = b"ASK1"
+VERSION = 1
+
+# kind-byte registry (stable across versions; append only)
+KIND_HLL = 1
+KIND_CMS = 2
+KIND_BLOOM = 3
+KIND_KLL = 4
+KIND_TDIGEST = 5
+KIND_MINHASH = 6
+KIND_QTREE = 7
+KIND_SPACESAVER = 8
+KIND_MOMENTS = 9
+KIND_EXPHIST = 10
+KIND_SETSIZE = 11
+KIND_DECAYED = 12
+
+_DECODERS: dict[int, Callable[[dict, bytes], "Sketch"]] = {}
+
+
+@dataclass(frozen=True)
+class Approximate:
+    """Interval answer: true value in [low, high] w.p. >= prob
+    (Approximate.scala:74)."""
+
+    low: float
+    estimate: float
+    high: float
+    prob: float
+
+    def contains(self, true_value: float) -> bool:
+        return self.low <= true_value <= self.high
+
+
+class IncompatibleSketchError(ValueError):
+    """Raised when merging states with different kind/params/seed."""
+
+
+class Sketch:
+    """Base class: subclasses set KIND and implement the protocol."""
+
+    KIND: ClassVar[int] = 0
+
+    # -- protocol -----------------------------------------------------
+    def update_batch(self, values) -> None:  # pragma: no cover - abstract
+        raise NotImplementedError
+
+    def merge_in_place(self, other: "Sketch") -> "Sketch":  # pragma: no cover
+        raise NotImplementedError
+
+    def present(self) -> Any:  # pragma: no cover - abstract
+        raise NotImplementedError
+
+    def _params(self) -> dict:  # pragma: no cover - abstract
+        raise NotImplementedError
+
+    def _payload(self) -> bytes:  # pragma: no cover - abstract
+        raise NotImplementedError
+
+    # -- envelope -----------------------------------------------------
+    def to_bytes(self) -> bytes:
+        params = json.dumps(self._params(), separators=(",", ":"), sort_keys=True)
+        pb = params.encode("utf-8")
+        header = MAGIC + struct.pack("<BBI", VERSION, self.KIND, len(pb)) + pb
+        return header + self._payload()
+
+    def merge_check(self, other: "Sketch") -> None:
+        if type(other) is not type(self):
+            raise IncompatibleSketchError(
+                f"cannot merge {type(self).__name__} with {type(other).__name__}")
+        if self._params() != other._params():
+            raise IncompatibleSketchError(
+                f"{type(self).__name__} params mismatch: "
+                f"{self._params()} != {other._params()}")
+
+    def __add__(self, other: "Sketch") -> "Sketch":
+        out = from_bytes(self.to_bytes())  # immutable-style plus via copy
+        out.merge_in_place(other)
+        return out
+
+
+def register(kind: int):
+    def deco(fn):
+        _DECODERS[kind] = fn
+        return fn
+    return deco
+
+
+def from_bytes(data: bytes) -> Sketch:
+    if data[:4] != MAGIC:
+        raise ValueError(f"bad sketch magic {data[:4]!r}")
+    version, kind, plen = struct.unpack_from("<BBI", data, 4)
+    if version != VERSION:
+        raise ValueError(f"unsupported sketch version {version}")
+    try:
+        params = json.loads(data[10 : 10 + plen].decode("utf-8"))
+    except (UnicodeDecodeError, json.JSONDecodeError) as e:
+        raise ValueError(f"corrupt sketch params header: {e}") from None
+    payload = data[10 + plen :]
+    try:
+        decoder = _DECODERS[kind]
+    except KeyError:
+        raise ValueError(f"unknown sketch kind {kind}") from None
+    return decoder(params, payload)
+
+
+def merge_all(states: list[bytes]) -> Sketch:
+    """Fold a list of serialized states into one (associative merge)."""
+    if not states:
+        raise ValueError("merge_all of empty list (monoid zero is per-kind)")
+    acc = from_bytes(states[0])
+    for b in states[1:]:
+        acc.merge_in_place(from_bytes(b))
+    return acc

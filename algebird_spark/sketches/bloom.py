@@ -1,0 +1,147 @@
+"""Bloom filter with optimal sizing and mergeable bit-array state.
+
+Semantics follow algebird-core .../immutable/BloomFilter.scala:
+  * sizing: m = ceil(-n * ln p / ln^2 2), k = round((m/n) * ln 2)
+    (optimalWidth/optimalNumHashes, BloomFilter.scala:27-51).
+  * ``contains`` returns ApproximateBoolean with the standard
+    (1 - e^{-kn/m})^k false-positive bound (:190-211); zero false
+    negatives by construction.
+  * cardinality estimate from bit density (Papapetrou et al.):
+    n ~= -(m/k) * ln(1 - t/m) where t = #set bits (:53-105).
+  * Hamming distance between two filters (:228-238).
+  * monoid = bitwise OR of bit arrays (:342-377).
+
+Hashing: one murmur3_x64_128 per key -> (h1, h2); slot_i =
+(h1 + i*h2) mod m (Kirsch–Mitzenmacher double hashing, standard public
+construction — same guarantees, vectorizes over whole batches).
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+
+from ..functions.hashing import DEFAULT_SEED, murmur3_x64_128, murmur128_int64
+from .base import KIND_BLOOM, Approximate, Sketch, register
+
+
+def optimal_width(num_entries: int, fp_prob: float) -> int:
+    return max(8, int(math.ceil(-num_entries * math.log(fp_prob) / (math.log(2) ** 2))))
+
+
+def optimal_num_hashes(num_entries: int, width: int) -> int:
+    return max(1, int(round(width / num_entries * math.log(2))))
+
+
+class BloomFilter(Sketch):
+    KIND = KIND_BLOOM
+
+    def __init__(self, num_entries: int = 10000, fp_prob: float = 0.01,
+                 seed: int = DEFAULT_SEED):
+        self.num_entries = num_entries
+        self.fp_prob = fp_prob
+        self.seed = seed
+        self.m = optimal_width(num_entries, fp_prob)
+        self.k = optimal_num_hashes(num_entries, self.m)
+        self.bits = np.zeros((self.m + 7) // 8, dtype=np.uint8)
+        self.n_inserted = 0  # distinct inserts not tracked; count of updates
+
+    def _params(self) -> dict:
+        return {"num_entries": self.num_entries, "fp_prob": self.fp_prob,
+                "seed": self.seed}
+
+    # ------------------------------------------------------------------
+    def _slots(self, values: np.ndarray) -> np.ndarray:
+        """(len(values), k) int64 slot matrix."""
+        arr = np.asarray(values)
+        if np.issubdtype(arr.dtype, np.integer) or np.issubdtype(arr.dtype, np.floating):
+            if np.issubdtype(arr.dtype, np.floating):
+                arr = arr.astype(np.float64).view(np.int64)
+            h1, h2 = murmur128_int64(arr.astype(np.int64, copy=False), self.seed)
+        else:
+            h1 = np.empty(len(arr), dtype=np.uint64)
+            h2 = np.empty(len(arr), dtype=np.uint64)
+            for i, v in enumerate(arr):
+                b = v if isinstance(v, bytes) else str(v).encode("utf-8")
+                a, c = murmur3_x64_128(b, self.seed)
+                h1[i], h2[i] = a, c
+        i = np.arange(self.k, dtype=np.uint64)[None, :]
+        slots = (h1[:, None] + i * h2[:, None]) % np.uint64(self.m)
+        return slots.astype(np.int64)
+
+    def update_batch(self, values) -> None:
+        values = np.asarray(values)
+        if values.size == 0:
+            return
+        slots = self._slots(values).ravel()
+        byte_idx = slots >> 3
+        masks = np.left_shift(np.uint8(1), (slots & 7).astype(np.uint8))
+        # group ORs per byte: sort then or-reduce runs (faster than or.at)
+        np.bitwise_or.at(self.bits, byte_idx, masks)
+        self.n_inserted += int(values.size)
+
+    def contains_batch(self, values) -> np.ndarray:
+        values = np.asarray(values)
+        if values.size == 0:
+            return np.zeros(0, dtype=bool)
+        slots = self._slots(values)
+        byte_idx = slots >> 3
+        masks = np.left_shift(np.uint8(1), (slots & 7).astype(np.uint8))
+        hit = (self.bits[byte_idx] & masks) != 0
+        return hit.all(axis=1)
+
+    def contains(self, value) -> tuple[bool, float]:
+        """ApproximateBoolean analog: (maybe_present, prob_correct)."""
+        present = bool(self.contains_batch(np.array([value]))[0])
+        if not present:
+            return False, 1.0  # no false negatives
+        fpp = self.measured_fpp()
+        return True, 1.0 - fpp
+
+    def measured_fpp(self) -> float:
+        """FPP from the actual bit density: (t/m)^k."""
+        t = self.set_bits()
+        return (t / self.m) ** self.k
+
+    def set_bits(self) -> int:
+        return int(np.unpackbits(self.bits).sum())
+
+    def size_estimate(self) -> Approximate:
+        """Cardinality from bit density (BloomFilter.scala:53-105)."""
+        t = self.set_bits()
+        if t == 0:
+            return Approximate(0.0, 0.0, 0.0, 1.0)
+        if t >= self.m:
+            est = float(self.m)  # saturated
+        else:
+            est = -(self.m / self.k) * math.log(1.0 - t / self.m)
+        d = max(1.0, 0.1 * est)
+        return Approximate(max(0.0, est - d), est, est + d, 0.9)
+
+    def hamming_distance(self, other: "BloomFilter") -> int:
+        self.merge_check(other)
+        return int(np.unpackbits(np.bitwise_xor(self.bits, other.bits)).sum())
+
+    def merge_in_place(self, other: "BloomFilter") -> "BloomFilter":
+        self.merge_check(other)
+        np.bitwise_or(self.bits, other.bits, out=self.bits)
+        self.n_inserted += other.n_inserted
+        return self
+
+    def present(self) -> float:
+        return self.size_estimate().estimate
+
+    def _payload(self) -> bytes:
+        return np.array([self.n_inserted], dtype=np.int64).tobytes() + self.bits.tobytes()
+
+
+@register(KIND_BLOOM)
+def _decode_bloom(params: dict, payload: bytes) -> BloomFilter:
+    out = BloomFilter(params["num_entries"], params["fp_prob"], params["seed"])
+    out.n_inserted = int(np.frombuffer(payload[:8], dtype=np.int64)[0])
+    bits = np.frombuffer(payload[8:], dtype=np.uint8)
+    if len(bits) != len(out.bits):
+        raise ValueError("bloom payload size mismatch")
+    out.bits = bits.copy()
+    return out

@@ -1,0 +1,243 @@
+"""Count-Min Sketch with sparse-exact mode and TopPct heavy hitters.
+
+Semantics follow algebird-core .../CountMinSketch.scala:
+  * depth d = ceil(ln 1/delta), width w = ceil(e / eps)
+    (CMSFunctions.depth/width, CountMinSketch.scala:293-302).
+  * point query: est = min_i table[i][h_i(x)]; guarantee
+    ``true <= est <= true + eps * N`` w.p. >= 1 - delta
+    (CountMinSketch.scala:418-425,721-733); returned as an Approximate
+    interval like ``makeApprox``.
+  * exact sparse mode until ``maxExactCount = max(w*d/100, 50)``
+    (SparseCMS, CountMinSketch.scala:307-308,633-659).
+  * hash family h_i(x) = ((a_i * x) mod 2^31-1) mod w, seeded
+    (generateHashes :338-352; fold trick CMSHasher.scala:68-92).
+  * innerProduct = min_i dot(rowA_i, rowB_i) (:740-755); f2 = <a, a>.
+  * TopPct heavy hitters: keep items with est >= pct * totalCount;
+    associativity-safe because the threshold is re-evaluated against
+    the merged sketch then purged (TopPctLogic :1073-1082, sum purge
+    :1004-1016). TopN is order-biased (:1084-1106) and intentionally
+    NOT the default here.
+
+Vectorization: dense updates are ``np.bincount`` per depth row over the
+whole batch; candidate tracking does one unique-pass per batch.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+
+from ..functions.hashing import cms_hash, cms_hash_params
+from .base import KIND_CMS, Approximate, IncompatibleSketchError, Sketch, register
+
+DEFAULT_CMS_SEED = 1
+
+
+class CMS(Sketch):
+    KIND = KIND_CMS
+
+    def __init__(self, eps: float = 0.001, delta: float = 1e-6,
+                 seed: int = DEFAULT_CMS_SEED, heavy_hitters_pct: float | None = None):
+        if not 0 < eps < 1 or not 0 < delta < 1:
+            raise ValueError("eps and delta must be in (0, 1)")
+        self.eps = eps
+        self.delta = delta
+        self.seed = seed
+        self.hh_pct = heavy_hitters_pct
+        self.depth = int(math.ceil(math.log(1.0 / delta)))
+        self.width = int(math.ceil(math.e / eps))
+        self.max_exact = max(self.width * self.depth // 100, 50)
+        self._a = cms_hash_params(self.depth, seed)
+        self.total = 0
+        self.exact: dict[int, int] | None = {}     # sparse-exact mode
+        self.table: np.ndarray | None = None       # int64[depth, width]
+        self.hh: dict[int, int] = {}               # candidate -> est count
+
+    # ------------------------------------------------------------------
+    def _params(self) -> dict:
+        return {"eps": self.eps, "delta": self.delta, "seed": self.seed,
+                "hh_pct": self.hh_pct}
+
+    @property
+    def is_sparse(self) -> bool:
+        return self.exact is not None
+
+    def _to_dense(self) -> None:
+        if self.exact is None:
+            return
+        self.table = np.zeros((self.depth, self.width), dtype=np.int64)
+        if self.exact:
+            keys = np.fromiter(self.exact.keys(), dtype=np.int64, count=len(self.exact))
+            cnts = np.fromiter(self.exact.values(), dtype=np.int64, count=len(self.exact))
+            self._add_dense(keys, cnts)
+        self.exact = None
+
+    def _add_dense(self, keys: np.ndarray, counts: np.ndarray) -> None:
+        for i in range(self.depth):
+            h = cms_hash(self._a[i], keys, self.width)
+            self.table[i] += np.bincount(h, weights=counts, minlength=self.width).astype(np.int64)
+
+    # ------------------------------------------------------------------
+    def update_batch(self, values, counts=None) -> None:
+        values = np.asarray(values)
+        if values.size == 0:
+            return
+        if counts is None:
+            keys, cnts = np.unique(values, return_counts=True)
+        else:
+            keys, cnts = values, np.asarray(counts)
+        keys = keys.astype(np.int64, copy=False)
+        cnts = cnts.astype(np.int64, copy=False)
+        self.total += int(cnts.sum())
+        if self.exact is not None:
+            ex = self.exact
+            for k, c in zip(keys.tolist(), cnts.tolist()):
+                ex[k] = ex.get(k, 0) + c
+            if len(ex) > self.max_exact:
+                self._to_dense()
+        else:
+            self._add_dense(keys, cnts)
+        if self.hh_pct is not None:
+            self._update_hh(keys)
+
+    def _update_hh(self, keys: np.ndarray) -> None:
+        thresh = self.hh_pct * self.total
+        est = self._estimate_many(keys)
+        for k, e in zip(keys.tolist(), est.tolist()):
+            if e >= thresh:
+                self.hh[k] = e
+        self._purge_hh()
+
+    def _purge_hh(self) -> None:
+        thresh = self.hh_pct * self.total
+        self.hh = {k: v for k, v in self.hh.items() if v >= thresh}
+
+    # ------------------------------------------------------------------
+    def _estimate_many(self, keys: np.ndarray) -> np.ndarray:
+        keys = np.asarray(keys, dtype=np.int64)
+        if self.exact is not None:
+            ex = self.exact
+            return np.fromiter((ex.get(int(k), 0) for k in keys), dtype=np.int64,
+                               count=len(keys))
+        est = np.full(len(keys), np.iinfo(np.int64).max, dtype=np.int64)
+        for i in range(self.depth):
+            h = cms_hash(self._a[i], keys, self.width)
+            np.minimum(est, self.table[i][h], out=est)
+        return est
+
+    def frequency(self, key: int) -> Approximate:
+        est = int(self._estimate_many(np.array([key], dtype=np.int64))[0])
+        lower = max(0, est - int(math.ceil(self.eps * self.total)))
+        return Approximate(float(lower), float(est), float(est), 1.0 - self.delta)
+
+    def frequencies(self, keys) -> np.ndarray:
+        return self._estimate_many(np.asarray(keys, dtype=np.int64))
+
+    def inner_product(self, other: "CMS") -> Approximate:
+        self.merge_check(other)
+        a, b = self._densified(), other._densified()
+        est = int(min(int(np.dot(a[i], b[i])) for i in range(self.depth)))
+        lower = max(0, est - int(math.ceil(self.eps * self.total * other.total)))
+        return Approximate(float(lower), float(est), float(est), 1.0 - self.delta)
+
+    def f2(self) -> Approximate:
+        return self.inner_product(self)
+
+    def _densified(self) -> np.ndarray:
+        if self.exact is None:
+            return self.table
+        tmp = CMS(self.eps, self.delta, self.seed, self.hh_pct)
+        tmp.exact = dict(self.exact)
+        tmp.total = self.total
+        tmp._to_dense()
+        return tmp.table
+
+    def heavy_hitters(self) -> dict[int, int]:
+        """Candidates with estimated count >= pct * total."""
+        if self.hh_pct is None:
+            raise ValueError("sketch was built without heavy_hitters_pct")
+        return dict(sorted(self.hh.items(), key=lambda kv: (-kv[1], kv[0])))
+
+    # ------------------------------------------------------------------
+    def merge_in_place(self, other: "CMS") -> "CMS":
+        self.merge_check(other)
+        if self._a.tolist() != other._a.tolist():  # same seed => same, but be loud
+            raise IncompatibleSketchError("CMS hash families differ")
+        self.total += other.total
+        if other.exact is not None:
+            if self.exact is not None:
+                ex = self.exact
+                for k, c in other.exact.items():
+                    ex[k] = ex.get(k, 0) + c
+                if len(ex) > self.max_exact:
+                    self._to_dense()
+            else:
+                if other.exact:
+                    keys = np.fromiter(other.exact.keys(), dtype=np.int64)
+                    cnts = np.fromiter(other.exact.values(), dtype=np.int64)
+                    self._add_dense(keys, cnts)
+        else:
+            self._to_dense()
+            self.table += other.table
+        if self.hh_pct is not None:
+            # union candidates, re-estimate vs merged sketch, purge
+            # (TopCMS sum, CountMinSketch.scala:1004-1016)
+            cand = np.array(sorted(set(self.hh) | set(other.hh)), dtype=np.int64)
+            if len(cand):
+                est = self._estimate_many(cand)
+                thresh = self.hh_pct * self.total
+                self.hh = {int(k): int(e) for k, e in zip(cand, est) if e >= thresh}
+            else:
+                self.hh = {}
+        return self
+
+    def present(self) -> dict:
+        out = {"total": self.total}
+        if self.hh_pct is not None:
+            out["heavy_hitters"] = self.heavy_hitters()
+        return out
+
+    # ------------------------------------------------------------------
+    def _payload(self) -> bytes:
+        head = np.array([self.total], dtype=np.int64).tobytes()
+        hh_keys = np.fromiter(self.hh.keys(), dtype=np.int64, count=len(self.hh))
+        hh_vals = np.fromiter(self.hh.values(), dtype=np.int64, count=len(self.hh))
+        hh_blob = (np.array([len(self.hh)], dtype=np.int64).tobytes()
+                   + hh_keys.tobytes() + hh_vals.tobytes())
+        if self.exact is not None:
+            n = len(self.exact)
+            keys = np.fromiter(self.exact.keys(), dtype=np.int64, count=n)
+            cnts = np.fromiter(self.exact.values(), dtype=np.int64, count=n)
+            return (b"\x01" + head + hh_blob
+                    + np.array([n], dtype=np.int64).tobytes()
+                    + keys.tobytes() + cnts.tobytes())
+        return b"\x02" + head + hh_blob + self.table.tobytes()
+
+
+@register(KIND_CMS)
+def _decode_cms(params: dict, payload: bytes) -> CMS:
+    out = CMS(params["eps"], params["delta"], params["seed"], params["hh_pct"])
+    tag = payload[0]
+    buf = payload[1:]
+    out.total = int(np.frombuffer(buf[:8], dtype=np.int64)[0])
+    nhh = int(np.frombuffer(buf[8:16], dtype=np.int64)[0])
+    off = 16
+    hh_keys = np.frombuffer(buf[off : off + 8 * nhh], dtype=np.int64)
+    off += 8 * nhh
+    hh_vals = np.frombuffer(buf[off : off + 8 * nhh], dtype=np.int64)
+    off += 8 * nhh
+    out.hh = dict(zip(hh_keys.tolist(), hh_vals.tolist()))
+    if tag == 1:
+        n = int(np.frombuffer(buf[off : off + 8], dtype=np.int64)[0])
+        off += 8
+        keys = np.frombuffer(buf[off : off + 8 * n], dtype=np.int64)
+        cnts = np.frombuffer(buf[off + 8 * n : off + 16 * n], dtype=np.int64)
+        out.exact = dict(zip(keys.tolist(), cnts.tolist()))
+    elif tag == 2:
+        out.exact = None
+        out.table = np.frombuffer(buf[off:], dtype=np.int64).reshape(
+            out.depth, out.width).copy()
+    else:
+        raise ValueError(f"bad CMS payload tag {tag}")
+    return out

@@ -1,0 +1,80 @@
+"""Hash kernel tests — scalar/vector bit-equality + distribution sanity.
+
+Models the reference's hash lockdown tests
+(algebird-test .../HyperLogLogTest.scala:14-49,75-104).
+"""
+
+import numpy as np
+import pytest
+
+from algebird_spark.functions.hashing import (cms_hash, cms_hash_params,
+                                              murmur3_x64_128,
+                                              murmur128_int32,
+                                              murmur128_int64,
+                                              murmur64_any, popcount64,
+                                              trailing_zeros64)
+
+
+def test_murmur_empty_seed0():
+    # canonical: murmur3_x64_128("") with seed 0 is (0, 0)
+    assert murmur3_x64_128(b"", 0) == (0, 0)
+
+
+def test_vector_matches_scalar_int32():
+    rng = np.random.default_rng(7)
+    vals = rng.integers(-(2**31), 2**31, size=500, dtype=np.int64).astype(np.int32)
+    h1, h2 = murmur128_int32(vals, seed=12345678)
+    for i in range(0, 500, 37):
+        b = int(vals[i]).to_bytes(4, "little", signed=True)
+        s1, s2 = murmur3_x64_128(b, 12345678)
+        assert (int(h1[i]), int(h2[i])) == (s1, s2)
+
+
+def test_vector_matches_scalar_int64():
+    rng = np.random.default_rng(8)
+    vals = rng.integers(-(2**63), 2**63 - 1, size=300, dtype=np.int64)
+    h1, h2 = murmur128_int64(vals, seed=0)
+    for i in range(0, 300, 23):
+        b = int(vals[i]).to_bytes(8, "little", signed=True)
+        s1, s2 = murmur3_x64_128(b, 0)
+        assert (int(h1[i]), int(h2[i])) == (s1, s2)
+
+
+def test_murmur_scalar_multiblock():
+    # >16-byte keys exercise the body loop; self-consistency + avalanche
+    a = murmur3_x64_128(b"the quick brown fox jumps over the lazy dog", 1)
+    b = murmur3_x64_128(b"the quick brown fox jumps over the lazy dof", 1)
+    assert a != b
+    assert a == murmur3_x64_128(b"the quick brown fox jumps over the lazy dog", 1)
+
+
+def test_distribution_uniformity():
+    # hashed int32 sequence should fill 64 bins uniformly (chi^2 loose gate)
+    vals = np.arange(100_000, dtype=np.int32)
+    h = murmur64_any(vals)
+    bins = np.bincount((h % np.uint64(64)).astype(np.int64), minlength=64)
+    expect = len(vals) / 64
+    chi2 = float(((bins - expect) ** 2 / expect).sum())
+    assert chi2 < 150  # df=63, p~1e-9 cutoff
+
+def test_popcount_and_tz():
+    x = np.array([0, 1, 2, 3, 0xFFFFFFFFFFFFFFFF, 1 << 63], dtype=np.uint64)
+    assert popcount64(x).tolist() == [0, 1, 1, 2, 64, 1]
+    assert trailing_zeros64(x).tolist() == [64, 0, 1, 0, 0, 63]
+
+
+def test_cms_hash_range_and_determinism():
+    a = cms_hash_params(5, seed=1)
+    b = cms_hash_params(5, seed=1)
+    assert a.tolist() == b.tolist()
+    x = np.arange(10_000, dtype=np.int64)
+    h = cms_hash(a[0], x, 271)
+    assert h.min() >= 0 and h.max() < 271
+    # roughly uniform
+    counts = np.bincount(h, minlength=271)
+    assert counts.max() < 3 * len(x) / 271
+
+
+def test_string_fallback():
+    h = murmur64_any(np.array(["abc", "abd", "abc"], dtype=object))
+    assert h[0] == h[2] and h[0] != h[1]
