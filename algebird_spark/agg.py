@@ -1,0 +1,243 @@
+"""Distributed aggregation harness: the Spark-native replacement for
+algebird's ``AlgebirdRDD.aggregate / aggregateByKey / sumByKey``
+(algebird-spark .../AlgebirdRDD.scala:18-101), redesigned for
+DataFrames + Arrow per SURVEY.md §3.2-3.3:
+
+  1. **Map-side partition combine** (``mapInArrow``): every input
+     partition folds its Arrow batches into one sketch state per group
+     key — the analog of Spark's partial HashAggregate, which Catalyst
+     cannot do for Python UDAFs. Only ``(key, state)`` rows ever cross
+     a shuffle boundary; raw rows never do.
+  2. **Tree merge**: per-key states merge via ``groupBy(keys)``; when
+     the number of partition states is large, an intermediate salted
+     round (``fanout`` buckets) keeps any single reducer's fan-in
+     bounded — treeAggregate-style two-level merge, never
+     ``repartition(1)`` on a big fan-in (the anti-pattern called out in
+     AlgebirdRDD.scala:28).
+  3. **present()**: decode the (few, one-per-group) final states into
+     estimate columns.
+
+Requires a commutative merge, exactly like the reference
+(AlgebirdRDD.scala:17,37,47) — guaranteed by the sketch monoid laws
+(tests/test_laws via each sketch's test module).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Iterator, Sequence
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.types import BinaryType, LongType, StructField, StructType
+
+from .sketches import Sketch, from_bytes
+
+STATE_COL = "sketch_state"
+COUNT_COL = "n_values"
+
+SketchFactory = Callable[[], Sketch]
+
+
+# ---------------------------------------------------------------------------
+# element extraction: flatten value column (scalar or array<T>) per arrow batch
+# ---------------------------------------------------------------------------
+
+def _flatten_values(col: pa.Array) -> tuple[np.ndarray, np.ndarray | None]:
+    """Return (element_values, per_row_lengths|None). Lengths are None for
+    scalar columns (1 element per row). List offsets are handled zero-copy."""
+    if pa.types.is_list(col.type) or pa.types.is_large_list(col.type):
+        lengths = col.value_lengths().fill_null(0).to_numpy(zero_copy_only=False)
+        values = col.flatten().to_numpy(zero_copy_only=False)
+        return values, lengths
+    if pa.types.is_string(col.type) or pa.types.is_binary(col.type) or \
+            pa.types.is_large_string(col.type):
+        return col.to_numpy(zero_copy_only=False), None
+    return col.to_numpy(zero_copy_only=False), None
+
+
+def _key_frame(batch: pa.RecordBatch, keys: Sequence[str]) -> pd.DataFrame:
+    return pa.Table.from_batches([batch]).select(list(keys)).to_pandas()
+
+
+# ---------------------------------------------------------------------------
+# stage 1: per-partition combine
+# ---------------------------------------------------------------------------
+
+def sketch_partitions(df: DataFrame, value_col: str, factory: SketchFactory,
+                      keys: Sequence[str] = ()) -> DataFrame:
+    """One sketch state per (input partition x group key).
+
+    Output schema: ``keys..., sketch_state binary, n_values long``.
+    The per-element group assignment is fully vectorized:
+    ``np.repeat(key_codes, row_lengths)`` + one stable argsort per batch.
+    """
+    keys = list(keys)
+    key_fields = [df.schema[k] for k in keys]
+    out_schema = StructType(key_fields + [
+        StructField(STATE_COL, BinaryType(), False),
+        StructField(COUNT_COL, LongType(), False),
+    ])
+
+    def run(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        sketches: dict[tuple, Sketch] = {}
+        counts: dict[tuple, int] = {}
+        for batch in batches:
+            col = batch.column(batch.schema.get_field_index(value_col))
+            values, lengths = _flatten_values(col)
+            if len(values) == 0 and (lengths is None or batch.num_rows == 0):
+                continue
+            if not keys:
+                groups = [((), values)]
+            else:
+                kf = _key_frame(batch, keys)
+                if len(keys) == 1:
+                    codes, uniques = pd.factorize(kf[keys[0]], sort=False)
+                    uni_tuples = [(u,) for u in uniques]
+                else:
+                    mi = pd.MultiIndex.from_frame(kf)
+                    codes, uniques = pd.factorize(mi, sort=False)
+                    uni_tuples = list(uniques)
+                elem_codes = codes if lengths is None else np.repeat(codes, lengths)
+                order = np.argsort(elem_codes, kind="stable")
+                sorted_vals = values[order]
+                sorted_codes = elem_codes[order]
+                bounds = np.searchsorted(sorted_codes, np.arange(len(uni_tuples) + 1))
+                groups = [(uni_tuples[c], sorted_vals[bounds[c]:bounds[c + 1]])
+                          for c in range(len(uni_tuples))]
+            for key, vals in groups:
+                sk = sketches.get(key)
+                if sk is None:
+                    sk = sketches[key] = factory()
+                    counts[key] = 0
+                sk.update_batch(vals)
+                counts[key] += len(vals)
+        if not sketches:
+            return
+        from pyspark.sql.pandas.types import to_arrow_type
+        cols: list[list] = [[] for _ in keys] + [[], []]
+        for key, sk in sketches.items():
+            for i, kv in enumerate(key):
+                cols[i].append(kv)
+            cols[len(keys)].append(sk.to_bytes())
+            cols[len(keys) + 1].append(counts[key])
+        arrays = [pa.array(cols[i], type=to_arrow_type(f.dataType))
+                  for i, f in enumerate(out_schema.fields)]
+        yield pa.RecordBatch.from_arrays(arrays, names=[f.name for f in out_schema.fields])
+
+    return df.select(*(keys + [value_col])).mapInArrow(run, out_schema)
+
+
+# ---------------------------------------------------------------------------
+# stage 2: (optionally layered) merge of states by key
+# ---------------------------------------------------------------------------
+
+def _merge_fn(keys: Sequence[str]):
+    def merge(pdf: pd.DataFrame) -> pd.DataFrame:
+        states = pdf[STATE_COL].tolist()
+        acc = from_bytes(bytes(states[0]))
+        for s in states[1:]:
+            acc.merge_in_place(from_bytes(bytes(s)))
+        row = {k: pdf[k].iloc[0] for k in keys}
+        row[STATE_COL] = acc.to_bytes()
+        row[COUNT_COL] = int(pdf[COUNT_COL].sum())
+        return pd.DataFrame([row])
+    return merge
+
+
+def merge_sketches(states_df: DataFrame, keys: Sequence[str] = (),
+                   fanout: int = 0) -> DataFrame:
+    """Merge per-partition states down to one state per key.
+
+    ``fanout > 0`` inserts an intermediate salted round: states first
+    merge within ``fanout`` buckets per key, bounding any single
+    reducer's fan-in (treeAggregate-style; use when #partitions is
+    large or a key is hot)."""
+    keys = list(keys)
+    schema = StructType([states_df.schema[k] for k in keys] + [
+        StructField(STATE_COL, BinaryType(), False),
+        StructField(COUNT_COL, LongType(), False),
+    ])
+    if fanout:
+        salted = states_df.withColumn(
+            "__bucket", F.pmod(F.spark_partition_id(), F.lit(fanout)))
+        inter_schema = StructType(
+            [states_df.schema[k] for k in keys]
+            + [StructField("__bucket", salted.schema["__bucket"].dataType, False),
+               StructField(STATE_COL, BinaryType(), False),
+               StructField(COUNT_COL, LongType(), False)])
+        partial = salted.groupBy(*(keys + ["__bucket"])).applyInPandas(
+            _merge_fn(keys + ["__bucket"]), inter_schema)
+        states_df = partial.select(*(keys + [STATE_COL, COUNT_COL]))
+    return states_df.groupBy(*keys).applyInPandas(_merge_fn(keys), schema) if keys \
+        else states_df.groupBy(F.lit(1).alias("__g")).applyInPandas(
+            _merge_fn(["__g"]),
+            StructType([StructField("__g", LongType(), False)] + schema.fields)
+        ).drop("__g")
+
+
+# ---------------------------------------------------------------------------
+# top-level entry points (the AlgebirdRDD API analogs)
+# ---------------------------------------------------------------------------
+
+def sketch_by_key(df: DataFrame, keys: Sequence[str], value_col: str,
+                  factory: SketchFactory, fanout: int = 0) -> DataFrame:
+    """``rdd.algebird.aggregateByKey`` analog: DataFrame of
+    ``keys..., sketch_state, n_values`` with one row per key."""
+    states = sketch_partitions(df, value_col, factory, keys)
+    return merge_sketches(states, keys, fanout=fanout)
+
+
+def sketch_global(df: DataFrame, value_col: str, factory: SketchFactory,
+                  fanout: int = 32) -> Sketch:
+    """``rdd.algebird.aggregate`` analog: one sketch for the whole frame.
+
+    Partition states partial-merge into ``fanout`` buckets in parallel;
+    the driver folds only the <= fanout survivors (treeAggregate tail).
+    """
+    states = sketch_partitions(df, value_col, factory)
+    bucketed = states.withColumn(
+        "__bucket", F.pmod(F.spark_partition_id(), F.lit(fanout)))
+    inter_schema = StructType([
+        StructField("__bucket", bucketed.schema["__bucket"].dataType, False),
+        StructField(STATE_COL, BinaryType(), False),
+        StructField(COUNT_COL, LongType(), False)])
+    partial = bucketed.groupBy("__bucket").applyInPandas(
+        _merge_fn(["__bucket"]), inter_schema)
+    rows = partial.select(STATE_COL).collect()
+    if not rows:
+        return factory()  # monoid zero on empty input
+    acc = from_bytes(bytes(rows[0][0]))
+    for r in rows[1:]:
+        acc.merge_in_place(from_bytes(bytes(r[0])))
+    return acc
+
+
+# ---------------------------------------------------------------------------
+# present: decode final states into estimate columns
+# ---------------------------------------------------------------------------
+
+def with_presented(states_df: DataFrame, presenter: Callable[[Sketch], dict],
+                   out_fields: str) -> DataFrame:
+    """Apply ``presenter(sketch) -> dict`` to each final state row.
+
+    ``out_fields`` is a DDL string for the presented columns, e.g.
+    ``"estimate double, low double, high double"``. Runs driver-free via
+    mapInPandas; final states are one row per group, so this is cheap.
+    """
+    in_fields = ", ".join(f"{f.name} {f.dataType.simpleString()}"
+                          for f in states_df.schema.fields
+                          if f.name != STATE_COL)
+    schema = f"{in_fields}, {out_fields}"
+
+    def run(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            presented = [presenter(from_bytes(bytes(b))) for b in pdf[STATE_COL]]
+            out = pdf.drop(columns=[STATE_COL]).reset_index(drop=True)
+            yield pd.concat([out, pd.DataFrame(presented)], axis=1)
+
+    return states_df.mapInPandas(run, schema)

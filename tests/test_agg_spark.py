@@ -1,0 +1,121 @@
+"""End-to-end Spark harness tests: partition-combine topology, tree merge,
+by-key sketches vs exact Spark oracles, partition-reorder invariance,
+token-table generator invariants."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from algebird_spark.agg import (STATE_COL, sketch_by_key, sketch_global,
+                                with_presented)
+from algebird_spark.sketches import CMS, HLL, KLL, from_bytes
+from algebird_spark.sources.datagen import token_table
+
+
+@pytest.fixture(scope="module")
+def tokens(spark):
+    df = token_table(spark, rows=2_000, n_sources=4, vocab=50_000,
+                     median_n_tok=64, seed=42, partitions=8)
+    df.cache().count()
+    return df
+
+
+def test_datagen_deterministic_and_invariants(spark, tokens):
+    again = token_table(spark, rows=2_000, n_sources=4, vocab=50_000,
+                        median_n_tok=64, seed=42, partitions=3)  # different partitioning
+    a = tokens.orderBy("doc_id").limit(50).collect()
+    b = again.orderBy("doc_id").limit(50).collect()
+    assert [r.doc_id for r in a] == [r.doc_id for r in b]
+    assert [r.tokens for r in a] == [r.tokens for r in b]  # token-array equality
+    bad = tokens.filter(F.size("tokens") != F.col("n_tok")).count()
+    assert bad == 0
+    assert tokens.count() == 2_000
+    # source skew: top source should dominate (Zipf 1.2)
+    shares = dict(tokens.groupBy("source").count().collect())
+    top = max(shares.values()) / 2_000
+    assert top > 0.3
+
+
+def test_hll_by_key_vs_exact(spark, tokens):
+    states = sketch_by_key(tokens, ["source"], "tokens", lambda: HLL(p=12))
+    got = {r["source"]: from_bytes(bytes(r[STATE_COL])).estimate()
+           for r in states.collect()}
+    exact = {r["source"]: r["d"] for r in
+             tokens.select("source", F.explode("tokens").alias("t"))
+                   .groupBy("source").agg(F.countDistinct("t").alias("d")).collect()}
+    assert set(got) == set(exact)
+    for s, est in got.items():
+        rel = abs(est - exact[s]) / exact[s]
+        assert rel <= 3.5 * 1.04 / np.sqrt(2**12), (s, est, exact[s])
+
+
+def test_hll_partition_reorder_byte_equal(spark, tokens):
+    a = sketch_by_key(tokens, ["source"], "tokens", lambda: HLL(p=12))
+    b = sketch_by_key(tokens.repartition(13), ["source"], "tokens",
+                      lambda: HLL(p=12))
+    sa = {r["source"]: bytes(r[STATE_COL]) for r in a.collect()}
+    sb = {r["source"]: bytes(r[STATE_COL]) for r in b.collect()}
+    # HLL register-max is idempotent => identical final states
+    for s in sa:
+        assert from_bytes(sa[s]).estimate() == from_bytes(sb[s]).estimate()
+
+
+def test_global_sketch_and_fanout(spark, tokens):
+    h = sketch_global(tokens, "tokens", lambda: HLL(p=12), fanout=4)
+    exact = tokens.select(F.explode("tokens").alias("t")) \
+                  .agg(F.countDistinct("t")).collect()[0][0]
+    assert abs(h.estimate() - exact) / exact <= 3.5 * 1.04 / np.sqrt(2**12)
+
+
+def test_cms_by_key_totals_and_guarantee(spark, tokens):
+    eps = 0.005
+    states = sketch_by_key(tokens, ["source"], "tokens",
+                           lambda: CMS(eps=eps, delta=1e-4), fanout=2)
+    rows = states.collect()
+    exact_tot = {r["source"]: r["n"] for r in
+                 tokens.select("source", F.explode("tokens").alias("t"))
+                       .groupBy("source").agg(F.count("t").alias("n")).collect()}
+    exact_top = {r["source"]: (r["t"], r["c"]) for r in
+                 spark.sql("""
+        SELECT source, t, c FROM (
+          SELECT source, t, count(*) c,
+                 row_number() OVER (PARTITION BY source ORDER BY count(*) DESC, t) rn
+          FROM (SELECT source, explode(tokens) t FROM {df})
+          GROUP BY source, t) WHERE rn = 1""", df=tokens).collect()}
+    for r in rows:
+        sk = from_bytes(bytes(r[STATE_COL]))
+        assert sk.total == exact_tot[r["source"]]
+        tok, cnt = exact_top[r["source"]]
+        est = sk.frequency(tok).estimate
+        assert cnt <= est <= cnt + eps * sk.total
+
+
+def test_kll_by_key_scalar_column(spark, tokens):
+    states = sketch_by_key(tokens, ["source"], "n_tok", lambda: KLL(k=200))
+    exact = {r["source"]: r["m"] for r in
+             tokens.groupBy("source").agg(
+                 F.expr("percentile(n_tok, 0.5)").alias("m")).collect()}
+    for r in states.collect():
+        sk = from_bytes(bytes(r[STATE_COL]))
+        lo, hi = sk.quantile_bounds(0.5)
+        assert lo <= exact[r["source"]] <= hi
+
+
+def test_with_presented(spark, tokens):
+    states = sketch_by_key(tokens, ["source"], "tokens", lambda: HLL(p=12))
+    out = with_presented(states, lambda sk: {"estimate": sk.estimate()},
+                         "estimate double")
+    rows = out.collect()
+    assert {r["source"] for r in rows} == {f"src_{i:02d}" for i in range(4)}
+    assert all(r["estimate"] > 0 for r in rows)
+    assert "estimate" in out.columns and STATE_COL not in out.columns
+
+
+def test_empty_input(spark):
+    empty = spark.range(0).selectExpr("cast(id as int) x",
+                                      "array(cast(id as int)) tokens",
+                                      "string(id) source")
+    h = sketch_global(empty, "tokens", lambda: HLL(p=10))
+    assert h.estimate() == 0.0
+    states = sketch_by_key(empty, ["source"], "tokens", lambda: HLL(p=10))
+    assert states.count() == 0
