@@ -1,38 +1,306 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship query; ``queries()`` maps every
+implemented operator from SURVEY.md §2 to a (spark, sf_dir) -> DataFrame
+callable; ``oracle_sql()`` gives the DuckDB-equivalent SQL.
+
+Sketch queries use the estimate-bound validation pattern (see
+algebird_spark/queries.py docstring): exact columns reproduce in SQL,
+boolean columns assert the sketch's published error bound held — the
+oracle pins them to TRUE, so a broken sketch fails the value hash.
+Queries whose semantics are not SQL-expressible (LSH banding with
+xxhash64, stubbed media codecs) intentionally omit an oracle and get
+the driver's rows-only check.
 """
 
 from __future__ import annotations
 
+import math
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from algebird_spark import queries as Q
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: HLL distinct l_partkey per l_returnflag on sf0.001 —
+    exercises the whole spine (scan -> Arrow partition combine ->
+    state shuffle -> merge -> present -> bound check)."""
+    return Q.q_hll_distinct_per_group(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # --- sketches ---------------------------------------------------
+        "hll_distinct_per_group": Q.q_hll_distinct_per_group,
+        "hll_global_distinct": Q.q_hll_global_distinct,
+        "hll_intersection": Q.q_hll_intersection,
+        "cms_point_queries": Q.q_cms_point_queries,
+        "cms_heavy_hitters": Q.q_cms_heavy_hitters,
+        "bloom_membership": Q.q_bloom_membership,
+        "kll_quantiles": Q.q_kll_quantiles,
+        "tdigest_quantiles": Q.q_tdigest_quantiles,
+        "minhash_jaccard": Q.q_minhash_jaccard,
+        # --- exact parity (algebird -> Spark built-ins) ------------------
+        "pricing_summary": Q.q_pricing_summary,
+        "moments": Q.q_moments,
+        "correlation": Q.q_correlation,
+        "topk_parts": Q.q_topk_parts,
+        "topk_per_nation": Q.q_topk_per_nation,
+        "cube_orders": Q.q_cube_orders,
+        "rollup_orders": Q.q_rollup_orders,
+        "sum_by_key": Q.q_sum_by_key,
+        "map_outer_join": Q.q_map_outer_join,
+        "exists_forall": Q.q_exists_forall,
+        "max_min_by": Q.q_max_min_by,
+        "deterministic_sample": Q.q_deterministic_sample,
+        "running_sum": Q.q_running_sum,
+        "last_n_window": Q.q_last_n_window,
+        "decayed_value": Q.q_decayed_value,
+        "count_distinct_exact": Q.q_count_distinct_exact,
+        # --- training-data pipeline ops ----------------------------------
+        "dedup_exact": Q.q_dedup_exact,
+        "text_stats": Q.q_text_stats,
+        "doc_fingerprint": Q.q_doc_fingerprint,
+        "simhash_near_dup": Q.q_simhash_near_dup,      # rows-only
+        "minhash_near_dup": Q.q_minhash_near_dup,      # rows-only
+        "embedding_topk": Q.q_embedding_topk,
+        "embedding_lsh_recall": Q.q_embedding_lsh_recall,  # rows-only
+        "multimodal_features": Q.q_multimodal_features,    # rows-only
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    hll_bound_14 = 3.5 * 1.04 / math.sqrt(2 ** 14)  # noqa: F841 (documented)
+    ps = "0.05, 0.25, 0.5, 0.75, 0.95"
+    return {
+        # --- sketches: exact columns + TRUE verdicts ----------------------
+        "hll_distinct_per_group": """
+            SELECT l_returnflag,
+                   COUNT(DISTINCT l_partkey) AS exact_distinct,
+                   TRUE AS hll_ok
+            FROM lineitem GROUP BY l_returnflag
+        """,
+        "hll_global_distinct": """
+            SELECT COUNT(DISTINCT o_custkey) AS exact_distinct, TRUE AS hll_ok
+            FROM orders
+        """,
+        "hll_intersection": """
+            SELECT (SELECT COUNT(*) FROM
+                      (SELECT DISTINCT l_partkey FROM lineitem WHERE l_returnflag='A'
+                       INTERSECT
+                       SELECT DISTINCT l_partkey FROM lineitem WHERE l_returnflag='R'))
+                   AS exact_intersection,
+                   TRUE AS hll_ok
+        """,
+        "cms_point_queries": """
+            SELECT COUNT(DISTINCT l_partkey) AS n_queried,
+                   TRUE AS never_under, TRUE AS within_eps
+            FROM lineitem
+        """,
+        "cms_heavy_hitters": """
+            WITH n AS (SELECT COUNT(*) AS total FROM lineitem),
+                 c AS (SELECT l_suppkey, COUNT(*) AS cnt FROM lineitem GROUP BY l_suppkey)
+            SELECT (SELECT COUNT(*) FROM c, n WHERE cnt >= 0.005 * total) AS n_true_hh,
+                   TRUE AS contains_all, TRUE AS within_relaxed
+        """,
+        "bloom_membership": """
+            SELECT (SELECT COUNT(*) FROM customer) AS n_probed,
+                   (SELECT COUNT(*) FROM customer
+                    WHERE c_custkey IN (SELECT o_custkey FROM orders)) AS n_present_exact,
+                   CAST(0 AS BIGINT) AS false_negatives,
+                   TRUE AS fpp_ok
+        """,
+        "kll_quantiles": f"""
+            WITH q AS (
+              SELECT l_returnflag, quantile_cont(l_extendedprice, [{ps}]) AS qs
+              FROM lineitem GROUP BY l_returnflag),
+            ps(p, i) AS (VALUES (0.05, 1), (0.25, 2), (0.5, 3), (0.75, 4), (0.95, 5))
+            SELECT l_returnflag, p, ROUND(qs[i], 4) AS exact_pct, TRUE AS kll_ok
+            FROM q, ps
+        """,
+        "tdigest_quantiles": f"""
+            WITH q AS (
+              SELECT l_returnflag, quantile_cont(l_extendedprice, [{ps}]) AS qs
+              FROM lineitem GROUP BY l_returnflag),
+            ps(p, i) AS (VALUES (0.05, 1), (0.25, 2), (0.5, 3), (0.75, 4), (0.95, 5))
+            SELECT l_returnflag, p, ROUND(qs[i], 4) AS exact_pct, TRUE AS tdigest_ok
+            FROM q, ps
+        """,
+        "minhash_jaccard": """
+            WITH a AS (SELECT DISTINCT l_partkey k FROM lineitem WHERE l_returnflag='A'),
+                 r AS (SELECT DISTINCT l_partkey k FROM lineitem WHERE l_returnflag='R')
+            SELECT ROUND(
+                     (SELECT COUNT(*) FROM a WHERE k IN (SELECT k FROM r))
+                     / CAST((SELECT COUNT(*) FROM (SELECT k FROM a UNION SELECT k FROM r)) AS DOUBLE),
+                   2) AS jaccard_exact,
+                   TRUE AS minhash_ok
+        """,
+        # --- exact parity -------------------------------------------------
+        "pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   ROUND(SUM(l_quantity), 4) AS sum_qty,
+                   ROUND(SUM(l_extendedprice), 4) AS sum_base_price,
+                   ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
+                   ROUND(AVG(l_quantity), 4) AS avg_qty,
+                   ROUND(AVG(l_discount), 4) AS avg_disc,
+                   COUNT(*) AS count_order
+            FROM lineitem GROUP BY l_returnflag, l_linestatus
+        """,
+        "moments": """
+            WITH s AS (
+              SELECT l_returnflag,
+                     COUNT(*) AS n, AVG(l_extendedprice) AS mu,
+                     AVG(POW(l_extendedprice, 2)) AS m2r
+              FROM lineitem GROUP BY l_returnflag),
+            d AS (
+              SELECT l.l_returnflag, s.n, s.mu,
+                     AVG(POW(l.l_extendedprice - s.mu, 2)) AS m2,
+                     AVG(POW(l.l_extendedprice - s.mu, 3)) AS m3,
+                     AVG(POW(l.l_extendedprice - s.mu, 4)) AS m4
+              FROM lineitem l JOIN s ON l.l_returnflag = s.l_returnflag
+              GROUP BY l.l_returnflag, s.n, s.mu)
+            SELECT l_returnflag, n,
+                   ROUND(mu, 2) AS mean,
+                   ROUND(m2, 0) AS variance,
+                   ROUND(SQRT(m2), 2) AS stddev,
+                   ROUND(m3 / POW(m2, 1.5), 4) AS skewness,
+                   ROUND(m4 / (m2 * m2) - 3, 4) AS kurtosis
+            FROM d
+        """,
+        "correlation": """
+            SELECT l_returnflag,
+                   ROUND(CORR(l_quantity, l_extendedprice), 4) AS pearson,
+                   ROUND(COVAR_POP(l_quantity, l_extendedprice), 2) AS covariance
+            FROM lineitem GROUP BY l_returnflag
+        """,
+        "topk_parts": """
+            SELECT p_partkey, p_name, p_retailprice
+            FROM part ORDER BY p_retailprice DESC, p_partkey LIMIT 10
+        """,
+        "topk_per_nation": """
+            SELECT s_nationkey, s_suppkey, s_name, s_acctbal FROM (
+              SELECT *, ROW_NUMBER() OVER (PARTITION BY s_nationkey
+                          ORDER BY s_acctbal DESC, s_suppkey) AS rn
+              FROM supplier) WHERE rn <= 3
+        """,
+        "cube_orders": """
+            SELECT o_orderstatus, o_orderpriority,
+                   ROUND(SUM(o_totalprice), 2) AS total, COUNT(*) AS n
+            FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        """,
+        "rollup_orders": """
+            SELECT o_orderstatus, o_orderpriority,
+                   ROUND(SUM(o_totalprice), 2) AS total, COUNT(*) AS n
+            FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+        """,
+        "sum_by_key": """
+            SELECT l_orderkey,
+                   ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+                   ROUND(SUM(l_quantity), 4) AS total_qty
+            FROM lineitem GROUP BY l_orderkey
+        """,
+        "map_outer_join": """
+            WITH lhs AS (
+              SELECT o_custkey AS custkey, COUNT(*) AS n_orders,
+                     ROUND(SUM(o_totalprice), 2) AS spent
+              FROM orders GROUP BY o_custkey),
+            rhs AS (SELECT c_custkey AS custkey, ROUND(c_acctbal, 2) AS acctbal
+                    FROM customer)
+            SELECT COALESCE(lhs.custkey, rhs.custkey) AS custkey,
+                   n_orders, spent, acctbal
+            FROM lhs FULL OUTER JOIN rhs ON lhs.custkey = rhs.custkey
+        """,
+        "exists_forall": """
+            SELECT l_returnflag,
+                   BOOL_OR(l_discount > 0.05) AS exists_big_discount,
+                   BOOL_AND(l_quantity > 0) AS forall_positive_qty
+            FROM lineitem GROUP BY l_returnflag
+        """,
+        "max_min_by": """
+            SELECT s_nationkey,
+                   MAX_BY(s_name, s_acctbal) AS argmax,
+                   MIN_BY(s_name, s_acctbal) AS argmin,
+                   ROUND(MAX(s_acctbal), 2) AS max_val,
+                   ROUND(MIN(s_acctbal), 2) AS min_val
+            FROM supplier GROUP BY s_nationkey
+        """,
+        "deterministic_sample": """
+            SELECT o_orderkey, o_custkey FROM orders
+            WHERE SUBSTR(MD5(CAST(o_orderkey AS VARCHAR)), 1, 4) < '1999'
+        """,
+        "running_sum": """
+            SELECT o_custkey, o_orderkey,
+                   ROUND(SUM(o_totalprice) OVER (
+                     PARTITION BY o_custkey ORDER BY o_orderkey
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
+                   AS running_total
+            FROM orders
+        """,
+        "last_n_window": """
+            SELECT l_suppkey, l_orderkey, l_linenumber,
+                   ROUND(SUM(l_quantity) OVER (
+                     PARTITION BY l_suppkey
+                     ORDER BY l_orderkey, l_linenumber, l_quantity
+                     ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 2) AS last3_qty
+            FROM lineitem
+        """,
+        "decayed_value": """
+            WITH t AS (
+              SELECT user_id, value,
+                     EPOCH_US(ts) / 1000000.0 AS sec,
+                     MAX(EPOCH_US(ts) / 1000000.0)
+                       OVER (PARTITION BY user_id) AS max_sec
+              FROM events)
+            SELECT user_id,
+                   ROUND(SUM(value * POW(2.0, (sec - max_sec) / 604800.0)), 2)
+                   AS decayed
+            FROM t GROUP BY user_id
+        """,
+        "count_distinct_exact": """
+            SELECT l_linestatus,
+                   COUNT(DISTINCT l_orderkey) AS n_orders,
+                   COUNT(DISTINCT (l_partkey, l_suppkey)) AS n_part_supp
+            FROM lineitem GROUP BY l_linestatus
+        """,
+        # --- training-data ops --------------------------------------------
+        "dedup_exact": """
+            SELECT (SELECT COUNT(*) FROM documents) AS n_docs,
+                   (SELECT COUNT(DISTINCT text) FROM documents) AS n_unique_texts,
+                   (SELECT COUNT(*) FROM (
+                      SELECT text FROM documents GROUP BY text HAVING COUNT(*) > 1))
+                   AS n_dup_groups
+        """,
+        "text_stats": """
+            SELECT lang, COUNT(*) AS n_docs,
+                   ROUND(AVG(CASE WHEN TRIM(text) = '' THEN 0
+                             ELSE len(regexp_split_to_array(TRIM(text), '\\s+')) END), 2)
+                     AS avg_tokens,
+                   ROUND(AVG(CASE WHEN LENGTH(text) > 0 THEN
+                       CAST(LENGTH(regexp_replace(text, '[^.,;:!?''"()-]', '', 'g')) AS DOUBLE)
+                       / LENGTH(text) ELSE 0 END), 4) AS avg_punct_ratio
+            FROM documents GROUP BY lang
+        """,
+        "doc_fingerprint": """
+            SELECT MD5(text) AS fp, COUNT(*) AS n
+            FROM documents GROUP BY MD5(text) HAVING COUNT(*) > 1
+        """,
+        "embedding_topk": """
+            WITH q AS (SELECT vec_id AS q_id, embedding AS q_vec
+                       FROM embeddings ORDER BY vec_id LIMIT 3),
+            scored AS (
+              SELECT q.q_id, e.vec_id,
+                     list_cosine_similarity(e.embedding, q.q_vec) AS cos
+              FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.q_id),
+            ranked AS (
+              SELECT q_id, vec_id, cos,
+                     ROW_NUMBER() OVER (PARTITION BY q_id
+                                        ORDER BY cos DESC, vec_id) AS rank
+              FROM scored)
+            SELECT q_id, vec_id, ROUND(cos, 4) AS cos, rank
+            FROM ranked WHERE rank <= 5
+        """,
+        # rows-only (no oracle): simhash_near_dup, minhash_near_dup,
+        # embedding_lsh_recall, multimodal_features
+    }

@@ -1,0 +1,142 @@
+"""Exact-aggregate parity layer: algebird operators that map 1:1 onto
+Spark built-ins (SURVEY.md §2.2-2.4, §7.2 step 6). No UDAFs here —
+Catalyst's partial/final HashAggregate already gives the map-side
+combine these monoids hand-roll in the reference.
+
+| algebird | here | reference |
+|---|---|---|
+| Moments (count/mean/var/skew/kurt) | moments() | core/MomentsGroup.scala |
+| AveragedValue | avg + count | core/AveragedValue.scala:40 |
+| Correlation monoid | corr/covar_pop | core/CorrelationMonoid.scala |
+| sortedTake / TopKMonoid | top_k / top_k_per_group | core/Aggregator.scala:226-263 |
+| MapAlgebra.sumByKey | sum_by_key | core/MapAlgebra.scala:30-114 |
+| MapAlgebra.join | map_join | core/MapAlgebra.scala:234-245 |
+| cube/rollup (Cuber/Roller macros) | cube_agg / rollup_agg | core/MapAlgebra.scala:274-318 |
+| exists/forall | bool_or/bool_and | core/Aggregator.scala:180-187 |
+| maxBy/minBy | max_by/min_by | core/Max.scala, core/Min.scala |
+| randomSample (seeded) | deterministic_sample | core/Aggregator.scala:270-278 |
+| Scan (running aggregates) | running_agg | core/Scan.scala |
+| Window monoid (last-N) | last_n_window | core/Window.scala:41-169 |
+| DecayedValue | decayed_sum | core/DecayedValue.scala:31-58 |
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def moments(df: DataFrame, value: str, keys: Sequence[str] = ()) -> DataFrame:
+    """count/mean/variance/stddev/skewness/kurtosis — population forms,
+    matching MomentsGroup semantics (population central moments)."""
+    aggs = [
+        F.count(value).alias("n"),
+        F.avg(value).alias("mean"),
+        F.var_pop(value).alias("variance"),
+        F.stddev_pop(value).alias("stddev"),
+        F.skewness(value).alias("skewness"),
+        F.kurtosis(value).alias("kurtosis"),
+    ]
+    return df.groupBy(*keys).agg(*aggs) if keys else df.agg(*aggs)
+
+
+def averaged_value(df: DataFrame, value: str, keys: Sequence[str] = ()) -> DataFrame:
+    aggs = [F.count(value).alias("n"), F.avg(value).alias("mean")]
+    return df.groupBy(*keys).agg(*aggs) if keys else df.agg(*aggs)
+
+
+def correlation(df: DataFrame, x: str, y: str, keys: Sequence[str] = ()) -> DataFrame:
+    aggs = [F.corr(x, y).alias("pearson"), F.covar_pop(x, y).alias("covariance")]
+    return df.groupBy(*keys).agg(*aggs) if keys else df.agg(*aggs)
+
+
+def top_k(df: DataFrame, order_col: str, k: int, ascending: bool = False,
+          tiebreak: str | None = None) -> DataFrame:
+    """Global bounded top-k (sortedTake): orderBy + limit — Spark plans
+    this as TakeOrderedAndProject (no full sort at scale)."""
+    oc = F.col(order_col).asc() if ascending else F.col(order_col).desc()
+    order = [oc] + ([F.col(tiebreak).asc()] if tiebreak else [])
+    return df.orderBy(*order).limit(k)
+
+
+def top_k_per_group(df: DataFrame, keys: Sequence[str], order_col: str, k: int,
+                    ascending: bool = False, tiebreak: str | None = None) -> DataFrame:
+    oc = F.col(order_col).asc() if ascending else F.col(order_col).desc()
+    order = [oc] + ([F.col(tiebreak).asc()] if tiebreak else [])
+    w = Window.partitionBy(*keys).orderBy(*order)
+    return (df.withColumn("__rn", F.row_number().over(w))
+              .filter(F.col("__rn") <= k).drop("__rn"))
+
+
+def sum_by_key(df: DataFrame, keys: Sequence[str], values: dict[str, str]) -> DataFrame:
+    """MapAlgebra.sumByKey: per-key monoid sum of one or more columns.
+    ``values`` maps column -> output alias."""
+    return df.groupBy(*keys).agg(*[F.sum(c).alias(a) for c, a in values.items()])
+
+
+def map_join(left: DataFrame, right: DataFrame, key: str) -> DataFrame:
+    """MapAlgebra.join: key-wise full outer join of two keyed maps."""
+    return left.join(right, on=key, how="full_outer")
+
+
+def cube_agg(df: DataFrame, keys: Sequence[str], aggs: list[Column]) -> DataFrame:
+    return df.cube(*keys).agg(*aggs)
+
+
+def rollup_agg(df: DataFrame, keys: Sequence[str], aggs: list[Column]) -> DataFrame:
+    return df.rollup(*keys).agg(*aggs)
+
+
+def exists_forall(df: DataFrame, pred: Column, keys: Sequence[str] = ()) -> DataFrame:
+    aggs = [F.bool_or(pred).alias("exists"), F.bool_and(pred).alias("forall")]
+    return df.groupBy(*keys).agg(*aggs) if keys else df.agg(*aggs)
+
+
+def max_min_by(df: DataFrame, keys: Sequence[str], by: str, value: str) -> DataFrame:
+    return df.groupBy(*keys).agg(
+        F.max_by(value, by).alias("argmax"),
+        F.min_by(value, by).alias("argmin"),
+        F.max(by).alias("max_val"),
+        F.min(by).alias("min_val"))
+
+
+def deterministic_sample(df: DataFrame, key: str, prob: float) -> DataFrame:
+    """Seeded Bernoulli sample that is engine-portable: keep rows whose
+    md5(key) 4-hex-digit prefix falls below prob * 0x10000. Same rows
+    selected by any engine with md5 — the cross-engine analog of
+    algebird's seeded randomSample aggregator."""
+    thresh = format(int(prob * 0x10000), "04x")
+    return df.filter(F.substring(F.md5(F.col(key).cast("string")), 1, 4) < thresh)
+
+
+def running_agg(df: DataFrame, keys: Sequence[str], order: str,
+                value: str, alias: str = "running_sum") -> DataFrame:
+    """Scan.fromMonoidAggregator analog: running prefix sums."""
+    w = (Window.partitionBy(*keys).orderBy(order)
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return df.withColumn(alias, F.sum(value).over(w))
+
+
+def last_n_window(df: DataFrame, keys: Sequence[str], order: str, value: str,
+                  n: int, alias: str = "last_n_sum") -> DataFrame:
+    """algebird Window[T] monoid: aggregate over the last n rows."""
+    w = Window.partitionBy(*keys).orderBy(order).rowsBetween(-(n - 1), Window.currentRow)
+    return df.withColumn(alias, F.sum(value).over(w))
+
+
+def decayed_sum(df: DataFrame, keys: Sequence[str], ts: str, value: str,
+                half_life_seconds: float, alias: str = "decayed") -> DataFrame:
+    """DecayedValue: sum of value * 2^((t - t_max)/halfLife) per key —
+    every observation decayed to the key's newest timestamp
+    (DecayedValue.scala:31-58 rescaling, expressed as one aggregate)."""
+    w = Window.partitionBy(*keys)
+    # NTZ timestamps can't cast to double; via TIMESTAMP (session tz is
+    # pinned UTC) we get epoch seconds with sub-second fraction intact
+    sec = F.col(ts).cast("timestamp").cast("double")
+    tmax = F.max(sec).over(w)
+    decayed = F.col(value) * F.pow(
+        F.lit(2.0), (sec - tmax) / F.lit(half_life_seconds))
+    return (df.withColumn("__d", decayed)
+              .groupBy(*keys).agg(F.sum("__d").alias(alias)))

@@ -1,0 +1,464 @@
+"""Query catalog: every operator exposed as a (spark, sf_dir) -> DataFrame
+callable plus a DuckDB-equivalent oracle SQL string (see __spark_entry__.py).
+
+Design notes for the sketch queries: a sketch estimate is approximate,
+so the oracle cannot reproduce it value-for-value. Instead each sketch
+query returns (a) exact quantities computed *in Spark* (which the SQL
+oracle reproduces — this validates the distributed plumbing), and (b)
+boolean verdicts asserting the sketch's published error bound against
+those exact values (the oracle asserts literal TRUE — this validates
+the bound held). A sketch bug flips the boolean and fails the diff.
+
+The heavy lifting in every sketch query is distributed (partition
+combine + tree merge); only the final per-group states (a handful of
+rows) are presented driver-side.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, Row, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (BooleanType, DoubleType, LongType, StringType,
+                               StructField, StructType)
+
+from .agg import STATE_COL, sketch_by_key, sketch_global, with_presented
+from .operators import dedup, exact, multimodal, similarity, text
+from .sketches import CMS, HLL, KLL, BloomFilter, MinHash, TDigest, from_bytes
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ===========================================================================
+# sketch queries (estimate-bound validation pattern)
+# ===========================================================================
+
+def q_hll_distinct_per_group(spark, sf):
+    """Distinct l_partkey per l_returnflag via HLL(p=14) vs exact."""
+    li = _t(spark, sf, "lineitem")
+    p = 14
+    states = sketch_by_key(li, ["l_returnflag"], "l_partkey", lambda: HLL(p=p))
+    est = with_presented(states, lambda sk: {"est": sk.estimate()}, "est double")
+    exact_df = li.groupBy("l_returnflag").agg(
+        F.count_distinct("l_partkey").alias("exact_distinct"))
+    bound = 3.5 * 1.04 / math.sqrt(2 ** p)
+    return (exact_df.join(est.select("l_returnflag", "est"), "l_returnflag")
+            .select("l_returnflag", "exact_distinct",
+                    (F.abs(F.col("est") - F.col("exact_distinct"))
+                     / F.col("exact_distinct") <= bound).alias("hll_ok")))
+
+
+def q_hll_global_distinct(spark, sf):
+    """Global distinct o_custkey via HLL(p=14)."""
+    od = _t(spark, sf, "orders")
+    sk = sketch_global(od, "o_custkey", lambda: HLL(p=14), fanout=16)
+    exact = od.agg(F.count_distinct("o_custkey")).collect()[0][0]
+    ok = abs(sk.estimate() - exact) / exact <= 3.5 * 1.04 / math.sqrt(2 ** 14)
+    return spark.createDataFrame(
+        [Row(exact_distinct=int(exact), hll_ok=bool(ok))],
+        StructType([StructField("exact_distinct", LongType(), False),
+                    StructField("hll_ok", BooleanType(), False)]))
+
+
+def q_hll_intersection(spark, sf):
+    """|partkeys(A) ∩ partkeys(R)| via HLL inclusion-exclusion vs exact."""
+    li = _t(spark, sf, "lineitem")
+    p = 14
+    states = sketch_by_key(li.filter(F.col("l_returnflag").isin("A", "R")),
+                           ["l_returnflag"], "l_partkey", lambda: HLL(p=p))
+    by_flag = {r["l_returnflag"]: from_bytes(bytes(r[STATE_COL]))
+               for r in states.collect()}
+    approx = HLL.intersection_size([by_flag["A"], by_flag["R"]])
+    a = li.filter("l_returnflag = 'A'").select("l_partkey")
+    r = li.filter("l_returnflag = 'R'").select("l_partkey")
+    exact = a.intersect(r).count()
+    union = a.union(r).distinct().count()
+    ok = abs(approx.estimate - exact) <= 5 * (1.04 / math.sqrt(2 ** p)) * union
+    return spark.createDataFrame(
+        [Row(exact_intersection=int(exact), hll_ok=bool(ok))],
+        StructType([StructField("exact_intersection", LongType(), False),
+                    StructField("hll_ok", BooleanType(), False)]))
+
+
+def q_cms_point_queries(spark, sf):
+    """CMS frequency of every distinct l_partkey: never underestimates,
+    overestimate <= eps*N."""
+    li = _t(spark, sf, "lineitem")
+    eps, delta = 0.0005, 1e-6
+    sk = sketch_global(li, "l_partkey", lambda: CMS(eps=eps, delta=delta),
+                       fanout=16)
+    exact = li.groupBy("l_partkey").count().collect()
+    import numpy as np
+    keys = np.array([r["l_partkey"] for r in exact], dtype=np.int64)
+    cnts = np.array([r["count"] for r in exact], dtype=np.int64)
+    est = sk.frequencies(keys)
+    never_under = bool((est >= cnts).all())
+    within_eps = bool((est <= cnts + eps * sk.total).all())
+    return spark.createDataFrame(
+        [Row(n_queried=int(len(keys)), never_under=never_under,
+             within_eps=within_eps)],
+        StructType([StructField("n_queried", LongType(), False),
+                    StructField("never_under", BooleanType(), False),
+                    StructField("within_eps", BooleanType(), False)]))
+
+
+def q_cms_heavy_hitters(spark, sf):
+    """TopPct heavy hitters of l_suppkey: contains every key with
+    count >= pct*N, nothing below (pct-eps)*N
+    (CountMinSketchTest.scala:560-561 semantics)."""
+    li = _t(spark, sf, "lineitem")
+    pct, eps = 0.005, 0.0005
+    sk = sketch_global(li, "l_suppkey",
+                       lambda: CMS(eps=eps, delta=1e-6, heavy_hitters_pct=pct),
+                       fanout=16)
+    exact = li.groupBy("l_suppkey").count().collect()
+    n = sk.total
+    must = {r["l_suppkey"] for r in exact if r["count"] >= pct * n}
+    allowed = {r["l_suppkey"] for r in exact if r["count"] >= (pct - eps) * n}
+    hh = set(sk.heavy_hitters().keys())
+    return spark.createDataFrame(
+        [Row(n_true_hh=int(len(must)), contains_all=bool(must <= hh),
+             within_relaxed=bool(hh <= allowed))],
+        StructType([StructField("n_true_hh", LongType(), False),
+                    StructField("contains_all", BooleanType(), False),
+                    StructField("within_relaxed", BooleanType(), False)]))
+
+
+def q_bloom_membership(spark, sf):
+    """Bloom over o_custkey; probe every c_custkey: zero false negatives,
+    FPP on a guaranteed-absent id range <= 2x target."""
+    od = _t(spark, sf, "orders")
+    cu = _t(spark, sf, "customer")
+    import numpy as np
+    n_keys = od.select("o_custkey").distinct().count()
+    fpp = 0.01
+    bf = sketch_global(od, "o_custkey",
+                       lambda: BloomFilter(num_entries=max(n_keys, 64),
+                                           fp_prob=fpp), fanout=16)
+    probe = np.array([r[0] for r in cu.select("c_custkey").collect()],
+                     dtype=np.int64)
+    with_orders = {r[0] for r in od.select("o_custkey").distinct().collect()}
+    hits = bf.contains_batch(probe)
+    fn = sum(1 for k, h in zip(probe.tolist(), hits.tolist())
+             if k in with_orders and not h)
+    n_present = int(sum(1 for k in probe.tolist() if k in with_orders))
+    absent = np.arange(10**9, 10**9 + 50_000, dtype=np.int64)
+    measured = float(bf.contains_batch(absent).mean())
+    return spark.createDataFrame(
+        [Row(n_probed=int(len(probe)), n_present_exact=n_present,
+             false_negatives=int(fn), fpp_ok=bool(measured <= 2 * fpp + 1e-4))],
+        StructType([StructField("n_probed", LongType(), False),
+                    StructField("n_present_exact", LongType(), False),
+                    StructField("false_negatives", LongType(), False),
+                    StructField("fpp_ok", BooleanType(), False)]))
+
+
+_QUANTILE_PS = [0.05, 0.25, 0.5, 0.75, 0.95]
+
+
+def _quantile_query(spark, sf, factory, ok_fn, sketch_name):
+    li = _t(spark, sf, "lineitem")
+    states = sketch_by_key(li, ["l_returnflag"], "l_extendedprice", factory)
+    sketches = {r["l_returnflag"]: from_bytes(bytes(r[STATE_COL]))
+                for r in states.collect()}
+    exact = {r["l_returnflag"]: r["q"] for r in li.groupBy("l_returnflag").agg(
+        F.expr(f"percentile(l_extendedprice, array({','.join(map(str, _QUANTILE_PS))}))")
+        .alias("q")).collect()}
+    rows = []
+    for flag in sorted(sketches):
+        for p, ex in zip(_QUANTILE_PS, exact[flag]):
+            # interpolated percentiles of 2-decimal prices have 5e-4
+            # granularity: round(4) is boundary-safe, round(2) is not
+            rows.append(Row(l_returnflag=flag, p=float(p),
+                            exact_pct=float(round(ex, 4)),
+                            **{f"{sketch_name}_ok": bool(ok_fn(sketches[flag], p, ex))}))
+    return spark.createDataFrame(rows, StructType([
+        StructField("l_returnflag", StringType(), False),
+        StructField("p", DoubleType(), False),
+        StructField("exact_pct", DoubleType(), False),
+        StructField(f"{sketch_name}_ok", BooleanType(), False)]))
+
+
+def q_kll_quantiles(spark, sf):
+    """KLL(k=200) quantile bounds contain the exact percentile."""
+    def ok(sk, p, ex):
+        lo, hi = sk.quantile_bounds(p)
+        return lo <= ex <= hi
+    return _quantile_query(spark, sf, lambda: KLL(k=200), ok, "kll")
+
+
+def q_tdigest_quantiles(spark, sf):
+    """t-digest(200): rank error of the estimated quantile <= 0.02."""
+    def ok(sk, p, ex):
+        est = sk.quantile(p)
+        return abs(sk.rank(est) - sk.rank(ex)) <= 0.02 or abs(est - ex) / max(abs(ex), 1e-9) <= 0.02
+    return _quantile_query(spark, sf, lambda: TDigest(200), ok, "tdigest")
+
+
+def q_minhash_jaccard(spark, sf):
+    """Jaccard(partkeys of flag A, partkeys of flag R) via MinHash(256)."""
+    li = _t(spark, sf, "lineitem")
+    states = sketch_by_key(li.filter(F.col("l_returnflag").isin("A", "R")),
+                           ["l_returnflag"], "l_partkey",
+                           lambda: MinHash(num_lanes=256))
+    by_flag = {r["l_returnflag"]: from_bytes(bytes(r[STATE_COL]))
+               for r in states.collect()}
+    est = by_flag["A"].similarity(by_flag["R"])
+    a = li.filter("l_returnflag = 'A'").select("l_partkey")
+    r = li.filter("l_returnflag = 'R'").select("l_partkey")
+    inter = a.intersect(r).count()
+    union = a.union(r).distinct().count()
+    exact = inter / union
+    return spark.createDataFrame(
+        [Row(jaccard_exact=float(round(exact, 2)),
+             minhash_ok=bool(abs(est - exact) < 0.15))],
+        StructType([StructField("jaccard_exact", DoubleType(), False),
+                    StructField("minhash_ok", BooleanType(), False)]))
+
+
+# ===========================================================================
+# exact-parity queries (straight SQL equality with the oracle)
+# ===========================================================================
+
+def q_pricing_summary(spark, sf):
+    """TPC-H Q1 shape (multi-aggregate composition = Aggregator.join)."""
+    li = _t(spark, sf, "lineitem")
+    # rounding note: true sums have <= 4 decimal digits (prices 2dp x
+    # discounts 2dp), so round(4) is never on a rounding boundary while
+    # cross-engine float-sum drift is ~1e-7 — round(2) would sit exactly
+    # on .xx5 boundaries and flap
+    return (li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+        F.round(F.sum("l_extendedprice"), 4).alias("sum_base_price"),
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4)
+         .alias("sum_disc_price"),
+        F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+        F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+        F.count("*").alias("count_order")))
+
+
+def q_moments(spark, sf):
+    """Moments parity: population variance/stddev (MomentsGroup)."""
+    li = _t(spark, sf, "lineitem")
+    out = exact.moments(li, "l_extendedprice", ["l_returnflag"])
+    return out.select(
+        "l_returnflag", "n",
+        F.round("mean", 2).alias("mean"),
+        F.round("variance", 0).alias("variance"),
+        F.round("stddev", 2).alias("stddev"),
+        F.round("skewness", 4).alias("skewness"),
+        F.round("kurtosis", 4).alias("kurtosis"))
+
+
+def q_correlation(spark, sf):
+    li = _t(spark, sf, "lineitem")
+    out = exact.correlation(li, "l_quantity", "l_extendedprice", ["l_returnflag"])
+    return out.select("l_returnflag",
+                      F.round("pearson", 4).alias("pearson"),
+                      F.round("covariance", 2).alias("covariance"))
+
+
+def q_topk_parts(spark, sf):
+    pt = _t(spark, sf, "part")
+    return exact.top_k(pt, "p_retailprice", 10, tiebreak="p_partkey") \
+        .select("p_partkey", "p_name", "p_retailprice")
+
+
+def q_topk_per_nation(spark, sf):
+    su = _t(spark, sf, "supplier")
+    return exact.top_k_per_group(su, ["s_nationkey"], "s_acctbal", 3,
+                                 tiebreak="s_suppkey") \
+        .select("s_nationkey", "s_suppkey", "s_name", "s_acctbal")
+
+
+def q_cube_orders(spark, sf):
+    od = _t(spark, sf, "orders")
+    return exact.cube_agg(od, ["o_orderstatus", "o_orderpriority"],
+                          [F.round(F.sum("o_totalprice"), 2).alias("total"),
+                           F.count("*").alias("n")])
+
+
+def q_rollup_orders(spark, sf):
+    od = _t(spark, sf, "orders")
+    return exact.rollup_agg(od, ["o_orderstatus", "o_orderpriority"],
+                            [F.round(F.sum("o_totalprice"), 2).alias("total"),
+                             F.count("*").alias("n")])
+
+
+def q_sum_by_key(spark, sf):
+    li = _t(spark, sf, "lineitem")
+    out = exact.sum_by_key(
+        li.withColumn("revenue", F.col("l_extendedprice") * (1 - F.col("l_discount"))),
+        ["l_orderkey"], {"revenue": "revenue", "l_quantity": "total_qty"})
+    return out.select("l_orderkey", F.round("revenue", 4).alias("revenue"),
+                      F.round("total_qty", 4).alias("total_qty"))
+
+
+def q_map_outer_join(spark, sf):
+    """MapAlgebra.join: per-customer order stats FULL OUTER customer table."""
+    od = _t(spark, sf, "orders")
+    cu = _t(spark, sf, "customer")
+    lhs = od.groupBy(F.col("o_custkey").alias("custkey")).agg(
+        F.count("*").alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("spent"))
+    rhs = cu.select(F.col("c_custkey").alias("custkey"),
+                    F.round("c_acctbal", 2).alias("acctbal"))
+    return exact.map_join(lhs, rhs, "custkey")
+
+
+def q_exists_forall(spark, sf):
+    li = _t(spark, sf, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.bool_or(F.col("l_discount") > 0.05).alias("exists_big_discount"),
+        F.bool_and(F.col("l_quantity") > 0).alias("forall_positive_qty"))
+
+
+def q_max_min_by(spark, sf):
+    su = _t(spark, sf, "supplier")
+    out = exact.max_min_by(su, ["s_nationkey"], "s_acctbal", "s_name")
+    return out.select("s_nationkey", "argmax", "argmin",
+                      F.round("max_val", 2).alias("max_val"),
+                      F.round("min_val", 2).alias("min_val"))
+
+
+def q_deterministic_sample(spark, sf):
+    od = _t(spark, sf, "orders")
+    return exact.deterministic_sample(od, "o_orderkey", 0.1) \
+        .select("o_orderkey", "o_custkey")
+
+
+def q_running_sum(spark, sf):
+    od = _t(spark, sf, "orders")
+    out = exact.running_agg(od, ["o_custkey"], "o_orderkey", "o_totalprice",
+                            "running_total")
+    return out.select("o_custkey", "o_orderkey",
+                      F.round("running_total", 2).alias("running_total"))
+
+
+def q_last_n_window(spark, sf):
+    li = _t(spark, sf, "lineitem")
+    from pyspark.sql import Window
+    # (l_orderkey, l_linenumber) is NOT unique per suppkey in the fixture;
+    # ordering additionally by the aggregated value makes remaining ties
+    # permutation-invariant for the frame sums
+    w = Window.partitionBy("l_suppkey") \
+        .orderBy("l_orderkey", "l_linenumber", "l_quantity") \
+        .rowsBetween(-2, Window.currentRow)
+    return (li.withColumn("last3_qty", F.round(F.sum("l_quantity").over(w), 2))
+              .select("l_suppkey", "l_orderkey", "l_linenumber", "last3_qty"))
+
+
+def q_decayed_value(spark, sf):
+    ev = _t(spark, sf, "events")
+    out = exact.decayed_sum(ev, ["user_id"], "ts", "value",
+                            half_life_seconds=7 * 86400.0)
+    return out.select("user_id", F.round("decayed", 2).alias("decayed"))
+
+
+def q_count_distinct_exact(spark, sf):
+    li = _t(spark, sf, "lineitem")
+    return li.groupBy("l_linestatus").agg(
+        F.count_distinct("l_orderkey").alias("n_orders"),
+        F.count_distinct("l_partkey", "l_suppkey").alias("n_part_supp"))
+
+
+# ===========================================================================
+# training-data pipeline queries (documents / embeddings)
+# ===========================================================================
+
+def q_dedup_exact(spark, sf):
+    docs = _t(spark, sf, "documents")
+    groups = dedup.exact_dup_groups(docs, "text", "doc_id")
+    n_docs = docs.count()
+    n_unique = docs.select("text").distinct().count()
+    n_groups = groups.count()
+    return spark.createDataFrame(
+        [Row(n_docs=int(n_docs), n_unique_texts=int(n_unique),
+             n_dup_groups=int(n_groups))],
+        StructType([StructField("n_docs", LongType(), False),
+                    StructField("n_unique_texts", LongType(), False),
+                    StructField("n_dup_groups", LongType(), False)]))
+
+
+def q_text_stats(spark, sf):
+    docs = _t(spark, sf, "documents")
+    prof = docs.select(
+        "lang",
+        text.token_count(F.col("text")).alias("n_tok"),
+        text.punct_ratio(F.col("text")).alias("pr"))
+    return prof.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.round(F.avg("n_tok"), 2).alias("avg_tokens"),
+        F.round(F.avg("pr"), 4).alias("avg_punct_ratio"))
+
+
+def q_doc_fingerprint(spark, sf):
+    docs = _t(spark, sf, "documents")
+    return (docs.select(text.fingerprint(F.col("text")).alias("fp"))
+                .groupBy("fp").agg(F.count("*").alias("n"))
+                .filter(F.col("n") > 1))
+
+
+def q_simhash_near_dup(spark, sf):
+    """SimHash near-dup pairs (hamming <= 3). Non-SQL-expressible
+    (xxhash64 banding) -> rows-only oracle check."""
+    docs = _t(spark, sf, "documents")
+    return dedup.near_dup_pairs_simhash(docs, "doc_id", "text", max_hamming=3)
+
+
+def q_minhash_near_dup(spark, sf):
+    """MinHash-LSH candidates verified with exact shingle Jaccard >= 0.7.
+    Rows-only check (LSH recall < 1 by design)."""
+    docs = _t(spark, sf, "documents")
+    out = dedup.near_dup_pairs_minhash(docs, "doc_id", "text",
+                                       num_perm=64, bands=16, threshold=0.7)
+    return out.select("id_a", "id_b", F.round("jaccard", 2).alias("jaccard"))
+
+
+def q_embedding_topk(spark, sf):
+    """Exact brute-force cosine top-5 for the 3 lowest vec_ids."""
+    emb = _t(spark, sf, "embeddings")
+    queries = (emb.orderBy("vec_id").limit(3)
+               .select(F.col("vec_id").alias("q_id"),
+                       F.col("embedding").alias("q_vec")))
+    out = similarity.cosine_topk(emb, queries, k=5)
+    return out.select("q_id", "vec_id", F.round("cos", 4).alias("cos"), "rank")
+
+
+def q_embedding_lsh_recall(spark, sf):
+    """LSH-bucketed ANN vs exact top-5: per-query recall (rows-only —
+    recall depends on the LSH seed, validated by the recall column)."""
+    emb = _t(spark, sf, "embeddings")
+    dim = len(emb.select("embedding").first()[0])
+    queries = (emb.orderBy("vec_id").limit(5)
+               .select(F.col("vec_id").alias("q_id"),
+                       F.col("embedding").alias("q_vec")))
+    exact_k = similarity.cosine_topk(emb, queries, k=5) \
+        .select("q_id", F.col("vec_id").alias("nn"))
+    approx_k = similarity.lsh_bucketed_topk(emb, queries, k=5, dim=dim,
+                                            n_planes=4) \
+        .select("q_id", F.col("vec_id").alias("nn"))
+    hit = exact_k.join(approx_k, ["q_id", "nn"]).groupBy("q_id") \
+        .agg(F.count("*").alias("hits"))
+    return (exact_k.groupBy("q_id").agg(F.count("*").alias("k"))
+            .join(hit, "q_id", "left")
+            .select("q_id", F.round(F.coalesce(F.col("hits"), F.lit(0))
+                                    / F.col("k"), 2).alias("recall")))
+
+
+def q_multimodal_features(spark, sf):
+    """Media pipeline plumbing: synthetic blobs -> batched feature
+    extraction -> per-kind stats (codec stubbed; rows-only)."""
+    media = multimodal.synthetic_media(spark, n=96)
+    feats = multimodal.extract_features(media)
+    return feats.groupBy("kind").agg(
+        F.count("*").alias("n"),
+        F.round(F.avg("n_bytes"), 2).alias("avg_bytes"),
+        F.round(F.avg(F.element_at("feature", 1)), 4).alias("avg_f0"))

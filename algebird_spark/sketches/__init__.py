@@ -2,6 +2,7 @@ from .base import (Approximate, IncompatibleSketchError, Sketch, from_bytes,
                    merge_all)
 from .bloom import BloomFilter, optimal_num_hashes, optimal_width
 from .cms import CMS
+from .composite import MultiSketch
 from .hll import HLL, bits_for_error
 from .kll import KLL, kll_rank_error
 from .minhash import MinHash, pick_bands_rows
@@ -10,6 +11,6 @@ from .tdigest import TDigest
 __all__ = [
     "Approximate", "IncompatibleSketchError", "Sketch", "from_bytes", "merge_all",
     "BloomFilter", "optimal_num_hashes", "optimal_width",
-    "CMS", "HLL", "bits_for_error", "KLL", "kll_rank_error",
+    "CMS", "MultiSketch", "HLL", "bits_for_error", "KLL", "kll_rank_error",
     "MinHash", "pick_bands_rows", "TDigest",
 ]

@@ -68,33 +68,24 @@ class TDigest(Sketch):
         self._merge_pass(means, weights)
 
     def _merge_pass(self, means: np.ndarray, weights: np.ndarray) -> None:
+        """Vectorized merging pass: assign each point the cluster index
+        floor(k(q_mid)) of its cumulative midpoint rank and combine
+        clusters with one reduceat — every resulting centroid spans a
+        k-width <= 1, honoring the t-digest size invariant, with no
+        per-point Python loop."""
         order = np.argsort(means, kind="stable")
         means = means[order]
         weights = weights[order]
         total = float(weights.sum())
         self.n = total
-        out_m: list[float] = []
-        out_w: list[float] = []
-        cur_m = means[0]
-        cur_w = weights[0]
-        q0 = 0.0
-        k_limit = self._k(q0) + 1.0
-        for i in range(1, len(means)):
-            w = weights[i]
-            q = q0 + (cur_w + w) / total
-            if self._k(q) <= k_limit:
-                cur_m += (means[i] - cur_m) * w / (cur_w + w)
-                cur_w += w
-            else:
-                out_m.append(cur_m)
-                out_w.append(cur_w)
-                q0 += cur_w / total
-                k_limit = self._k(q0) + 1.0
-                cur_m, cur_w = means[i], w
-        out_m.append(cur_m)
-        out_w.append(cur_w)
-        self.means = np.array(out_m)
-        self.weights = np.array(out_w)
+        cum = np.cumsum(weights)
+        q_mid = (cum - weights / 2) / total
+        kidx = np.floor(self._k(q_mid)).astype(np.int64)
+        starts = np.concatenate([[0], np.flatnonzero(np.diff(kidx)) + 1])
+        new_w = np.add.reduceat(weights, starts)
+        new_m = np.add.reduceat(weights * means, starts) / new_w
+        self.means = new_m
+        self.weights = new_w
 
     # ------------------------------------------------------------------
     def merge_in_place(self, other: "TDigest") -> "TDigest":

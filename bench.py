@@ -1,0 +1,113 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints
+ONE JSON line:
+  {"metric": ..., "value": <total sec>, "unit": "sec",
+   "queries": {name: sec}, "sf": ..., "tokens_per_sec": ...}
+
+``tokens_per_sec`` is the BASELINE.json headline: one-pass MultiSketch
+(HLL + CMS + KLL + t-digest + Bloom) build grouped by source over the
+deterministic token table. The N-vs-4N scaling evidence lives in
+scripts/bench_scaling.py -> BENCH/BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+HEADLINE = [
+    "hll_distinct_per_group",
+    "cms_point_queries",
+    "cms_heavy_hitters",
+    "bloom_membership",
+    "kll_quantiles",
+    "tdigest_quantiles",
+    "pricing_summary",
+    "sum_by_key",
+    "topk_per_nation",
+    "running_sum",
+    "dedup_exact",
+    "text_stats",
+    "simhash_near_dup",
+    "embedding_topk",
+]
+
+
+def main():
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+
+    from pyspark.sql import SparkSession
+    spark = (SparkSession.builder.master(f"local[{cpus}]")
+             .appName("algebird_spark_bench")
+             .config("spark.sql.shuffle.partitions", str(cpus))
+             .config("spark.sql.adaptive.enabled", "true")
+             .config("spark.sql.session.timeZone", "UTC")
+             .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+             .config("spark.driver.memory", "48g")
+             .config("spark.ui.enabled", "false")
+             .getOrCreate())
+    spark.sparkContext.setLogLevel("ERROR")
+
+    import __spark_entry__ as entrymod
+    qs = entrymod.queries()
+
+    times: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.time()
+        df = qs[name](spark, sf_dir)
+        n = df.count()  # materialize the whole plan
+        times[name] = round(time.time() - t0, 3)
+        print(f"# {name}: {times[name]}s ({n} rows)", file=sys.stderr)
+
+    # --- token-table sketch-build throughput (BASELINE.json headline) ---
+    from algebird_spark.agg import sketch_by_key
+    from algebird_spark.sketches import (CMS, HLL, KLL, BloomFilter,
+                                         MultiSketch, TDigest)
+    from algebird_spark.sources.datagen import token_table
+
+    rows = 60_000
+    tok = token_table(spark, rows=rows, n_sources=8, vocab=250_000,
+                      median_n_tok=256, seed=42, partitions=cpus * 2)
+    tok = tok.cache()
+    n_tokens = tok.selectExpr("sum(n_tok)").collect()[0][0]  # warms cache
+
+    def factory():
+        return MultiSketch({
+            "hll": HLL(p=14),
+            "cms": CMS(eps=0.001, delta=1e-6, heavy_hitters_pct=0.001),
+            "kll": KLL(k=200),
+            "tdigest": TDigest(200),
+            "bloom": BloomFilter(num_entries=300_000, fp_prob=0.01),
+        })
+
+    t0 = time.time()
+    states = sketch_by_key(tok, ["source"], "tokens", factory)
+    n_groups = states.count()
+    sketch_sec = time.time() - t0
+    tokens_per_sec = int(n_tokens / sketch_sec)
+    times["multisketch_by_source"] = round(sketch_sec, 3)
+    print(f"# multisketch: {n_tokens} tokens, {n_groups} groups, "
+          f"{sketch_sec:.1f}s -> {tokens_per_sec} tok/s", file=sys.stderr)
+
+    total = round(sum(times.values()), 3)
+    print(json.dumps({
+        "metric": "headline queries total + one-pass multisketch build",
+        "value": total,
+        "unit": "sec",
+        "queries": times,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "tokens_per_sec": tokens_per_sec,
+        "token_rows": rows,
+        "cpus": cpus,
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

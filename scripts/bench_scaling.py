@@ -1,0 +1,151 @@
+"""Scaling-efficiency evidence (BASELINE.md §3 protocol).
+
+No multi-node cluster exists in this sandbox, so the north_rule's
+N -> 4N executor criterion is evidenced by running the IDENTICAL
+sketch-build job at two local parallelism levels (cold JVM each) on the
+same input, reporting tokens/sec at both and
+``efficiency = throughput_4N / (4 * throughput_N)``.
+
+Usage: python scripts/bench_scaling.py [--rows 200000] [--trials 3]
+Writes BENCH/BASELINE.md and BENCH/scaling.json.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import statistics
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+WORKER = r"""
+import sys, time, json
+cores = int(sys.argv[1]); rows = int(sys.argv[2])
+from pyspark.sql import SparkSession
+spark = (SparkSession.builder.master(f"local[{cores}]")
+         .appName(f"scaling_{cores}")
+         .config("spark.sql.shuffle.partitions", str(cores))
+         .config("spark.sql.adaptive.enabled", "true")
+         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+         .config("spark.driver.memory", "48g")
+         .config("spark.ui.enabled", "false")
+         .getOrCreate())
+spark.sparkContext.setLogLevel("ERROR")
+sys.path.insert(0, %(repo)r)
+from algebird_spark.agg import sketch_by_key
+from algebird_spark.sketches import CMS, HLL, KLL, BloomFilter, MultiSketch, TDigest
+from algebird_spark.sources.datagen import materialized_token_table, token_table
+
+# input parquet is generated once (cached); identical bytes for every run
+tok = spark.read.parquet(%(repo)r + f"/.data/tokens_scaling_{rows}")
+n_tokens = tok.selectExpr("sum(n_tok)").collect()[0][0]
+
+def factory():
+    return MultiSketch({
+        "hll": HLL(p=14),
+        "cms": CMS(eps=0.001, delta=1e-6, heavy_hitters_pct=0.001),
+        "kll": KLL(k=200),
+        "tdigest": TDigest(200),
+        "bloom": BloomFilter(num_entries=300_000, fp_prob=0.01),
+    })
+
+t0 = time.time()
+states = sketch_by_key(tok, ["source"], "tokens", factory)
+n = states.count()
+el = time.time() - t0
+print(json.dumps({"cores": cores, "sec": el, "tokens": int(n_tokens),
+                  "groups": n, "tokens_per_sec": n_tokens / el}))
+spark.stop()
+"""
+
+
+def ensure_input(rows: int) -> None:
+    path = f"{REPO}/.data/tokens_scaling_{rows}"
+    if os.path.exists(os.path.join(path, "_SUCCESS")):
+        return
+    code = (
+        "import sys; sys.path.insert(0, %r)\n"
+        "from pyspark.sql import SparkSession\n"
+        "from algebird_spark.sources.datagen import token_table\n"
+        "spark = (SparkSession.builder.master('local[32]')"
+        ".config('spark.sql.execution.arrow.pyspark.enabled','true')"
+        ".config('spark.driver.memory','48g')"
+        ".config('spark.ui.enabled','false').getOrCreate())\n"
+        "spark.sparkContext.setLogLevel('ERROR')\n"
+        f"token_table(spark, rows={rows}, n_sources=16, vocab=1_000_000, "
+        "median_n_tok=512, seed=42, partitions=128)"
+        f".write.mode('overwrite').parquet({path!r})\n"
+        "spark.stop()\n" % REPO)
+    subprocess.run([sys.executable, "-c", code], check=True)
+
+
+def run_once(cores: int, rows: int) -> dict:
+    out = subprocess.run(
+        [sys.executable, "-c", WORKER % {"repo": REPO}, str(cores), str(rows)],
+        capture_output=True, text=True, check=True)
+    return json.loads(out.stdout.strip().splitlines()[-1])
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--rows", type=int, default=200_000)
+    ap.add_argument("--trials", type=int, default=3)
+    ap.add_argument("--n", type=int, default=8)
+    ap.add_argument("--n4", type=int, default=32)
+    args = ap.parse_args()
+
+    ensure_input(args.rows)
+    results = {args.n: [], args.n4: []}
+    for trial in range(args.trials):
+        for cores in (args.n, args.n4):
+            r = run_once(cores, args.rows)
+            results[cores].append(r)
+            print(f"trial {trial} cores={cores}: {r['sec']:.1f}s "
+                  f"{r['tokens_per_sec']:.0f} tok/s", file=sys.stderr)
+
+    med_n = statistics.median(r["tokens_per_sec"] for r in results[args.n])
+    med_4n = statistics.median(r["tokens_per_sec"] for r in results[args.n4])
+    eff = med_4n / (4 * med_n)
+    tokens = results[args.n][0]["tokens"]
+    summary = {
+        "job": "one-pass MultiSketch(HLL+CMS+KLL+tdigest+Bloom) by source",
+        "rows": args.rows, "tokens": tokens,
+        "cores_n": args.n, "cores_4n": args.n4, "trials": args.trials,
+        "tokens_per_sec_n": med_n, "tokens_per_sec_4n": med_4n,
+        "efficiency": eff, "gate": 0.8, "pass": eff >= 0.8,
+    }
+    os.makedirs(f"{REPO}/BENCH", exist_ok=True)
+    with open(f"{REPO}/BENCH/scaling.json", "w") as f:
+        json.dump({"summary": summary, "runs": {str(k): v for k, v in results.items()}}, f, indent=2)
+    with open(f"{REPO}/BENCH/BASELINE.md", "w") as f:
+        f.write(f"""# BENCH/BASELINE — scaling evidence (N vs 4N parallelism)
+
+Protocol (BASELINE.md §3): identical sketch-build job — one-pass
+MultiSketch (HLL p=14, CMS eps=1e-3 delta=1e-6 + top-0.1%% heavy
+hitters, KLL k=200, t-digest 200, Bloom n=3e5 p=0.01) grouped by
+`source` over the deterministic token table ({args.rows} rows,
+{tokens:,} tokens, Zipf-skewed sources) — run cold at two local
+parallelism levels, {args.trials} trials each, median throughput.
+
+| parallelism | tokens/sec (median) |
+|---|---|
+| local[{args.n}] (N) | {med_n:,.0f} |
+| local[{args.n4}] (4N) | {med_4n:,.0f} |
+
+**Scaling efficiency = {med_4n:,.0f} / (4 x {med_n:,.0f}) = {eff:.3f}**
+(gate: >= 0.8 -> {"PASS" if eff >= 0.8 else "FAIL"})
+
+Raw trials in `BENCH/scaling.json`. Skew note: the dominant Zipf(1.2)
+source holds ~40%% of rows; the harness's map-side partition combine
+keeps per-reducer fan-in to one state per (partition x key), so the hot
+key costs merges (cheap), not raw-row shuffle.
+""")
+    print(json.dumps(summary))
+
+
+if __name__ == "__main__":
+    main()
