@@ -42,6 +42,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kll_quantiles": Q.q_kll_quantiles,
         "tdigest_quantiles": Q.q_tdigest_quantiles,
         "minhash_jaccard": Q.q_minhash_jaccard,
+        "qtree_quantile_bounds": Q.q_qtree_quantile_bounds,
+        "spacesaver_topk": Q.q_spacesaver_topk,
+        "setsize_distinct": Q.q_setsize_distinct,
+        "hllseries_since": Q.q_hllseries_since,
+        "decayed_value_sketch": Q.q_decayed_value_sketch,
+        "exphist_window_count": Q.q_exphist_window_count,
         # --- exact parity (algebird -> Spark built-ins) ------------------
         "pricing_summary": Q.q_pricing_summary,
         "moments": Q.q_moments,
@@ -59,6 +65,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "last_n_window": Q.q_last_n_window,
         "decayed_value": Q.q_decayed_value,
         "count_distinct_exact": Q.q_count_distinct_exact,
+        "map_invert": Q.q_map_invert,
+        "to_graph": Q.q_to_graph,
+        "sparse_dot": Q.q_sparse_dot,
+        "gaussian_sum": Q.q_gaussian_sum,
         # --- training-data pipeline ops ----------------------------------
         "dedup_exact": Q.q_dedup_exact,
         "text_stats": Q.q_text_stats,
@@ -136,6 +146,41 @@ def oracle_sql() -> dict[str, str]:
                      / CAST((SELECT COUNT(*) FROM (SELECT k FROM a UNION SELECT k FROM r)) AS DOUBLE),
                    2) AS jaccard_exact,
                    TRUE AS minhash_ok
+        """,
+        "qtree_quantile_bounds": f"""
+            WITH q AS (
+              SELECT l_returnflag, quantile_cont(l_extendedprice, [{ps}]) AS qs
+              FROM lineitem GROUP BY l_returnflag),
+            ps(p, i) AS (VALUES (0.05, 1), (0.25, 2), (0.5, 3), (0.75, 4), (0.95, 5))
+            SELECT l_returnflag, p, ROUND(qs[i], 4) AS exact_pct, TRUE AS qtree_ok
+            FROM q, ps
+        """,
+        "spacesaver_topk": """
+            SELECT l_suppkey, COUNT(*) AS cnt FROM lineitem
+            GROUP BY l_suppkey ORDER BY cnt DESC, l_suppkey LIMIT 5
+        """,
+        "setsize_distinct": """
+            SELECT o_orderstatus, COUNT(DISTINCT o_custkey) AS n_custkeys
+            FROM orders GROUP BY o_orderstatus
+        """,
+        "hllseries_since": """
+            WITH b AS (SELECT (EPOCH_US(MIN(ts)) + EPOCH_US(MAX(ts))) // 2 AS mid
+                       FROM events)
+            SELECT (SELECT COUNT(DISTINCT user_id) FROM events, b
+                    WHERE EPOCH_US(ts) >= mid) AS exact_recent_users,
+                   TRUE AS hllseries_ok
+        """,
+        "decayed_value_sketch": """
+            SELECT COUNT(DISTINCT user_id) AS n_users, TRUE AS decayed_ok
+            FROM events
+        """,
+        "exphist_window_count": """
+            WITH b AS (SELECT MIN(EPOCH_US(ts)/1e6) lo, MAX(EPOCH_US(ts)/1e6) hi
+                       FROM events)
+            SELECT (SELECT COUNT(*) FROM events, b
+                    WHERE EPOCH_US(ts)/1e6 > hi - (hi - lo) / 4)
+                   AS exact_window_count,
+                   TRUE AS exphist_ok
         """,
         # --- exact parity -------------------------------------------------
         "pricing_summary": """
@@ -263,6 +308,31 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(DISTINCT l_orderkey) AS n_orders,
                    COUNT(DISTINCT (l_partkey, l_suppkey)) AS n_part_supp
             FROM lineitem GROUP BY l_linestatus
+        """,
+        "map_invert": """
+            SELECT s_nationkey,
+                   ARRAY_TO_STRING(LIST_SORT(LIST(s_suppkey)), ',') AS suppkeys
+            FROM supplier GROUP BY s_nationkey
+        """,
+        "to_graph": """
+            SELECT o_custkey, COUNT(DISTINCT o_orderpriority) AS degree
+            FROM orders GROUP BY o_custkey
+        """,
+        "sparse_dot": """
+            WITH qty AS (SELECT l_partkey, SUM(l_quantity) q
+                         FROM lineitem GROUP BY l_partkey)
+            SELECT ROUND(SUM(q * p_retailprice), 2) AS dot
+            FROM qty JOIN part ON l_partkey = p_partkey
+        """,
+        "gaussian_sum": """
+            WITH per_part AS (
+              SELECT l_partkey, AVG(l_quantity) mu,
+                     COALESCE(VAR_POP(l_quantity), 0.0) AS var
+              FROM lineitem GROUP BY l_partkey)
+            SELECT ROUND(SUM(mu), 2) AS mean_sum,
+                   ROUND(SUM(var), 2) AS variance_sum,
+                   COUNT(*) AS n
+            FROM per_part
         """,
         # --- training-data ops --------------------------------------------
         "dedup_exact": """

@@ -67,14 +67,24 @@ def _key_frame(batch: pa.RecordBatch, keys: Sequence[str]) -> pd.DataFrame:
 # ---------------------------------------------------------------------------
 
 def sketch_partitions(df: DataFrame, value_col: str, factory: SketchFactory,
-                      keys: Sequence[str] = ()) -> DataFrame:
+                      keys: Sequence[str] = (),
+                      min_partitions: int | None = None) -> DataFrame:
     """One sketch state per (input partition x group key).
 
     Output schema: ``keys..., sketch_state binary, n_values long``.
     The per-element group assignment is fully vectorized:
     ``np.repeat(key_codes, row_lengths)`` + one stable argsort per batch.
+
+    ``min_partitions`` (default: cluster parallelism) guards against
+    under-split inputs — a small parquet table may arrive as 1-3
+    partitions, which would serialize the combine. The repartition is a
+    no-op branch on real at-scale inputs (thousands of partitions).
     """
     keys = list(keys)
+    if min_partitions is None:
+        min_partitions = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < min_partitions:
+        df = df.repartition(min_partitions)
     key_fields = [df.schema[k] for k in keys]
     out_schema = StructType(key_fields + [
         StructField(STATE_COL, BinaryType(), False),

@@ -462,3 +462,156 @@ def q_multimodal_features(spark, sf):
         F.count("*").alias("n"),
         F.round(F.avg("n_bytes"), 2).alias("avg_bytes"),
         F.round(F.avg(F.element_at("feature", 1)), 4).alias("avg_f0"))
+
+
+# ===========================================================================
+# round-1b: QTree / SpaceSaver / SetSize / time-indexed sketch queries
+# ===========================================================================
+
+def q_qtree_quantile_bounds(spark, sf):
+    """QTree HARD bounds contain the exact percentile (QTree.scala:285-315)."""
+    from .sketches import QTree
+
+    def ok(sk, p, ex):
+        lo, hi = sk.quantile_bounds(p)
+        return lo <= ex <= hi
+    return _quantile_query(spark, sf, lambda: QTree(k=10, base_level=-2),
+                           ok, "qtree")
+
+
+def q_spacesaver_topk(spark, sf):
+    """SpaceSaver top-5 l_suppkey: capacity > cardinality -> exact counts."""
+    from .sketches import SpaceSaver
+    li = _t(spark, sf, "lineitem")
+    sk = sketch_global(li, "l_suppkey", lambda: SpaceSaver(capacity=4096),
+                       fanout=16)
+    rows = [Row(l_suppkey=int(item), cnt=int(count))
+            for item, count, _err, _g in sk.top_k(5)]
+    return spark.createDataFrame(rows, StructType([
+        StructField("l_suppkey", LongType(), False),
+        StructField("cnt", LongType(), False)]))
+
+
+def q_setsize_distinct(spark, sf):
+    """SetSize in exact mode == COUNT(DISTINCT) — EventuallyMonoid's
+    exact phase (HyperLogLog.scala:718-745)."""
+    from .sketches import SetSize
+    od = _t(spark, sf, "orders")
+    states = sketch_by_key(od, ["o_orderstatus"], "o_custkey",
+                           lambda: SetSize(max_set_size=1_000_000, p=14))
+    est = with_presented(states, lambda sk: {"n_custkeys": int(sk.size())},
+                         "n_custkeys long")
+    return est.select("o_orderstatus", "n_custkeys")
+
+
+def q_hllseries_since(spark, sf):
+    """HLLSeries: distinct user_id over the trailing half of event time,
+    reconstructed from one time-indexed state, vs exact."""
+    import numpy as np
+    from .sketches.timeseries import HLLSeries
+    ev = _t(spark, sf, "events").withColumn(
+        "us", F.unix_micros(F.col("ts").cast("timestamp")))
+    lo, hi = ev.agg(F.min("us"), F.max("us")).collect()[0]
+    mid_us = (int(lo) + int(hi)) // 2
+    pdf = ev.select("user_id", "us").toPandas()
+    hs = HLLSeries(p=14)
+    hs.update_batch(pdf["user_id"].to_numpy(),
+                    pdf["us"].to_numpy().astype("float64"))
+    est = hs.since(float(mid_us)).estimate()
+    exact = ev.filter(F.col("us") >= mid_us).agg(
+        F.count_distinct("user_id")).collect()[0][0]
+    ok = abs(est - exact) / max(exact, 1) <= 3.5 * 1.04 / math.sqrt(2 ** 14)
+    return spark.createDataFrame(
+        [Row(exact_recent_users=int(exact), hllseries_ok=bool(ok))],
+        StructType([StructField("exact_recent_users", LongType(), False),
+                    StructField("hllseries_ok", BooleanType(), False)]))
+
+
+def q_decayed_value_sketch(spark, sf):
+    """DecayedValue mergeable state agrees with the SQL decay expression
+    to 1e-9 relative, per user (DecayedValue.scala:31-58 semantics)."""
+    from .sketches.timeseries import DecayedValue
+    ev = _t(spark, sf, "events")
+    pdf = ev.select("user_id", "value",
+                    F.col("ts").cast("timestamp").cast("double").alias("sec")
+                    ).toPandas()
+    half = 7 * 86400.0
+    ok_all = True
+    n_users = 0
+    import numpy as np
+    for uid, g in pdf.groupby("user_id"):
+        d = DecayedValue(half_life=half)
+        for part in np.array_split(g.index.to_numpy(), 3):
+            rows = g.loc[part]
+            if len(rows):
+                d.update_batch(np.column_stack([rows["value"], rows["sec"]]))
+        tmax = g["sec"].max()
+        exact = float((g["value"] * 2.0 ** ((g["sec"] - tmax) / half)).sum())
+        if not np.isclose(d.value_at(tmax), exact, rtol=1e-9):
+            ok_all = False
+        n_users += 1
+    return spark.createDataFrame(
+        [Row(n_users=int(n_users), decayed_ok=bool(ok_all))],
+        StructType([StructField("n_users", LongType(), False),
+                    StructField("decayed_ok", BooleanType(), False)]))
+
+
+def q_exphist_window_count(spark, sf):
+    """ExpHist trailing-window count within its epsilon bound vs exact."""
+    from .sketches.timeseries import ExpHist
+    ev = _t(spark, sf, "events")
+    pdf = ev.select(F.col("ts").cast("timestamp").cast("double").alias("sec")
+                    ).toPandas()
+    secs = pdf["sec"].to_numpy()
+    window = (secs.max() - secs.min()) / 4
+    eh = ExpHist(epsilon=0.05, window=window)
+    eh.update_batch(secs)
+    exact = int((secs > secs.max() - window).sum())
+    est = eh.guess()
+    ok = abs(est - exact) / max(exact, 1) <= 0.08
+    return spark.createDataFrame(
+        [Row(exact_window_count=int(exact), exphist_ok=bool(ok))],
+        StructType([StructField("exact_window_count", LongType(), False),
+                    StructField("exphist_ok", BooleanType(), False)]))
+
+
+def q_map_invert(spark, sf):
+    """MapAlgebra.invert: nationkey -> sorted supplier keys."""
+    from .operators.mapalgebra import invert
+    su = _t(spark, sf, "supplier")
+    out = invert(su.select(F.col("s_suppkey").alias("k"),
+                           F.col("s_nationkey").alias("v")), "k", "v")
+    # string-join the array: array cells hash differently across engines
+    return out.select(F.col("v").alias("s_nationkey"),
+                      F.array_join(F.col("keys"), ",").alias("suppkeys"))
+
+
+def q_to_graph(spark, sf):
+    """MapAlgebra.toGraph on (custkey -> distinct order priorities)."""
+    from .operators.mapalgebra import to_graph
+    od = _t(spark, sf, "orders")
+    out = to_graph(od, "o_custkey", "o_orderpriority")
+    return out.select("o_custkey", "degree")
+
+
+def q_sparse_dot(spark, sf):
+    """MapAlgebra.dot: <qty-vector, price-vector> keyed by partkey."""
+    from .operators.mapalgebra import sparse_dot
+    li = _t(spark, sf, "lineitem")
+    qty = li.groupBy("l_partkey").agg(F.sum("l_quantity").alias("q"))
+    price = _t(spark, sf, "part").select(
+        F.col("p_partkey").alias("l_partkey"), F.col("p_retailprice"))
+    out = sparse_dot(qty, price, "l_partkey", "q", "p_retailprice")
+    return out.select(F.round("dot", 2).alias("dot"))
+
+
+def q_gaussian_sum(spark, sf):
+    """Gaussian monoid: sum of per-group (mean, variance) pairs."""
+    from .operators.mapalgebra import gaussian_sum
+    li = _t(spark, sf, "lineitem")
+    per_part = li.groupBy("l_partkey").agg(
+        F.avg("l_quantity").alias("mu"),
+        F.var_pop("l_quantity").alias("var"))
+    out = gaussian_sum(per_part.fillna(0.0, ["var"]), "mu", "var")
+    return out.select(F.round("mean_sum", 2).alias("mean_sum"),
+                      F.round("variance_sum", 2).alias("variance_sum"), "n")

@@ -6,11 +6,17 @@ from .composite import MultiSketch
 from .hll import HLL, bits_for_error
 from .kll import KLL, kll_rank_error
 from .minhash import MinHash, pick_bands_rows
+from .moments import Moments, SetSize
+from .qtree import QTree
+from .spacesaver import SpaceSaver
 from .tdigest import TDigest
+from .timeseries import DecayedValue, ExpHist, HLLSeries
 
 __all__ = [
     "Approximate", "IncompatibleSketchError", "Sketch", "from_bytes", "merge_all",
     "BloomFilter", "optimal_num_hashes", "optimal_width",
     "CMS", "MultiSketch", "HLL", "bits_for_error", "KLL", "kll_rank_error",
     "MinHash", "pick_bands_rows", "TDigest",
+    "Moments", "SetSize", "QTree", "SpaceSaver",
+    "DecayedValue", "ExpHist", "HLLSeries",
 ]

@@ -70,15 +70,17 @@ class BloomFilter(Sketch):
         slots = (h1[:, None] + i * h2[:, None]) % np.uint64(self.m)
         return slots.astype(np.int64)
 
+    _CHUNK = 1 << 15  # keep the (chunk, k) slot matrix cache-resident
+
     def update_batch(self, values) -> None:
         values = np.asarray(values)
         if values.size == 0:
             return
-        slots = self._slots(values).ravel()
-        byte_idx = slots >> 3
-        masks = np.left_shift(np.uint8(1), (slots & 7).astype(np.uint8))
-        # group ORs per byte: sort then or-reduce runs (faster than or.at)
-        np.bitwise_or.at(self.bits, byte_idx, masks)
+        for lo in range(0, values.shape[0], self._CHUNK):
+            slots = self._slots(values[lo:lo + self._CHUNK]).ravel()
+            byte_idx = slots >> 3
+            masks = np.left_shift(np.uint8(1), (slots & 7).astype(np.uint8))
+            np.bitwise_or.at(self.bits, byte_idx, masks)
         self.n_inserted += int(values.size)
 
     def contains_batch(self, values) -> np.ndarray:

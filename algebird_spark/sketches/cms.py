@@ -79,27 +79,51 @@ class CMS(Sketch):
             self.table[i] += np.bincount(h, weights=counts, minlength=self.width).astype(np.int64)
 
     # ------------------------------------------------------------------
+    _CHUNK = 1 << 16  # chunk stays cache-resident across all depth rows
+
     def update_batch(self, values, counts=None) -> None:
         values = np.asarray(values)
         if values.size == 0:
             return
-        if counts is None:
-            keys, cnts = np.unique(values, return_counts=True)
-        else:
-            keys, cnts = values, np.asarray(counts)
-        keys = keys.astype(np.int64, copy=False)
-        cnts = cnts.astype(np.int64, copy=False)
-        self.total += int(cnts.sum())
-        if self.exact is not None:
-            ex = self.exact
-            for k, c in zip(keys.tolist(), cnts.tolist()):
-                ex[k] = ex.get(k, 0) + c
-            if len(ex) > self.max_exact:
-                self._to_dense()
-        else:
-            self._add_dense(keys, cnts)
-        if self.hh_pct is not None:
-            self._update_hh(keys)
+        if counts is not None:
+            keys = values.astype(np.int64, copy=False)
+            cnts = np.asarray(counts).astype(np.int64, copy=False)
+            self.total += int(cnts.sum())
+            if self.exact is not None:
+                self._update_exact(keys, cnts)
+            else:
+                self._add_dense(keys, cnts)
+            if self.hh_pct is not None:
+                self._update_hh(keys)
+            return
+        values = values.astype(np.int64, copy=False)
+        self.total += int(values.size)
+        for lo in range(0, values.shape[0], self._CHUNK):
+            chunk = values[lo:lo + self._CHUNK]
+            if self.exact is not None or self.hh_pct is not None:
+                keys, cnts = np.unique(chunk, return_counts=True)
+                if self.exact is not None:
+                    self._update_exact(keys, cnts.astype(np.int64))
+                else:
+                    self._add_dense_ones(chunk)
+                if self.hh_pct is not None:
+                    self._update_hh(keys)
+            else:
+                # dense fast path: no sort/unique — hash the raw chunk per
+                # depth row and bincount into the (cache-resident) row
+                self._add_dense_ones(chunk)
+
+    def _update_exact(self, keys: np.ndarray, cnts: np.ndarray) -> None:
+        ex = self.exact
+        for k, c in zip(keys.tolist(), cnts.tolist()):
+            ex[k] = ex.get(k, 0) + c
+        if len(ex) > self.max_exact:
+            self._to_dense()
+
+    def _add_dense_ones(self, chunk: np.ndarray) -> None:
+        for i in range(self.depth):
+            h = cms_hash(self._a[i], chunk, self.width)
+            self.table[i] += np.bincount(h, minlength=self.width)
 
     def _update_hh(self, keys: np.ndarray) -> None:
         thresh = self.hh_pct * self.total
@@ -200,18 +224,22 @@ class CMS(Sketch):
 
     # ------------------------------------------------------------------
     def _payload(self) -> bytes:
+        # canonical (sorted) order so serialization is independent of
+        # dict insertion order — byte-equality laws depend on it
         head = np.array([self.total], dtype=np.int64).tobytes()
         hh_keys = np.fromiter(self.hh.keys(), dtype=np.int64, count=len(self.hh))
         hh_vals = np.fromiter(self.hh.values(), dtype=np.int64, count=len(self.hh))
+        ho = np.argsort(hh_keys, kind="stable")
         hh_blob = (np.array([len(self.hh)], dtype=np.int64).tobytes()
-                   + hh_keys.tobytes() + hh_vals.tobytes())
+                   + hh_keys[ho].tobytes() + hh_vals[ho].tobytes())
         if self.exact is not None:
             n = len(self.exact)
             keys = np.fromiter(self.exact.keys(), dtype=np.int64, count=n)
             cnts = np.fromiter(self.exact.values(), dtype=np.int64, count=n)
+            ko = np.argsort(keys, kind="stable")
             return (b"\x01" + head + hh_blob
                     + np.array([n], dtype=np.int64).tobytes()
-                    + keys.tobytes() + cnts.tobytes())
+                    + keys[ko].tobytes() + cnts[ko].tobytes())
         return b"\x02" + head + hh_blob + self.table.tobytes()
 
 

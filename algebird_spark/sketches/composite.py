@@ -26,9 +26,18 @@ class MultiSketch(Sketch):
     def _params(self) -> dict:
         return {"names": sorted(self.components)}
 
+    _CHUNK = 1 << 16
+
     def update_batch(self, values) -> None:
-        for sk in self.components.values():
-            sk.update_batch(values)
+        import numpy as np
+        values = np.asarray(values)
+        # chunk HERE so the input streams from DRAM once per chunk and
+        # every component updates while the chunk is cache-resident —
+        # N components cost ~one input read, not N
+        for lo in range(0, values.shape[0], self._CHUNK):
+            chunk = values[lo:lo + self._CHUNK]
+            for sk in self.components.values():
+                sk.update_batch(chunk)
 
     def merge_in_place(self, other: "MultiSketch") -> "MultiSketch":
         self.merge_check(other)

@@ -106,22 +106,25 @@ class HLL(Sketch):
         np.not_equal(uidx[1:], uidx[:-1], out=last[:-1])
         return uidx[last], (key[last] & 127).astype(np.uint8)
 
+    _CHUNK = 1 << 16  # hash + rho + sort working set stays in cache
+
     def update_batch(self, values) -> None:
         values = np.asarray(values)
         if values.size == 0:
             return
-        idx, rho = self._idx_rho(values)
-        uidx, urho = self._grouped_max(idx, rho)
-        if self.sparse is not None:
-            sp = self.sparse
-            for i, r in zip(uidx.tolist(), urho.tolist()):
-                if r > sp.get(i, 0):
-                    sp[i] = r
-            self._maybe_promote()
-        else:
-            regs = self.registers
-            np.maximum(regs[uidx], urho, out=urho)
-            regs[uidx] = urho
+        for lo in range(0, values.shape[0], self._CHUNK):
+            idx, rho = self._idx_rho(values[lo:lo + self._CHUNK])
+            uidx, urho = self._grouped_max(idx, rho)
+            if self.sparse is not None:
+                sp = self.sparse
+                for i, r in zip(uidx.tolist(), urho.tolist()):
+                    if r > sp.get(i, 0):
+                        sp[i] = r
+                self._maybe_promote()
+            else:
+                regs = self.registers
+                np.maximum(regs[uidx], urho, out=urho)
+                regs[uidx] = urho
 
     # ------------------------------------------------------------------
     def merge_in_place(self, other: "HLL") -> "HLL":
@@ -232,10 +235,13 @@ class HLL(Sketch):
     # ------------------------------------------------------------------
     def _payload(self) -> bytes:
         if self.sparse is not None:
+            # canonical order: serialization must not depend on dict
+            # insertion order or merges break byte-equality laws
             n = len(self.sparse)
             idx = np.fromiter(self.sparse.keys(), dtype=np.int32, count=n)
             rho = np.fromiter(self.sparse.values(), dtype=np.uint8, count=n)
-            return b"\x03" + idx.tobytes() + rho.tobytes()  # tag 3 = sparse
+            order = np.argsort(idx, kind="stable")
+            return b"\x03" + idx[order].tobytes() + rho[order].tobytes()
         return b"\x02" + self.registers.tobytes()  # tag 2 = dense
 
 

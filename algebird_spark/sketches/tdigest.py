@@ -45,15 +45,19 @@ class TDigest(Sketch):
     def _k(self, q: np.ndarray | float) -> np.ndarray | float:
         return self.compression / (2 * math.pi) * np.arcsin(2 * np.clip(q, 0, 1) - 1)
 
+    _CHUNK = 1 << 16  # flush-sort stays cache-resident
+
     def update_batch(self, values) -> None:
         values = np.asarray(values, dtype=np.float64)
         values = values[~np.isnan(values)]
         if values.size == 0:
             return
-        self._buf.append(values)
-        self._buf_size += values.size
-        if self._buf_size >= self._buf_cap:
-            self._flush()
+        for lo in range(0, values.shape[0], self._CHUNK):
+            chunk = values[lo:lo + self._CHUNK]
+            self._buf.append(chunk)
+            self._buf_size += chunk.size
+            if self._buf_size >= self._buf_cap:
+                self._flush()
 
     def _flush(self) -> None:
         if not self._buf:

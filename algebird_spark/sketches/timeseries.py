@@ -1,0 +1,290 @@
+"""Time-indexed mergeable states: DecayedValue, ExpHist, HLLSeries.
+
+* ``DecayedValue`` — exponentially decayed sum: ``plus`` rescales the
+  older side by 2^((t_old - t_new)/half_life) (algebird-core
+  .../DecayedValue.scala:31-58, with half-life instead of ln2 factors).
+  For batch SQL the expression form in operators/exact.py is preferred;
+  this state exists for streaming/stateful use.
+* ``ExpHist`` — sliding-window counter with bounded relative error
+  (Datar–Gionis–Indyk–Motwani exponential histograms; algebird-core
+  .../ExpHist.scala:38-161): buckets of sizes 1,1,2,2,4,4,... with
+  timestamps; expiring the window drops old buckets; the oldest
+  surviving bucket contributes half on average -> relative error <=
+  1/(2k) with k = ceil(1/eps) buckets per size.
+* ``HLLSeries`` — HLL whose registers remember the max timestamp at
+  which each (index, rho) was set; ``since(t)`` reconstructs the HLL of
+  only the elements seen after t (algebird-core
+  .../HyperLogLogSeries.scala:35-165).
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+
+from ..functions.hashing import DEFAULT_SEED, murmur64_any, trailing_zeros64
+from .base import KIND_DECAYED, KIND_EXPHIST, Sketch, register
+from .hll import HLL
+
+KIND_HLLSERIES = 21
+
+
+class DecayedValue(Sketch):
+    KIND = KIND_DECAYED
+
+    def __init__(self, half_life: float = 86_400.0):
+        self.half_life = float(half_life)
+        self.value = 0.0
+        self.ts = -math.inf  # timestamp the value is normalized to
+
+    def _params(self) -> dict:
+        return {"half_life": self.half_life}
+
+    def add(self, value: float, ts: float) -> None:
+        if ts >= self.ts:
+            self.value = self.value * self._decay(self.ts, ts) + value
+            self.ts = ts
+        else:  # late data decays itself — commutative
+            self.value += value * self._decay(ts, self.ts)
+
+    def _decay(self, old: float, new: float) -> float:
+        if old == -math.inf:
+            return 0.0
+        return 2.0 ** ((old - new) / self.half_life)
+
+    def update_batch(self, values) -> None:
+        """values: (n, 2) array of [value, ts] pairs or structured rows."""
+        arr = np.asarray(values, dtype=np.float64)
+        if arr.size == 0:
+            return
+        if arr.ndim == 1:
+            arr = arr.reshape(-1, 2)
+        ts = arr[:, 1]
+        t_max = float(ts.max())
+        scaled = arr[:, 0] * np.exp2((ts - t_max) / self.half_life)
+        self.add(float(scaled.sum()), t_max)
+
+    def merge_in_place(self, other: "DecayedValue") -> "DecayedValue":
+        self.merge_check(other)
+        if other.ts != -math.inf:
+            self.add(other.value, other.ts)
+        return self
+
+    def value_at(self, ts: float) -> float:
+        return self.value * self._decay(self.ts, ts)
+
+    def present(self) -> float:
+        return self.value
+
+    def _payload(self) -> bytes:
+        return np.array([self.value, self.ts], dtype=np.float64).tobytes()
+
+
+@register(KIND_DECAYED)
+def _decode_decayed(params: dict, payload: bytes) -> DecayedValue:
+    out = DecayedValue(params["half_life"])
+    out.value, out.ts = np.frombuffer(payload, dtype=np.float64)
+    return out
+
+
+class ExpHist(Sketch):
+    """Sliding-window count, relative error <= epsilon.
+
+    Buckets: list of (size, newest_ts), sizes are powers of two, at most
+    ``k+1`` buckets per size with k = ceil(1/epsilon); two oldest
+    same-size buckets merge (canonical DGIM maintenance)."""
+
+    KIND = KIND_EXPHIST
+
+    def __init__(self, epsilon: float = 0.1, window: float = 3600.0):
+        self.epsilon = float(epsilon)
+        self.window = float(window)
+        self.k = max(1, math.ceil(1.0 / epsilon))
+        self.buckets: list[tuple[int, float]] = []  # (size, ts) newest first
+        self.now = -math.inf
+
+    def _params(self) -> dict:
+        return {"epsilon": self.epsilon, "window": self.window}
+
+    def add(self, ts: float, count: int = 1) -> None:
+        self.now = max(self.now, ts)
+        for _ in range(count):
+            self.buckets.insert(0, (1, ts))
+        self._canonicalize()
+        self._expire()
+
+    def update_batch(self, values) -> None:
+        """values: timestamps (counts of 1 each)."""
+        ts = np.asarray(values, dtype=np.float64)
+        if ts.size == 0:
+            return
+        ts = np.sort(ts)
+        for t in ts.tolist():  # per-event bucket insert (bounded state)
+            self.now = max(self.now, t)
+            self.buckets.insert(0, (1, t))
+            if len(self.buckets) % 64 == 0:
+                self._canonicalize()
+        self._canonicalize()
+        self._expire()
+
+    def _canonicalize(self) -> None:
+        # merge pairs of oldest same-size buckets while any size exceeds k+1
+        changed = True
+        while changed:
+            changed = False
+            counts: dict[int, int] = {}
+            for size, _ in self.buckets:
+                counts[size] = counts.get(size, 0) + 1
+            for size, n in sorted(counts.items()):
+                if n > self.k + 1:
+                    idx = [i for i, (s, _) in enumerate(self.buckets) if s == size]
+                    i2, i1 = idx[-1], idx[-2]  # two oldest
+                    merged = (size * 2, self.buckets[i1][1])
+                    del self.buckets[i2]
+                    del self.buckets[i1]
+                    self.buckets.insert(i1, merged)
+                    changed = True
+                    break
+
+    def _expire(self) -> None:
+        cutoff = self.now - self.window
+        self.buckets = [(s, t) for s, t in self.buckets if t >= cutoff]
+
+    def merge_in_place(self, other: "ExpHist") -> "ExpHist":
+        self.merge_check(other)
+        self.now = max(self.now, other.now)
+        self.buckets = sorted(self.buckets + other.buckets,
+                              key=lambda st: -st[1])
+        self._canonicalize()
+        self._expire()
+        return self
+
+    def guess(self) -> float:
+        """Approximate count within the window: all but half the oldest
+        bucket (ExpHist.scala guess/approximateSum analog)."""
+        if not self.buckets:
+            return 0.0
+        total = sum(s for s, _ in self.buckets)
+        oldest = self.buckets[-1][0]
+        return total - oldest / 2.0
+
+    def present(self) -> float:
+        return self.guess()
+
+    def _payload(self) -> bytes:
+        n = len(self.buckets)
+        sizes = np.array([s for s, _ in self.buckets], dtype=np.int64)
+        tss = np.array([t for _, t in self.buckets], dtype=np.float64)
+        return (np.array([n], dtype=np.int64).tobytes()
+                + np.array([self.now], dtype=np.float64).tobytes()
+                + sizes.tobytes() + tss.tobytes())
+
+
+@register(KIND_EXPHIST)
+def _decode_exphist(params: dict, payload: bytes) -> ExpHist:
+    out = ExpHist(params["epsilon"], params["window"])
+    n = int(np.frombuffer(payload[:8], dtype=np.int64)[0])
+    out.now = float(np.frombuffer(payload[8:16], dtype=np.float64)[0])
+    sizes = np.frombuffer(payload[16 : 16 + 8 * n], dtype=np.int64)
+    tss = np.frombuffer(payload[16 + 8 * n :], dtype=np.float64)
+    out.buckets = [(int(s), float(t)) for s, t in zip(sizes, tss)]
+    return out
+
+
+class HLLSeries(Sketch):
+    """HLL with per-register max-timestamp: ``since(t)`` gives the HLL of
+    elements seen at/after t. State: {(idx) : [(rho, max_ts)]} kept as,
+    per register index, the pareto frontier of (rho, ts) — higher rho
+    with older ts coexists with lower rho + newer ts."""
+
+    KIND = KIND_HLLSERIES
+
+    def __init__(self, p: int = 12, seed: int = DEFAULT_SEED):
+        self.p = p
+        self.seed = seed
+        self.m = 1 << p
+        self.rows: dict[int, dict[int, float]] = {}  # idx -> {rho: max_ts}
+
+    def _params(self) -> dict:
+        return {"p": self.p, "seed": self.seed}
+
+    def update_batch(self, values, timestamps=None) -> None:
+        values = np.asarray(values)
+        if values.size == 0:
+            return
+        if timestamps is None:
+            timestamps = np.zeros(values.shape[0])
+        ts = np.asarray(timestamps, dtype=np.float64)
+        h = murmur64_any(values, self.seed)
+        idx = (h & np.uint64(self.m - 1)).astype(np.int64)
+        w = h >> np.uint64(self.p)
+        rho = np.minimum(trailing_zeros64(w).astype(np.int64) + 1, 64 - self.p + 1)
+        for i, r, t in zip(idx.tolist(), rho.tolist(), ts.tolist()):
+            reg = self.rows.setdefault(i, {})
+            if t > reg.get(r, -math.inf):
+                reg[r] = t
+        self._prune()
+
+    def _prune(self) -> None:
+        # keep only pareto-optimal (rho, ts): drop rho whose ts <= the ts
+        # of any higher rho (it can never matter for any since(t))
+        for i, reg in self.rows.items():
+            best = -math.inf
+            keep = {}
+            for r in sorted(reg, reverse=True):
+                if reg[r] > best:
+                    keep[r] = reg[r]
+                    best = reg[r]
+            self.rows[i] = keep
+
+    def merge_in_place(self, other: "HLLSeries") -> "HLLSeries":
+        self.merge_check(other)
+        for i, reg in other.rows.items():
+            mine = self.rows.setdefault(i, {})
+            for r, t in reg.items():
+                if t > mine.get(r, -math.inf):
+                    mine[r] = t
+        self._prune()
+        return self
+
+    def since(self, t: float) -> HLL:
+        out = HLL(self.p, self.seed)
+        sp = {}
+        for i, reg in self.rows.items():
+            best = max((r for r, ts in reg.items() if ts >= t), default=0)
+            if best:
+                sp[i] = best
+        out.sparse = sp
+        out._maybe_promote()
+        return out
+
+    def present(self) -> float:
+        return self.since(-math.inf).estimate()
+
+    def _payload(self) -> bytes:
+        idxs, rhos, tss = [], [], []
+        for i, reg in self.rows.items():
+            for r, t in reg.items():
+                idxs.append(i)
+                rhos.append(r)
+                tss.append(t)
+        return (np.array([len(idxs)], dtype=np.int64).tobytes()
+                + np.array(idxs, dtype=np.int32).tobytes()
+                + np.array(rhos, dtype=np.uint8).tobytes()
+                + np.array(tss, dtype=np.float64).tobytes())
+
+
+@register(KIND_HLLSERIES)
+def _decode_hllseries(params: dict, payload: bytes) -> HLLSeries:
+    out = HLLSeries(params["p"], params["seed"])
+    n = int(np.frombuffer(payload[:8], dtype=np.int64)[0])
+    off = 8
+    idxs = np.frombuffer(payload[off : off + 4 * n], dtype=np.int32)
+    off += 4 * n
+    rhos = np.frombuffer(payload[off : off + n], dtype=np.uint8)
+    off += n
+    tss = np.frombuffer(payload[off :], dtype=np.float64)
+    for i, r, t in zip(idxs.tolist(), rhos.tolist(), tss.tolist()):
+        out.rows.setdefault(i, {})[r] = t
+    return out

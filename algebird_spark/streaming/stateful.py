@@ -1,0 +1,121 @@
+"""Structured Streaming sketch operators (SURVEY.md §2.8, §3.4).
+
+The reference's streaming pattern is Summingbird-style: per-event
+``prepare`` -> buffered ``StatefulSummer`` -> periodic flush
+(algebird-core .../SummingQueue.scala:17-79). Spark-native equivalents:
+
+* ``sketch_stream_by_key`` — ``applyInPandasWithState``: group state is
+  the serialized sketch; each micro-batch folds its Arrow rows in and
+  emits the refreshed estimate. Commutative merges mean late/reordered
+  events are folded losslessly — the property the reference gets from
+  monoid commutativity (no watermark needed for correctness, only for
+  state bounding).
+* ``windowed_sketch_stream`` — event-time tumbling windows: group by
+  (window(ts), keys) and keep one sketch state per window; the
+  watermark expires state like ExpHist ``step`` eviction
+  (algebird-core .../ExpHist.scala:38-161 analog).
+* ``sliding_counts`` — ExpHist's query surface (approximate count over
+  a trailing window) via built-in windowed count, exact in Spark.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Iterable, Sequence
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (BinaryType, DoubleType, LongType, StringType,
+                               StructField, StructType)
+
+from ..sketches import Sketch, from_bytes
+
+SketchFactory = Callable[[], Sketch]
+
+
+def _estimate_of(sk: Sketch) -> float:
+    p = sk.present()
+    if isinstance(p, (int, float)):
+        return float(p)
+    if isinstance(p, dict):
+        for key in ("total", "n"):
+            if key in p:
+                return float(p[key])
+    return float("nan")
+
+
+def sketch_stream_by_key(sdf: DataFrame, keys: Sequence[str], value_col: str,
+                         factory: SketchFactory) -> DataFrame:
+    """Streaming per-key sketch with persistent state.
+
+    Output rows per micro-batch: keys..., estimate double, n_values long.
+    State: one serialized sketch per key (bounded size by construction).
+    """
+    keys = list(keys)
+    out_schema = StructType(
+        [sdf.schema[k] for k in keys]
+        + [StructField("estimate", DoubleType(), True),
+           StructField("n_values", LongType(), False)])
+    state_schema = StructType([
+        StructField("blob", BinaryType(), True),
+        StructField("n", LongType(), True)])
+
+    def update(key, pdfs: Iterable[pd.DataFrame], state: GroupState):
+        if state.exists:
+            blob, n = state.get
+            sk = from_bytes(bytes(blob))
+        else:
+            sk, n = factory(), 0
+        for pdf in pdfs:
+            col = pdf[value_col]
+            if len(col) == 0:
+                continue
+            if col.dtype == object and isinstance(col.iloc[0], (list, np.ndarray)):
+                vals = np.concatenate([np.asarray(v) for v in col])
+            else:
+                vals = col.to_numpy()
+            sk.update_batch(vals)
+            n += len(vals)
+        state.update((sk.to_bytes(), n))
+        row = {k: v for k, v in zip(keys, key)}
+        row["estimate"] = _estimate_of(sk)
+        row["n_values"] = n
+        yield pd.DataFrame([row])
+
+    return sdf.groupBy(*keys).applyInPandasWithState(
+        update, out_schema, state_schema, "update",
+        GroupStateTimeout.NoTimeout)
+
+
+def windowed_sketch_stream(sdf: DataFrame, ts_col: str, window: str,
+                           keys: Sequence[str], value_col: str,
+                           factory: SketchFactory,
+                           watermark: str = "10 minutes") -> DataFrame:
+    """Event-time tumbling-window sketch: one state per (window, keys);
+    watermark bounds state like ExpHist bucket expiry."""
+    keys = list(keys)
+    sdf = sdf.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    with_window = (sdf.withWatermark(ts_col, watermark)
+                      .withColumn("__ws", F.window(ts_col, window).start
+                                  .cast("string")))
+    return sketch_stream_by_key(with_window, ["__ws"] + keys, value_col,
+                                factory).withColumnRenamed("__ws", "window_start")
+
+
+def sliding_counts(sdf: DataFrame, ts_col: str, window: str, slide: str,
+                   keys: Sequence[str], watermark: str = "10 minutes") -> DataFrame:
+    """ExpHist query surface: count + sum over sliding event-time windows
+    (exact — Spark keeps per-window state; ExpHist's epsilon-approximate
+    buckets are only needed when a single bounded state must answer any
+    trailing window)."""
+    keys = list(keys)
+    # event time must be TIMESTAMP; parquet NTZ columns need a cast
+    # (session tz should be pinned UTC)
+    sdf = sdf.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    return (sdf.withWatermark(ts_col, watermark)
+               .groupBy(F.window(ts_col, window, slide), *keys)
+               .agg(F.count("*").alias("n"))
+               .select(F.col("window.start").alias("window_start"),
+                       F.col("window.end").alias("window_end"), *keys, "n"))

@@ -47,9 +47,10 @@ def main():
              .appName("algebird_spark_bench")
              .config("spark.sql.shuffle.partitions", str(cpus))
              .config("spark.sql.adaptive.enabled", "true")
+             .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
              .config("spark.sql.session.timeZone", "UTC")
              .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-             .config("spark.driver.memory", "48g")
+             .config("spark.driver.memory", "16g")
              .config("spark.ui.enabled", "false")
              .getOrCreate())
     spark.sparkContext.setLogLevel("ERROR")

@@ -1,0 +1,157 @@
+"""QTree hard bounds (QTreeTest.scala:55-122 design), SpaceSaver top-k,
+Moments stability vs numpy, SetSize exact->HLL transition, MultiSketch."""
+
+import numpy as np
+import pytest
+
+from algebird_spark.sketches import (CMS, HLL, KLL, Moments, MultiSketch,
+                                     QTree, SetSize, SpaceSaver, from_bytes)
+
+
+# ---------------------------------------------------------------- QTree
+def test_qtree_median_of_1_to_k():
+    # deterministic: median of 1..k within bounds (QTreeTest.scala:55-68)
+    for k in (9, 99, 1000):
+        q = QTree(k=8, base_level=0)
+        q.update_batch(np.arange(1, k + 1, dtype=np.float64))
+        lo, hi = q.quantile_bounds(0.5)
+        assert lo <= (k + 1) / 2 <= hi + 1
+
+
+@pytest.mark.parametrize("dist", ["uniform", "lognormal"])
+def test_qtree_bounds_contain_truth(dist):
+    rng = np.random.default_rng(3)
+    data = (rng.uniform(0, 1000, 50_000) if dist == "uniform"
+            else rng.lognormal(3, 1, 50_000))
+    q = QTree(k=10, base_level=-4)
+    for chunk in np.array_split(data, 7):
+        q.update_batch(chunk)
+    s = np.sort(data)
+    for p in (0.05, 0.25, 0.5, 0.75, 0.95):
+        lo, hi = q.quantile_bounds(p)
+        truth = s[min(int(p * len(s)), len(s) - 1)]
+        assert lo <= truth <= hi, (dist, p, lo, truth, hi)
+        assert (hi - lo) <= max(0.2 * abs(truth), 1.0)  # bounds stay tight
+
+
+def test_qtree_size_bound():
+    q = QTree(k=6, base_level=-8)
+    q.update_batch(np.random.default_rng(4).uniform(0, 1, 100_000))
+    assert q._node_count() <= 2 ** (6 + 2) + 64
+
+
+def test_qtree_merge_and_serialization():
+    rng = np.random.default_rng(5)
+    data = rng.uniform(0, 100, 40_000)
+    merged = QTree(k=10, base_level=-4)
+    for part in np.array_split(data, 8):
+        t = QTree(k=10, base_level=-4)
+        t.update_batch(part)
+        merged.merge_in_place(from_bytes(t.to_bytes()))
+    assert merged.total == len(data)
+    s = np.sort(data)
+    lo, hi = merged.quantile_bounds(0.5)
+    assert lo <= s[len(s) // 2] <= hi
+    rt = from_bytes(merged.to_bytes())
+    assert rt.quantile_bounds(0.5) == merged.quantile_bounds(0.5)
+
+
+def test_qtree_range_count():
+    q = QTree(k=12, base_level=0)
+    q.update_batch(np.arange(1000, dtype=np.float64))
+    lo, hi = q.range_count_bounds(100, 200)
+    assert lo <= 100 <= hi
+
+
+# ----------------------------------------------------------- SpaceSaver
+def test_spacesaver_heavy_hitters():
+    rng = np.random.default_rng(6)
+    hot = np.repeat(np.arange(10, dtype=np.int64), 5_000)
+    tail = rng.integers(100, 1_000_000, size=20_000, dtype=np.int64)
+    vals = np.concatenate([hot, tail])
+    rng.shuffle(vals)
+    ss = SpaceSaver(capacity=100)
+    for chunk in np.array_split(vals, 7):
+        ss.update_batch(chunk)
+    top = ss.top_k(10)
+    assert {t[0] for t in top} == set(range(10))
+    for item, count, err, _g in top:
+        assert count >= 5_000  # never underestimates
+        assert count - err <= 5_000 + 5  # lower bound below truth
+
+
+def test_spacesaver_merge_and_serialization():
+    a, b = SpaceSaver(50), SpaceSaver(50)
+    a.update_batch(np.repeat(np.arange(5, dtype=np.int64), 100))
+    b.update_batch(np.repeat(np.arange(3, 8, dtype=np.int64), 100))
+    a.merge_in_place(from_bytes(b.to_bytes()))
+    top = a.top_k(3)
+    assert {t[0] for t in top} <= {3, 4, 2, 1, 0, 5, 6, 7}
+    assert top[0][1] >= 200  # overlapping items summed
+
+
+# -------------------------------------------------------------- Moments
+def test_moments_matches_numpy():
+    rng = np.random.default_rng(7)
+    data = rng.lognormal(2, 1, 100_000)
+    m = Moments()
+    merged = Moments()
+    for part in np.array_split(data, 16):
+        m.update_batch(part)
+        t = Moments()
+        t.update_batch(part)
+        merged.merge_in_place(t)
+    for mm in (m, merged):
+        assert mm.n == len(data)
+        assert np.isclose(mm.mean, data.mean())
+        assert np.isclose(mm.variance, data.var())
+        d = data - data.mean()
+        skew = (d**3).mean() / data.var() ** 1.5
+        kurt = (d**4).mean() / data.var() ** 2 - 3
+        assert np.isclose(mm.skewness, skew)
+        assert np.isclose(mm.kurtosis, kurt)
+    rt = from_bytes(m.to_bytes())
+    assert rt.present() == m.present()
+
+
+# -------------------------------------------------------------- SetSize
+def test_setsize_exact_then_hll():
+    s = SetSize(max_set_size=1000, p=12)
+    s.update_batch(np.arange(500, dtype=np.int64))
+    assert s.is_exact and s.size() == 500
+    s.update_batch(np.arange(400, 600, dtype=np.int64))
+    assert s.is_exact and s.size() == 600
+    s.update_batch(np.arange(5_000, dtype=np.int64))
+    assert not s.is_exact
+    assert abs(s.size() - 5_000) / 5_000 < 0.1
+    # merge exact into promoted
+    other = SetSize(max_set_size=1000, p=12)
+    other.update_batch(np.arange(4_000, 6_000, dtype=np.int64))
+    s.merge_in_place(from_bytes(other.to_bytes()))
+    assert abs(s.size() - 6_000) / 6_000 < 0.1
+
+
+def test_setsize_exact_merge_stays_exact():
+    a, b = SetSize(1000, 12), SetSize(1000, 12)
+    a.update_batch(np.arange(300, dtype=np.int64))
+    b.update_batch(np.arange(200, 500, dtype=np.int64))
+    a.merge_in_place(b)
+    assert a.is_exact and a.size() == 500
+    rt = from_bytes(a.to_bytes())
+    assert rt.size() == 500
+
+
+# ----------------------------------------------------------- MultiSketch
+def test_multisketch_roundtrip_and_merge():
+    def mk():
+        return MultiSketch({"hll": HLL(12), "cms": CMS(0.01, 1e-3),
+                            "kll": KLL(128), "qtree": QTree(8, 0)})
+    a, b = mk(), mk()
+    a.update_batch(np.arange(5_000, dtype=np.int64))
+    b.update_batch(np.arange(2_500, 7_500, dtype=np.int64))
+    a.merge_in_place(from_bytes(b.to_bytes()))
+    assert abs(a["hll"].estimate() - 7_500) / 7_500 < 0.06
+    assert a["cms"].total == 10_000
+    assert a["qtree"].total == 10_000
+    lo, hi = a["kll"].quantile_bounds(0.5)
+    assert lo <= 3_750 <= hi

@@ -1,0 +1,63 @@
+"""Structured Streaming sketch tests: drive a parquet-backed stream to
+completion with the memory sink (per the public streaming test pattern)
+and check stateful sketch estimates against batch answers."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from algebird_spark.sketches import HLL
+from algebird_spark.streaming.stateful import (sketch_stream_by_key,
+                                               sliding_counts)
+
+
+@pytest.fixture()
+def events_stream(spark, tmp_path):
+    # the streaming file source needs a directory
+    import shutil
+    d = tmp_path / "events_dir"
+    d.mkdir()
+    shutil.copy("/root/testdata/sf0.001/events.parquet", d / "part-0.parquet")
+    batch = spark.read.parquet(str(d))
+    sdf = spark.readStream.schema(batch.schema).parquet(str(d))
+    return batch, sdf
+
+
+def test_stateful_hll_stream_matches_batch(spark, events_stream):
+    batch, sdf = events_stream
+    out = sketch_stream_by_key(sdf, ["event_type"], "user_id",
+                               lambda: HLL(p=12))
+    q = (out.writeStream.outputMode("update").format("memory")
+         .queryName("hll_stream").start())
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {r["event_type"]: r["estimate"]
+           for r in spark.sql("SELECT * FROM hll_stream").collect()}
+    exact = {r[0]: r[1] for r in batch.groupBy("event_type")
+             .agg(F.count_distinct("user_id")).collect()}
+    assert set(got) == set(exact)
+    for k, est in got.items():
+        assert abs(est - exact[k]) / exact[k] <= 3.5 * 1.04 / np.sqrt(2**12)
+
+
+def test_sliding_counts_stream(spark, events_stream):
+    batch, sdf = events_stream
+    out = sliding_counts(sdf, "ts", "10 minutes", "5 minutes", ["event_type"],
+                         watermark="0 seconds")
+    q = (out.writeStream.outputMode("append").format("memory")
+         .queryName("slide_stream").start())
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    rows = spark.sql("SELECT * FROM slide_stream").collect()
+    # windows that already closed under the watermark were emitted;
+    # verify one against a batch recount
+    assert rows, "no closed windows emitted"
+    r = rows[len(rows) // 2]
+    exact = batch.filter(
+        (F.col("ts") >= r["window_start"]) & (F.col("ts") < r["window_end"])
+        & (F.col("event_type") == r["event_type"])).count()
+    assert r["n"] == exact
