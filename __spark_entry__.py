@@ -69,6 +69,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "to_graph": Q.q_to_graph,
         "sparse_dot": Q.q_sparse_dot,
         "gaussian_sum": Q.q_gaussian_sum,
+        "reservoir_sample": Q.q_reservoir_sample,
+        "scoped_topn": Q.q_scoped_topn,
         # --- training-data pipeline ops ----------------------------------
         "dedup_exact": Q.q_dedup_exact,
         "text_stats": Q.q_text_stats,
@@ -333,6 +335,19 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(SUM(var), 2) AS variance_sum,
                    COUNT(*) AS n
             FROM per_part
+        """,
+        "reservoir_sample": """
+            SELECT l_returnflag,
+                   LEAST(5, COUNT(*)) AS n_sampled
+            FROM lineitem GROUP BY l_returnflag
+        """,
+        "scoped_topn": """
+            SELECT l_returnflag, rank, l_suppkey, cnt FROM (
+              SELECT l_returnflag, l_suppkey, COUNT(*) AS cnt,
+                     ROW_NUMBER() OVER (PARTITION BY l_returnflag
+                                        ORDER BY COUNT(*) DESC, l_suppkey) AS rank
+              FROM lineitem GROUP BY l_returnflag, l_suppkey)
+            WHERE rank <= 2
         """,
         # --- training-data ops --------------------------------------------
         "dedup_exact": """

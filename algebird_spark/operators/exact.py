@@ -140,3 +140,15 @@ def decayed_sum(df: DataFrame, keys: Sequence[str], ts: str, value: str,
         F.lit(2.0), (sec - tmax) / F.lit(half_life_seconds))
     return (df.withColumn("__d", decayed)
               .groupBy(*keys).agg(F.sum("__d").alias(alias)))
+
+
+def reservoir_sample(df: DataFrame, key: str, count: int, seed: int = 42,
+                     keys: Sequence[str] = ()) -> DataFrame:
+    """Seeded reservoir sample of ``count`` rows (per group if ``keys``):
+    algebird's reservoirSample aggregator (core/Aggregator.scala:279-295)
+    as a deterministic window — rank rows by a seeded hash of the key,
+    keep the lowest ``count``. Equivalent to a uniform sample without
+    replacement; one shuffle, no driver state."""
+    w = Window.partitionBy(*keys).orderBy(F.xxhash64(F.col(key), F.lit(seed)))
+    return (df.withColumn("__rs", F.row_number().over(w))
+              .filter(F.col("__rs") <= count).drop("__rs"))

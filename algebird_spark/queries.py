@@ -615,3 +615,45 @@ def q_gaussian_sum(spark, sf):
     out = gaussian_sum(per_part.fillna(0.0, ["var"]), "mu", "var")
     return out.select(F.round("mean_sum", 2).alias("mean_sum"),
                       F.round("variance_sum", 2).alias("variance_sum"), "n")
+
+
+def q_reservoir_sample(spark, sf):
+    """Seeded reservoir sample of 5 rows per l_returnflag: the sample
+    itself is engine-specific (xxhash64 ranking), but its size contract
+    is exact: min(5, group size)."""
+    li = _t(spark, sf, "lineitem")
+    keyed = li.withColumn(
+        "__rk", F.concat_ws("#", F.col("l_orderkey"), F.col("l_linenumber"),
+                            F.col("l_suppkey")))
+    sampled = exact.reservoir_sample(keyed, "__rk", 5, seed=42,
+                                     keys=["l_returnflag"])
+    return sampled.groupBy("l_returnflag").agg(
+        F.count("*").alias("n_sampled"))
+
+
+def q_scoped_topn(spark, sf):
+    """ScopedTopN: top-2 l_suppkey per l_returnflag scope; capacity >
+    scope cardinality -> exact counts (ScopedTopNLogic semantics)."""
+    from .sketches.spacesaver import ScopedTopN
+    li = _t(spark, sf, "lineitem")
+    pdf = li.select("l_returnflag", "l_suppkey").toPandas()
+    flags = sorted(pdf["l_returnflag"].unique())
+    scope_of = {f: i for i, f in enumerate(flags)}
+    import numpy as np
+    merged = ScopedTopN(n=2, capacity=4096)
+    idx = np.arange(len(pdf))
+    for part in np.array_split(idx, 4):
+        s = ScopedTopN(n=2, capacity=4096)
+        s.update_batch(pdf["l_suppkey"].to_numpy()[part],
+                       pdf["l_returnflag"].map(scope_of).to_numpy()[part])
+        merged.merge_in_place(from_bytes(s.to_bytes()))
+    rows = []
+    for f in flags:
+        for rank, (item, count, _e, _g) in enumerate(merged.top_n(scope_of[f]), 1):
+            rows.append(Row(l_returnflag=f, rank=rank, l_suppkey=int(item),
+                            cnt=int(count)))
+    return spark.createDataFrame(rows, StructType([
+        StructField("l_returnflag", StringType(), False),
+        StructField("rank", LongType(), False),
+        StructField("l_suppkey", LongType(), False),
+        StructField("cnt", LongType(), False)]))

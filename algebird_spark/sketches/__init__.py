@@ -8,6 +8,7 @@ from .kll import KLL, kll_rank_error
 from .minhash import MinHash, pick_bands_rows
 from .moments import Moments, SetSize
 from .qtree import QTree
+from .sketchmap import DecayingCMS, SketchMap
 from .spacesaver import SpaceSaver
 from .tdigest import TDigest
 from .timeseries import DecayedValue, ExpHist, HLLSeries
@@ -18,5 +19,5 @@ __all__ = [
     "CMS", "MultiSketch", "HLL", "bits_for_error", "KLL", "kll_rank_error",
     "MinHash", "pick_bands_rows", "TDigest",
     "Moments", "SetSize", "QTree", "SpaceSaver",
-    "DecayedValue", "ExpHist", "HLLSeries",
+    "DecayedValue", "ExpHist", "HLLSeries", "SketchMap", "DecayingCMS",
 ]

@@ -1,0 +1,211 @@
+"""SketchMap and DecayingCMS — the CMS generalizations
+(algebird-core .../SketchMap.scala:40-240, DecayingCMS.scala:26-651).
+
+* ``SketchMap`` — approximate Map[K, V] for any *summable* V: the CMS
+  table cells hold V-sums (float64 here) instead of counts; point query
+  = min-by-|.| over rows like algebird's ordered-minimum; tracks the
+  top ``heavy_hitters_count`` keys by estimated value. Backed by a
+  dense (depth, width) float64 matrix — AdaptiveMatrix's dense mode;
+  the sparse mode is the exact dict below ``max_exact`` like CMS.
+* ``DecayingCMS`` — CMS whose cells are exponentially decayed doubles
+  with ``half_life``; every cell is normalized to the sketch's newest
+  timestamp; merge rescales the older side by
+  2^((t_old - t_new)/half_life). Commutative: late data decays itself.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+
+from ..functions.hashing import cms_hash, cms_hash_params
+from .base import Sketch, register
+
+KIND_SKETCHMAP = 22
+KIND_DECAYINGCMS = 23
+
+
+class SketchMap(Sketch):
+    KIND = KIND_SKETCHMAP
+
+    def __init__(self, eps: float = 0.001, delta: float = 1e-6,
+                 seed: int = 1, heavy_hitters_count: int = 10):
+        self.eps = eps
+        self.delta = delta
+        self.seed = seed
+        self.hh_count = heavy_hitters_count
+        self.depth = int(math.ceil(math.log(1.0 / delta)))
+        self.width = int(math.ceil(math.e / eps))
+        self._a = cms_hash_params(self.depth, seed)
+        self.table = np.zeros((self.depth, self.width), dtype=np.float64)
+        self.total = 0.0
+        self.hh: dict[int, float] = {}
+
+    def _params(self) -> dict:
+        return {"eps": self.eps, "delta": self.delta, "seed": self.seed,
+                "hh_count": self.hh_count}
+
+    def update_batch(self, values, weights=None) -> None:
+        """values: int64 keys; weights: V values to sum (default 1.0)."""
+        keys = np.asarray(values).astype(np.int64, copy=False)
+        if keys.size == 0:
+            return
+        w = (np.ones(len(keys)) if weights is None
+             else np.asarray(weights, dtype=np.float64))
+        self.total += float(w.sum())
+        for i in range(self.depth):
+            h = cms_hash(self._a[i], keys, self.width)
+            self.table[i] += np.bincount(h, weights=w, minlength=self.width)
+        uniq = np.unique(keys)
+        est = self.values(uniq)
+        for k, v in zip(uniq.tolist(), est.tolist()):
+            self.hh[k] = v
+        self._purge()
+
+    def _purge(self) -> None:
+        if len(self.hh) > self.hh_count:
+            top = sorted(self.hh.items(), key=lambda kv: (-abs(kv[1]), kv[0]))
+            self.hh = dict(top[: self.hh_count])
+
+    def values(self, keys) -> np.ndarray:
+        """Estimated V per key: the row value with minimum magnitude
+        (generalizes CMS min to signed sums)."""
+        keys = np.asarray(keys, dtype=np.int64)
+        est = None
+        for i in range(self.depth):
+            h = cms_hash(self._a[i], keys, self.width)
+            row = self.table[i][h]
+            if est is None:
+                est = row.copy()
+            else:
+                pick = np.abs(row) < np.abs(est)
+                est[pick] = row[pick]
+        return est
+
+    def merge_in_place(self, other: "SketchMap") -> "SketchMap":
+        self.merge_check(other)
+        self.table += other.table
+        self.total += other.total
+        cand = np.array(sorted(set(self.hh) | set(other.hh)), dtype=np.int64)
+        if len(cand):
+            est = self.values(cand)
+            self.hh = dict(zip(cand.tolist(), est.tolist()))
+            self._purge()
+        return self
+
+    def heavy_hitters(self) -> list[tuple[int, float]]:
+        return sorted(self.hh.items(), key=lambda kv: (-abs(kv[1]), kv[0]))
+
+    def present(self) -> dict:
+        return {"total": self.total, "heavy_hitters": self.heavy_hitters()}
+
+    def _payload(self) -> bytes:
+        n = len(self.hh)
+        keys = np.fromiter(self.hh.keys(), dtype=np.int64, count=n)
+        vals = np.fromiter(self.hh.values(), dtype=np.float64, count=n)
+        o = np.argsort(keys, kind="stable")
+        return (np.array([self.total], dtype=np.float64).tobytes()
+                + np.array([n], dtype=np.int64).tobytes()
+                + keys[o].tobytes() + vals[o].tobytes()
+                + self.table.tobytes())
+
+
+@register(KIND_SKETCHMAP)
+def _decode_sketchmap(params: dict, payload: bytes) -> SketchMap:
+    out = SketchMap(params["eps"], params["delta"], params["seed"],
+                    params["hh_count"])
+    out.total = float(np.frombuffer(payload[:8], dtype=np.float64)[0])
+    n = int(np.frombuffer(payload[8:16], dtype=np.int64)[0])
+    keys = np.frombuffer(payload[16 : 16 + 8 * n], dtype=np.int64)
+    vals = np.frombuffer(payload[16 + 8 * n : 16 + 16 * n], dtype=np.float64)
+    out.hh = dict(zip(keys.tolist(), vals.tolist()))
+    out.table = np.frombuffer(payload[16 + 16 * n :], dtype=np.float64) \
+        .reshape(out.depth, out.width).copy()
+    return out
+
+
+class DecayingCMS(Sketch):
+    KIND = KIND_DECAYINGCMS
+
+    def __init__(self, eps: float = 0.005, delta: float = 1e-4,
+                 half_life: float = 86_400.0, seed: int = 1):
+        self.eps = eps
+        self.delta = delta
+        self.half_life = float(half_life)
+        self.seed = seed
+        self.depth = int(math.ceil(math.log(1.0 / delta)))
+        self.width = int(math.ceil(math.e / eps))
+        self._a = cms_hash_params(self.depth, seed)
+        self.table = np.zeros((self.depth, self.width), dtype=np.float64)
+        self.ts = -math.inf  # timestamp the table is normalized to
+
+    def _params(self) -> dict:
+        return {"eps": self.eps, "delta": self.delta,
+                "half_life": self.half_life, "seed": self.seed}
+
+    def _rescale_to(self, new_ts: float) -> None:
+        if self.ts == -math.inf:
+            self.ts = new_ts
+            return
+        if new_ts > self.ts:
+            self.table *= 2.0 ** ((self.ts - new_ts) / self.half_life)
+            self.ts = new_ts
+
+    def update_batch(self, values, timestamps=None, weights=None) -> None:
+        keys = np.asarray(values).astype(np.int64, copy=False)
+        if keys.size == 0:
+            return
+        ts = (np.zeros(len(keys)) if timestamps is None
+              else np.asarray(timestamps, dtype=np.float64))
+        w = (np.ones(len(keys)) if weights is None
+             else np.asarray(weights, dtype=np.float64))
+        t_max = float(ts.max())
+        self._rescale_to(t_max)
+        # decay each observation to the table timestamp (late data ok)
+        scaled = w * np.exp2((ts - self.ts) / self.half_life)
+        for i in range(self.depth):
+            h = cms_hash(self._a[i], keys, self.width)
+            self.table[i] += np.bincount(h, weights=scaled,
+                                         minlength=self.width)
+
+    def merge_in_place(self, other: "DecayingCMS") -> "DecayingCMS":
+        self.merge_check(other)
+        if other.ts == -math.inf:
+            return self
+        if self.ts == -math.inf:
+            self.table = other.table.copy()
+            self.ts = other.ts
+            return self
+        t = max(self.ts, other.ts)
+        self._rescale_to(t)
+        scale = 2.0 ** ((other.ts - t) / self.half_life)
+        self.table += other.table * scale
+        return self
+
+    def decayed_frequency(self, key: int, at_ts: float | None = None) -> float:
+        """Decayed count estimate, normalized to ``at_ts`` (default: the
+        sketch's newest timestamp)."""
+        h = np.array([key], dtype=np.int64)
+        est = min(float(self.table[i][cms_hash(self._a[i], h, self.width)][0])
+                  for i in range(self.depth))
+        if at_ts is not None and at_ts > self.ts:
+            est *= 2.0 ** ((self.ts - at_ts) / self.half_life)
+        return est
+
+    def present(self) -> dict:
+        return {"ts": self.ts}
+
+    def _payload(self) -> bytes:
+        return (np.array([self.ts], dtype=np.float64).tobytes()
+                + self.table.tobytes())
+
+
+@register(KIND_DECAYINGCMS)
+def _decode_decayingcms(params: dict, payload: bytes) -> DecayingCMS:
+    out = DecayingCMS(params["eps"], params["delta"], params["half_life"],
+                      params["seed"])
+    out.ts = float(np.frombuffer(payload[:8], dtype=np.float64)[0])
+    out.table = np.frombuffer(payload[8:], dtype=np.float64).reshape(
+        out.depth, out.width).copy()
+    return out

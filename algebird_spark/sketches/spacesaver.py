@@ -101,3 +101,86 @@ def _decode_spacesaver(params: dict, payload: bytes) -> SpaceSaver:
     out.counters = {int(i): (int(c), int(e))
                     for i, c, e in zip(items, cnts, errs)}
     return out
+
+
+class ScopedTopN(Sketch):
+    """Top-N per key-prefix scope (ScopedTopNLogic,
+    algebird-core .../CountMinSketch.scala:1301-1343): one bounded
+    SpaceSaver per scope. Same merge-order caveat as TopN — prefer
+    TopPct CMS when strict mergeability matters."""
+
+    KIND = 24
+
+    def __init__(self, n: int = 10, max_scopes: int = 1024,
+                 capacity: int | None = None):
+        self.n = n
+        self.max_scopes = max_scopes
+        self.capacity = capacity or max(n * 4, 16)
+        self.scopes: dict[int, SpaceSaver] = {}
+
+    def _params(self) -> dict:
+        return {"n": self.n, "max_scopes": self.max_scopes,
+                "capacity": self.capacity}
+
+    def update_batch(self, values, scopes=None) -> None:
+        """values: int64 items; scopes: int64 scope id per item."""
+        items = np.asarray(values).astype(np.int64, copy=False)
+        if items.size == 0:
+            return
+        sc = (np.zeros(len(items), dtype=np.int64) if scopes is None
+              else np.asarray(scopes).astype(np.int64, copy=False))
+        order = np.argsort(sc, kind="stable")
+        sc_s, it_s = sc[order], items[order]
+        uniq, starts = np.unique(sc_s, return_index=True)
+        bounds = np.append(starts, len(sc_s))
+        for i, scope in enumerate(uniq.tolist()):
+            ss = self.scopes.get(scope)
+            if ss is None:
+                if len(self.scopes) >= self.max_scopes:
+                    continue  # state bound: overflow scopes are not tracked
+                ss = self.scopes[scope] = SpaceSaver(capacity=self.capacity)
+            ss.update_batch(it_s[bounds[i]:bounds[i + 1]])
+
+    def merge_in_place(self, other: "ScopedTopN") -> "ScopedTopN":
+        self.merge_check(other)
+        for scope, ss in other.scopes.items():
+            mine = self.scopes.get(scope)
+            if mine is None:
+                self.scopes[scope] = from_bytes(ss.to_bytes())
+            else:
+                mine.merge_in_place(ss)
+        return self
+
+    def top_n(self, scope: int) -> list[tuple[int, int, int, bool]]:
+        ss = self.scopes.get(scope)
+        return ss.top_k(self.n) if ss else []
+
+    def present(self) -> dict:
+        return {int(s): [t[0] for t in self.top_n(s)]
+                for s in sorted(self.scopes)}
+
+    def _payload(self) -> bytes:
+        import struct
+        parts = [np.array([len(self.scopes)], dtype=np.int64).tobytes()]
+        for scope in sorted(self.scopes):
+            blob = self.scopes[scope].to_bytes()
+            parts.append(struct.pack("<qI", scope, len(blob)))
+            parts.append(blob)
+        return b"".join(parts)
+
+
+from .base import from_bytes, register as _register  # noqa: E402
+
+
+@_register(24)
+def _decode_scopedtopn(params: dict, payload: bytes) -> "ScopedTopN":
+    import struct
+    out = ScopedTopN(params["n"], params["max_scopes"], params["capacity"])
+    n = int(np.frombuffer(payload[:8], dtype=np.int64)[0])
+    off = 8
+    for _ in range(n):
+        scope, blen = struct.unpack_from("<qI", payload, off)
+        off += 12
+        out.scopes[scope] = from_bytes(payload[off : off + blen])
+        off += blen
+    return out

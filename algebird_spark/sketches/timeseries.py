@@ -288,3 +288,67 @@ def _decode_hllseries(params: dict, payload: bytes) -> HLLSeries:
     for i, r, t in zip(idxs.tolist(), rhos.tolist(), tss.tolist()):
         out.rows.setdefault(i, {})[r] = t
     return out
+
+
+class DecayedVector(Sketch):
+    """DecayedValue for vectors (algebird-core .../DecayedVector.scala):
+    element-wise exponentially decayed sum, all elements normalized to
+    one timestamp."""
+
+    KIND = 25
+
+    def __init__(self, dim: int, half_life: float = 86_400.0):
+        self.dim = dim
+        self.half_life = float(half_life)
+        self.vec = np.zeros(dim, dtype=np.float64)
+        self.ts = -math.inf
+
+    def _params(self) -> dict:
+        return {"dim": self.dim, "half_life": self.half_life}
+
+    def add(self, vec: np.ndarray, ts: float) -> None:
+        vec = np.asarray(vec, dtype=np.float64)
+        if ts >= self.ts:
+            if self.ts != -math.inf:
+                self.vec *= 2.0 ** ((self.ts - ts) / self.half_life)
+            else:
+                self.vec = np.zeros(self.dim)
+            self.vec += vec
+            self.ts = ts
+        else:
+            self.vec += vec * 2.0 ** ((ts - self.ts) / self.half_life)
+
+    def update_batch(self, values, timestamps=None) -> None:
+        """values: (n, dim) matrix; timestamps: (n,)"""
+        arr = np.asarray(values, dtype=np.float64).reshape(-1, self.dim)
+        if arr.size == 0:
+            return
+        ts = (np.zeros(arr.shape[0]) if timestamps is None
+              else np.asarray(timestamps, dtype=np.float64))
+        t_max = float(ts.max())
+        scaled = arr * np.exp2((ts - t_max) / self.half_life)[:, None]
+        self.add(scaled.sum(axis=0), t_max)
+
+    def merge_in_place(self, other: "DecayedVector") -> "DecayedVector":
+        self.merge_check(other)
+        if other.ts != -math.inf:
+            self.add(other.vec, other.ts)
+        return self
+
+    def value_at(self, ts: float) -> np.ndarray:
+        return self.vec * 2.0 ** (min(0.0, (self.ts - ts)) / self.half_life)
+
+    def present(self) -> list:
+        return self.vec.tolist()
+
+    def _payload(self) -> bytes:
+        return (np.array([self.ts], dtype=np.float64).tobytes()
+                + self.vec.tobytes())
+
+
+@register(25)
+def _decode_decayedvector(params: dict, payload: bytes) -> DecayedVector:
+    out = DecayedVector(params["dim"], params["half_life"])
+    out.ts = float(np.frombuffer(payload[:8], dtype=np.float64)[0])
+    out.vec = np.frombuffer(payload[8:], dtype=np.float64).copy()
+    return out

@@ -155,3 +155,43 @@ def test_multisketch_roundtrip_and_merge():
     assert a["qtree"].total == 10_000
     lo, hi = a["kll"].quantile_bounds(0.5)
     assert lo <= 3_750 <= hi
+
+
+# ------------------------------------------------------- SketchMap / DecayingCMS
+def test_sketchmap_values_and_hh():
+    from algebird_spark.sketches import SketchMap
+    sm = SketchMap(eps=0.001, delta=1e-4, heavy_hitters_count=5)
+    # key k carries total weight 50*(k+1)
+    keys = np.concatenate([np.full(50, k, dtype=np.int64) for k in range(20)])
+    weights = np.concatenate([np.full(50, float(k + 1)) for k in range(20)])
+    for part in np.array_split(np.arange(len(keys)), 4):
+        sm.update_batch(keys[part], weights[part])
+    est = sm.values(np.arange(20, dtype=np.int64))
+    true = 50.0 * (np.arange(20) + 1)
+    assert (est >= true - 1e-9).all()
+    assert (est <= true + sm.eps * sm.total + 1e-9).all()
+    hh = [k for k, _v in sm.heavy_hitters()]
+    assert set(hh) == set(range(15, 20))
+    merged = sm + SketchMap(eps=0.001, delta=1e-4, heavy_hitters_count=5)
+    assert np.allclose(merged.values(np.arange(20, dtype=np.int64)), est)
+
+
+def test_decaying_cms_halflife_and_merge():
+    from algebird_spark.sketches import DecayingCMS, from_bytes as fb
+    d = DecayingCMS(eps=0.01, delta=1e-3, half_life=10.0)
+    d.update_batch(np.array([7], dtype=np.int64), timestamps=np.array([0.0]),
+                   weights=np.array([8.0]))
+    assert abs(d.decayed_frequency(7, at_ts=10.0) - 4.0) < 1e-9
+    other = DecayingCMS(eps=0.01, delta=1e-3, half_life=10.0)
+    other.update_batch(np.array([7], dtype=np.int64),
+                       timestamps=np.array([10.0]), weights=np.array([4.0]))
+    d.merge_in_place(fb(other.to_bytes()))
+    assert abs(d.decayed_frequency(7) - 8.0) < 1e-9
+    # commutativity with late data
+    a = DecayingCMS(eps=0.01, delta=1e-3, half_life=10.0)
+    a.update_batch(np.array([1], dtype=np.int64), np.array([20.0]), np.array([1.0]))
+    a.update_batch(np.array([1], dtype=np.int64), np.array([0.0]), np.array([1.0]))
+    b = DecayingCMS(eps=0.01, delta=1e-3, half_life=10.0)
+    b.update_batch(np.array([1], dtype=np.int64), np.array([0.0]), np.array([1.0]))
+    b.update_batch(np.array([1], dtype=np.int64), np.array([20.0]), np.array([1.0]))
+    assert abs(a.decayed_frequency(1) - b.decayed_frequency(1)) < 1e-12

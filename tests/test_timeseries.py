@@ -84,3 +84,14 @@ def test_hllseries_merge_roundtrip():
     assert abs(est - 1500) / 1500 <= 3.5 * 1.04 / math.sqrt(2 ** 10)
     est2 = a.since(1.5).estimate()
     assert abs(est2 - 1000) / 1000 <= 3.5 * 1.04 / math.sqrt(2 ** 10)
+
+
+def test_decayed_vector():
+    from algebird_spark.sketches.timeseries import DecayedVector
+    d = DecayedVector(dim=3, half_life=10.0)
+    d.update_batch(np.array([[8.0, 4.0, 0.0]]), np.array([0.0]))
+    assert np.allclose(d.value_at(10.0), [4.0, 2.0, 0.0])
+    o = DecayedVector(dim=3, half_life=10.0)
+    o.update_batch(np.array([[4.0, 0.0, 2.0]]), np.array([10.0]))
+    d.merge_in_place(from_bytes(o.to_bytes()))
+    assert np.allclose(d.value_at(10.0), [8.0, 2.0, 2.0])
