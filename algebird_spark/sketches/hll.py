@@ -45,6 +45,8 @@ def _alpha(m: int) -> float:
 
 def bits_for_error(err: float) -> int:
     """Smallest p with 1.04/sqrt(2^p) <= err (HyperLogLog.scala:245-251)."""
+    if not 0.0 < err < 1.0:
+        raise ValueError(f"relative error must be in (0, 1), got {err}")
     p = int(math.ceil(2.0 * math.log(1.04 / err) / math.log(2.0)))
     return max(p, 4)
 

@@ -1,0 +1,50 @@
+"""High-level API smoke tests on real testdata."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from algebird_spark import api
+
+
+@pytest.fixture(scope="module")
+def li(spark):
+    return spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+
+
+def test_distinct_count_global(spark, li):
+    ap = api.distinct_count(li, "l_partkey", error=0.02)
+    exact = li.select("l_partkey").distinct().count()
+    assert ap.low <= exact <= ap.high
+
+
+def test_distinct_count_by_key(spark, li):
+    out = api.distinct_count(li, "l_partkey", by=["l_returnflag"], error=0.02)
+    rows = {r["l_returnflag"]: r for r in out.collect()}
+    exact = {r[0]: r[1] for r in li.groupBy("l_returnflag")
+             .agg(F.count_distinct("l_partkey")).collect()}
+    for k, r in rows.items():
+        assert r["low"] <= exact[k] <= r["high"]
+
+
+def test_heavy_hitters(spark, li):
+    hh = api.heavy_hitters(li, "l_suppkey", pct=0.05)
+    exact = {r[0] for r in li.groupBy("l_suppkey").count()
+             .filter(F.col("count") >= 0.05 * li.count()).collect()}
+    assert exact <= set(hh.keys())
+
+
+def test_quantiles(spark, li):
+    bounds = api.quantiles(li, "l_extendedprice", [0.5])
+    exact = li.agg(F.expr("percentile(l_extendedprice, 0.5)")).collect()[0][0]
+    lo, hi = bounds[0.5]
+    assert lo <= exact <= hi
+
+
+def test_membership_filter(spark, li):
+    bf = api.membership_filter(li, "l_orderkey", expected_items=2_000)
+    some = np.array([r[0] for r in li.select("l_orderkey").limit(50).collect()],
+                    dtype=np.int64)
+    assert bf.contains_batch(some).all()
+    absent = np.arange(10**12, 10**12 + 1000, dtype=np.int64)
+    assert bf.contains_batch(absent).mean() < 0.05
