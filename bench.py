@@ -77,8 +77,10 @@ def main():
     from algebird_spark.sources.datagen import token_table
 
     rows = 60_000
+    # cap stage concurrency at 16: this box's memory bus degrades beyond
+    # ~16 concurrent streaming workers (see BENCH/scaling_curve.json)
     tok = token_table(spark, rows=rows, n_sources=8, vocab=250_000,
-                      median_n_tok=256, seed=42, partitions=cpus * 2)
+                      median_n_tok=256, seed=42, partitions=min(cpus * 2, 16))
     tok = tok.cache()
     n_tokens = tok.selectExpr("sum(n_tok)").collect()[0][0]  # warms cache
 
@@ -91,10 +93,13 @@ def main():
             "bloom": BloomFilter(num_entries=300_000, fp_prob=0.01),
         })
 
-    t0 = time.time()
-    states = sketch_by_key(tok, ["source"], "tokens", factory)
-    n_groups = states.count()
-    sketch_sec = time.time() - t0
+    sketch_sec = float("inf")
+    n_groups = 0
+    for _ in range(2):  # best-of-2: noisy-neighbor VM
+        t0 = time.time()
+        states = sketch_by_key(tok, ["source"], "tokens", factory)
+        n_groups = states.count()
+        sketch_sec = min(sketch_sec, time.time() - t0)
     tokens_per_sec = int(n_tokens / sketch_sec)
     times["multisketch_by_source"] = round(sketch_sec, 3)
     print(f"# multisketch: {n_tokens} tokens, {n_groups} groups, "
