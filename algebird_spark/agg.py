@@ -47,14 +47,34 @@ SketchFactory = Callable[[], Sketch]
 
 def _flatten_values(col: pa.Array) -> tuple[np.ndarray, np.ndarray | None]:
     """Return (element_values, per_row_lengths|None). Lengths are None for
-    scalar columns (1 element per row). List offsets are handled zero-copy."""
+    scalar columns (1 element per row). List offsets are handled zero-copy.
+
+    Nulls follow SQL aggregate semantics (count_distinct etc. ignore
+    them): null list elements are dropped from the flattened values; a
+    scalar column with nulls would otherwise coerce to float NaN and be
+    sketched as a value."""
     if pa.types.is_list(col.type) or pa.types.is_large_list(col.type):
         lengths = col.value_lengths().fill_null(0).to_numpy(zero_copy_only=False)
-        values = col.flatten().to_numpy(zero_copy_only=False)
+        flat = col.flatten()
+        if flat.null_count:
+            # recompute per-row lengths against non-null elements
+            import pyarrow.compute as pc
+            valid = pc.is_valid(flat).to_numpy(zero_copy_only=False)
+            starts = np.zeros(len(lengths) + 1, dtype=np.int64)
+            np.cumsum(lengths, out=starts[1:])
+            lengths = np.add.reduceat(
+                valid.astype(np.int64),
+                np.minimum(starts[:-1], len(valid) - 1)) * (lengths > 0)
+            flat = flat.drop_null()
+        values = flat.to_numpy(zero_copy_only=False)
         return values, lengths
-    if pa.types.is_string(col.type) or pa.types.is_binary(col.type) or \
-            pa.types.is_large_string(col.type):
-        return col.to_numpy(zero_copy_only=False), None
+    if col.null_count:
+        # scalar with nulls: keep alignment with per-row key codes by
+        # reporting 0/1 elements per row
+        import pyarrow.compute as pc
+        valid = pc.is_valid(col).to_numpy(zero_copy_only=False)
+        return (col.drop_null().to_numpy(zero_copy_only=False),
+                valid.astype(np.int64))
     return col.to_numpy(zero_copy_only=False), None
 
 

@@ -119,3 +119,23 @@ def test_empty_input(spark):
     assert h.estimate() == 0.0
     states = sketch_by_key(empty, ["source"], "tokens", lambda: HLL(p=10))
     assert states.count() == 0
+
+
+def test_null_handling_matches_sql_semantics(spark):
+    df = spark.createDataFrame(
+        [("a", 1), ("a", None), ("b", 2), ("b", 2), ("a", 3), ("b", None)],
+        "k string, v int")
+    states = sketch_by_key(df, ["k"], "v", lambda: HLL(p=10))
+    got = {r["k"]: round(from_bytes(bytes(r[STATE_COL])).estimate())
+           for r in states.collect()}
+    exact = {r[0]: r[1] for r in
+             df.groupBy("k").agg(F.count_distinct("v")).collect()}
+    assert got == exact  # nulls ignored like count_distinct
+
+    arr = spark.createDataFrame(
+        [("a", [1, None, 2]), ("b", [2, 2]), ("a", None), ("b", [3])],
+        "k string, v array<int>")
+    states = sketch_by_key(arr, ["k"], "v", lambda: HLL(p=10))
+    got = {r["k"]: round(from_bytes(bytes(r[STATE_COL])).estimate())
+           for r in states.collect()}
+    assert got == {"a": 2, "b": 2}
