@@ -15,7 +15,6 @@ the driver's rows-only check.
 
 from __future__ import annotations
 
-import math
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -84,7 +83,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    hll_bound_14 = 3.5 * 1.04 / math.sqrt(2 ** 14)  # noqa: F841 (documented)
     ps = "0.05, 0.25, 0.5, 0.75, 0.95"
     return {
         # --- sketches: exact columns + TRUE verdicts ----------------------
