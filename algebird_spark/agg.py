@@ -213,10 +213,12 @@ def merge_sketches(states_df: DataFrame, keys: Sequence[str] = (),
 # ---------------------------------------------------------------------------
 
 def sketch_by_key(df: DataFrame, keys: Sequence[str], value_col: str,
-                  factory: SketchFactory, fanout: int = 0) -> DataFrame:
+                  factory: SketchFactory, fanout: int = 0,
+                  min_partitions: int | None = None) -> DataFrame:
     """``rdd.algebird.aggregateByKey`` analog: DataFrame of
     ``keys..., sketch_state, n_values`` with one row per key."""
-    states = sketch_partitions(df, value_col, factory, keys)
+    states = sketch_partitions(df, value_col, factory, keys,
+                               min_partitions=min_partitions)
     return merge_sketches(states, keys, fanout=fanout)
 
 
