@@ -469,11 +469,18 @@ def q_multimodal_features(spark, sf):
 # ===========================================================================
 
 def q_qtree_quantile_bounds(spark, sf):
-    """QTree HARD bounds contain the exact percentile (QTree.scala:285-315)."""
+    """QTree HARD bounds contain the exact percentile (QTree.scala:285-315).
+
+    The bounds cover the order statistic at rank p*n; the oracle's
+    percentile INTERPOLATES between ranks floor(p*(n-1)) and
+    ceil(p*(n-1)), so the containment check spans that +-1-rank
+    interval — still a hard-bounds guarantee, rank-aligned."""
     from .sketches import QTree
 
     def ok(sk, p, ex):
-        lo, hi = sk.quantile_bounds(p)
+        dr = 1.5 / max(sk.total, 1)
+        lo, _ = sk.quantile_bounds(max(0.0, p - dr))
+        _, hi = sk.quantile_bounds(min(1.0, p + dr))
         return lo <= ex <= hi
     return _quantile_query(spark, sf, lambda: QTree(k=10, base_level=-2),
                            ok, "qtree")
