@@ -201,11 +201,16 @@ def merge_sketches(states_df: DataFrame, keys: Sequence[str] = (),
         partial = salted.groupBy(*(keys + ["__bucket"])).applyInPandas(
             _merge_fn(keys + ["__bucket"]), inter_schema)
         states_df = partial.select(*(keys + [STATE_COL, COUNT_COL]))
-    return states_df.groupBy(*keys).applyInPandas(_merge_fn(keys), schema) if keys \
-        else states_df.groupBy(F.lit(1).alias("__g")).applyInPandas(
-            _merge_fn(["__g"]),
-            StructType([StructField("__g", LongType(), False)] + schema.fields)
-        ).drop("__g")
+    if keys:
+        return states_df.groupBy(*keys).applyInPandas(_merge_fn(keys), schema)
+    # keyless: materialize the grouping column so applyInPandas sees it
+    return (states_df.withColumn("__g", F.lit(1))
+            .groupBy("__g")
+            .applyInPandas(
+                _merge_fn(["__g"]),
+                StructType([StructField("__g", LongType(), False)]
+                           + schema.fields))
+            .drop("__g"))
 
 
 # ---------------------------------------------------------------------------
@@ -219,6 +224,76 @@ def sketch_by_key(df: DataFrame, keys: Sequence[str], value_col: str,
     ``keys..., sketch_state, n_values`` with one row per key."""
     states = sketch_partitions(df, value_col, factory, keys,
                                min_partitions=min_partitions)
+    return merge_sketches(states, keys, fanout=fanout)
+
+
+def sketch_by_key_multi(df: DataFrame, keys: Sequence[str],
+                        value_cols: Sequence[str], factory: SketchFactory,
+                        fanout: int = 0,
+                        min_partitions: int | None = None) -> DataFrame:
+    """Multi-argument variant for sketches whose ``update_batch`` takes
+    aligned companion arrays — SketchMap(keys, weights),
+    DecayingCMS(keys, timestamps, weights), HLLSeries(values, timestamps),
+    ScopedTopN(items, scopes). All ``value_cols`` must be scalar columns;
+    each batch calls ``update_batch(col0, col1, ...)`` positionally.
+    """
+    keys = list(keys)
+    value_cols = list(value_cols)
+    if min_partitions is None:
+        min_partitions = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < min_partitions:
+        df = df.repartition(min_partitions)
+    key_fields = [df.schema[k] for k in keys]
+    out_schema = StructType(key_fields + [
+        StructField(STATE_COL, BinaryType(), False),
+        StructField(COUNT_COL, LongType(), False),
+    ])
+
+    def run(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        from pyspark.sql.pandas.types import to_arrow_type
+        sketches: dict[tuple, Sketch] = {}
+        counts: dict[tuple, int] = {}
+        for batch in batches:
+            if batch.num_rows == 0:
+                continue
+            cols = [batch.column(batch.schema.get_field_index(c))
+                    .to_numpy(zero_copy_only=False) for c in value_cols]
+            if not keys:
+                groups = [((), np.arange(batch.num_rows))]
+            else:
+                kf = _key_frame(batch, keys)
+                if len(keys) == 1:
+                    codes, uniques = pd.factorize(kf[keys[0]], sort=False)
+                    uni = [(u,) for u in uniques]
+                else:
+                    codes, uniques = pd.factorize(
+                        pd.MultiIndex.from_frame(kf), sort=False)
+                    uni = list(uniques)
+                order = np.argsort(codes, kind="stable")
+                bounds = np.searchsorted(codes[order], np.arange(len(uni) + 1))
+                groups = [(uni[c], order[bounds[c]:bounds[c + 1]])
+                          for c in range(len(uni))]
+            for key, idx in groups:
+                sk = sketches.get(key)
+                if sk is None:
+                    sk = sketches[key] = factory()
+                    counts[key] = 0
+                sk.update_batch(*(c[idx] for c in cols))
+                counts[key] += len(idx)
+        if not sketches:
+            return
+        out_cols: list[list] = [[] for _ in keys] + [[], []]
+        for key, sk in sketches.items():
+            for i, kv in enumerate(key):
+                out_cols[i].append(kv)
+            out_cols[len(keys)].append(sk.to_bytes())
+            out_cols[len(keys) + 1].append(counts[key])
+        arrays = [pa.array(out_cols[i], type=to_arrow_type(f.dataType))
+                  for i, f in enumerate(out_schema.fields)]
+        yield pa.RecordBatch.from_arrays(
+            arrays, names=[f.name for f in out_schema.fields])
+
+    states = df.select(*(keys + value_cols)).mapInArrow(run, out_schema)
     return merge_sketches(states, keys, fanout=fanout)
 
 

@@ -139,3 +139,39 @@ def test_null_handling_matches_sql_semantics(spark):
     got = {r["k"]: round(from_bytes(bytes(r[STATE_COL])).estimate())
            for r in states.collect()}
     assert got == {"a": 2, "b": 2}
+
+
+def test_multi_column_harness_sketchmap_and_hllseries(spark):
+    from algebird_spark.agg import sketch_by_key_multi
+    from algebird_spark.sketches import SketchMap
+    from algebird_spark.sketches.timeseries import HLLSeries
+    li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+
+    # SketchMap(keys, weights): total quantity per suppkey, per returnflag
+    states = sketch_by_key_multi(
+        li, ["l_returnflag"], ["l_suppkey", "l_quantity"],
+        lambda: SketchMap(eps=0.001, delta=1e-4, heavy_hitters_count=3))
+    exact = {(r[0], r[1]): r[2] for r in
+             li.groupBy("l_returnflag", "l_suppkey")
+               .agg(F.sum("l_quantity")).collect()}
+    for r in states.collect():
+        sk = from_bytes(bytes(r[STATE_COL]))
+        flag = r["l_returnflag"]
+        keys = np.array(sorted(k for f, k in exact if f == flag), dtype=np.int64)
+        est = sk.values(keys)
+        truth = np.array([exact[(flag, int(k))] for k in keys])
+        assert (est >= truth - 1e-9).all()
+        assert (est <= truth + sk.eps * sk.total + 1e-9).all()
+
+    # HLLSeries(values, timestamps): distinct users since mid-time
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet") \
+        .withColumn("sec", F.col("ts").cast("timestamp").cast("double"))
+    states = sketch_by_key_multi(ev, [], ["user_id", "sec"],
+                                 lambda: HLLSeries(p=12))
+    sk = from_bytes(bytes(states.collect()[0][STATE_COL]))
+    lo, hi = ev.agg(F.min("sec"), F.max("sec")).collect()[0]
+    mid = (lo + hi) / 2
+    exact_recent = ev.filter(F.col("sec") >= mid) \
+        .agg(F.count_distinct("user_id")).collect()[0][0]
+    est = sk.since(mid).estimate()
+    assert abs(est - exact_recent) / exact_recent <= 3.5 * 1.04 / np.sqrt(2**12)
