@@ -61,3 +61,28 @@ def test_sliding_counts_stream(spark, events_stream):
         (F.col("ts") >= r["window_start"]) & (F.col("ts") < r["window_end"])
         & (F.col("event_type") == r["event_type"])).count()
     assert r["n"] == exact
+
+
+def test_windowed_sketch_stream(spark, events_stream):
+    from algebird_spark.streaming.stateful import windowed_sketch_stream
+    batch, sdf = events_stream
+    out = windowed_sketch_stream(sdf, "ts", "30 minutes", ["event_type"],
+                                 "user_id", lambda: HLL(p=12),
+                                 watermark="0 seconds")
+    q = (out.writeStream.outputMode("update").format("memory")
+         .queryName("win_stream").start())
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    rows = spark.sql("SELECT * FROM win_stream").collect()
+    assert rows, "no windowed states emitted"
+    # verify one window against a batch recount
+    r = rows[len(rows) // 2]
+    start = r["window_start"]
+    exact = (batch.withColumn("ws", F.window(F.col("ts").cast("timestamp"),
+                                             "30 minutes").start.cast("string"))
+             .filter((F.col("ws") == start)
+                     & (F.col("event_type") == r["event_type"]))
+             .agg(F.count_distinct("user_id")).collect()[0][0])
+    assert abs(r["estimate"] - exact) / max(exact, 1) <= 3.5 * 1.04 / np.sqrt(2**12)
