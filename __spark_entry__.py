@@ -70,6 +70,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gaussian_sum": Q.q_gaussian_sum,
         "reservoir_sample": Q.q_reservoir_sample,
         "scoped_topn": Q.q_scoped_topn,
+        "sketchmap_sums": Q.q_sketchmap_sums,
         # --- training-data pipeline ops ----------------------------------
         "dedup_exact": Q.q_dedup_exact,
         "text_stats": Q.q_text_stats,
@@ -346,6 +347,11 @@ def oracle_sql() -> dict[str, str]:
                                         ORDER BY COUNT(*) DESC, l_suppkey) AS rank
               FROM lineitem GROUP BY l_returnflag, l_suppkey)
             WHERE rank <= 2
+        """,
+        "sketchmap_sums": """
+            SELECT COUNT(DISTINCT l_suppkey) AS n_keys,
+                   TRUE AS never_under, TRUE AS within_eps
+            FROM lineitem
         """,
         # --- training-data ops --------------------------------------------
         "dedup_exact": """

@@ -664,3 +664,29 @@ def q_scoped_topn(spark, sf):
         StructField("rank", LongType(), False),
         StructField("l_suppkey", LongType(), False),
         StructField("cnt", LongType(), False)]))
+
+
+def q_sketchmap_sums(spark, sf):
+    """SketchMap: approximate Map[suppkey -> sum(quantity)] built
+    distributed (multi-column harness); estimates never underestimate
+    and overestimate <= eps * total-mass."""
+    from .agg import sketch_by_key_multi
+    from .sketches import SketchMap
+    import numpy as np
+    li = _t(spark, sf, "lineitem")
+    states = sketch_by_key_multi(
+        li, [], ["l_suppkey", "l_quantity"],
+        lambda: SketchMap(eps=0.0005, delta=1e-4, heavy_hitters_count=5))
+    sk = from_bytes(bytes(states.collect()[0][STATE_COL]))
+    exact = li.groupBy("l_suppkey").agg(F.sum("l_quantity").alias("q")).collect()
+    keys = np.array([r["l_suppkey"] for r in exact], dtype=np.int64)
+    truth = np.array([r["q"] for r in exact])
+    est = sk.values(keys)
+    never_under = bool((est >= truth - 1e-6).all())
+    within_eps = bool((est <= truth + sk.eps * sk.total + 1e-6).all())
+    return spark.createDataFrame(
+        [Row(n_keys=int(len(keys)), never_under=never_under,
+             within_eps=within_eps)],
+        StructType([StructField("n_keys", LongType(), False),
+                    StructField("never_under", BooleanType(), False),
+                    StructField("within_eps", BooleanType(), False)]))

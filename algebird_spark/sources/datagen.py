@@ -138,3 +138,17 @@ def materialized_token_table(spark: SparkSession, profile: str,
     if not os.path.exists(marker):
         token_table_profile(spark, profile).write.mode("overwrite").parquet(path)
     return spark.read.parquet(path)
+
+
+def write_partitioned_token_table(df: DataFrame, path: str,
+                                  partition_col: str = "source") -> None:
+    """Iceberg-style layout: hive-partitioned parquet by ``partition_col``
+    so per-source queries prune at the directory level (the sandbox has
+    no Iceberg jars; the partition-pruning behavior — the property the
+    engine relies on — is identical and asserted in tests/test_plans.py).
+    """
+    df.write.mode("overwrite").partitionBy(partition_col).parquet(path)
+
+
+def read_token_table(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.parquet(path)

@@ -95,3 +95,23 @@ def test_exact_agg_partial_aggregation(spark):
     q = li.groupBy("l_returnflag").agg(F.sum("l_quantity"))
     plan = plan_of(q)
     assert plan.count("HashAggregate") >= 2  # partial + final
+
+
+def test_partitioned_layout_prunes(spark, tmp_path):
+    from algebird_spark.sources.datagen import (token_table,
+                                                write_partitioned_token_table)
+    path = str(tmp_path / "tok_part")
+    df = token_table(spark, rows=500, n_sources=4, vocab=10_000,
+                     median_n_tok=16, seed=42, partitions=4)
+    write_partitioned_token_table(df, path)
+    q = (spark.read.parquet(path)
+         .filter(F.col("source") == "src_00")
+         .selectExpr("sum(n_tok)"))
+    plan = plan_of(q)
+    # the source predicate becomes a partition filter on the scan — the
+    # scan reads ONE directory, not the table
+    assert "PartitionFilters" in plan and "src_00" in plan
+    row = q.collect()[0]
+    exact = df.filter(F.col("source") == "src_00") \
+        .selectExpr("sum(n_tok)").collect()[0]
+    assert row[0] == exact[0]
