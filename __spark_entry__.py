@@ -71,6 +71,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "reservoir_sample": Q.q_reservoir_sample,
         "scoped_topn": Q.q_scoped_topn,
         "sketchmap_sums": Q.q_sketchmap_sums,
+        "streaming_hll": Q.q_streaming_hll,
         # --- training-data pipeline ops ----------------------------------
         "dedup_exact": Q.q_dedup_exact,
         "text_stats": Q.q_text_stats,
@@ -352,6 +353,11 @@ def oracle_sql() -> dict[str, str]:
             SELECT COUNT(DISTINCT l_suppkey) AS n_keys,
                    TRUE AS never_under, TRUE AS within_eps
             FROM lineitem
+        """,
+        "streaming_hll": """
+            SELECT event_type, COUNT(DISTINCT user_id) AS exact_users,
+                   TRUE AS stream_hll_ok
+            FROM events GROUP BY event_type
         """,
         # --- training-data ops --------------------------------------------
         "dedup_exact": """

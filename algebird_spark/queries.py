@@ -690,3 +690,44 @@ def q_sketchmap_sums(spark, sf):
         StructType([StructField("n_keys", LongType(), False),
                     StructField("never_under", BooleanType(), False),
                     StructField("within_eps", BooleanType(), False)]))
+
+
+def q_streaming_hll(spark, sf):
+    """Structured Streaming stateful HLL (applyInPandasWithState): drive
+    the events table through a real stream, then compare the final
+    per-event_type distinct-user estimates to the batch exact counts —
+    the stream/batch equivalence the commutative merge guarantees."""
+    import shutil
+    import tempfile
+    import uuid
+    from .streaming.stateful import sketch_stream_by_key
+    d = tempfile.mkdtemp(prefix="stream_events_")
+    try:
+        shutil.copy(f"{sf}/events.parquet", f"{d}/part-0.parquet")
+        batch = spark.read.parquet(d)
+        sdf = spark.readStream.schema(batch.schema).parquet(d)
+        out = sketch_stream_by_key(sdf, ["event_type"], "user_id",
+                                   lambda: HLL(p=14))
+        qname = f"q_stream_{uuid.uuid4().hex[:8]}"
+        q = (out.writeStream.outputMode("update").format("memory")
+             .queryName(qname).start())
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        got = {r["event_type"]: r["estimate"]
+               for r in spark.sql(f"SELECT * FROM {qname}").collect()}
+        exact = {r[0]: r[1] for r in batch.groupBy("event_type")
+                 .agg(F.count_distinct("user_id")).collect()}
+        bound = 3.5 * 1.04 / math.sqrt(2 ** 14)
+        rows = [Row(event_type=t,
+                    exact_users=int(exact[t]),
+                    stream_hll_ok=bool(
+                        abs(got[t] - exact[t]) / max(exact[t], 1) <= bound))
+                for t in sorted(exact)]
+        return spark.createDataFrame(rows, StructType([
+            StructField("event_type", StringType(), False),
+            StructField("exact_users", LongType(), False),
+            StructField("stream_hll_ok", BooleanType(), False)]))
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
