@@ -57,14 +57,16 @@ def _flatten_values(col: pa.Array) -> tuple[np.ndarray, np.ndarray | None]:
         lengths = col.value_lengths().fill_null(0).to_numpy(zero_copy_only=False)
         flat = col.flatten()
         if flat.null_count:
-            # recompute per-row lengths against non-null elements
+            # exact per-row non-null counts: prefix-sum of the valid mask
+            # sampled at row boundaries (np.add.reduceat mis-counts
+            # when empty rows repeat a boundary or end the batch)
             import pyarrow.compute as pc
             valid = pc.is_valid(flat).to_numpy(zero_copy_only=False)
             starts = np.zeros(len(lengths) + 1, dtype=np.int64)
             np.cumsum(lengths, out=starts[1:])
-            lengths = np.add.reduceat(
-                valid.astype(np.int64),
-                np.minimum(starts[:-1], len(valid) - 1)) * (lengths > 0)
+            csum = np.zeros(len(valid) + 1, dtype=np.int64)
+            np.cumsum(valid, out=csum[1:])
+            lengths = csum[starts[1:]] - csum[starts[:-1]]
             flat = flat.drop_null()
         values = flat.to_numpy(zero_copy_only=False)
         return values, lengths
@@ -80,6 +82,58 @@ def _flatten_values(col: pa.Array) -> tuple[np.ndarray, np.ndarray | None]:
 
 def _key_frame(batch: pa.RecordBatch, keys: Sequence[str]) -> pd.DataFrame:
     return pa.Table.from_batches([batch]).select(list(keys)).to_pandas()
+
+
+def _factorize_rows(kf: pd.DataFrame, keys: Sequence[str]):
+    """Per-row group codes + unique key tuples. Null keys form their own
+    group, matching SQL GROUP BY (factorize's default -1 sentinel would
+    silently drop those rows from the sketch)."""
+    if len(keys) == 1:
+        codes, uniques = pd.factorize(kf[keys[0]], use_na_sentinel=False)
+        return codes, [(u,) for u in uniques]
+    per = [pd.factorize(kf[k], use_na_sentinel=False) for k in keys]
+    # mixed-radix combine of per-column codes (per-batch unique counts
+    # are tiny, so the product never approaches 2^63), then one
+    # factorize over the combined int codes (null-free by construction)
+    combined = np.zeros(len(kf), dtype=np.int64)
+    for codes, uniques in per:
+        combined *= max(len(uniques), 1)
+        combined += codes
+    row_codes, row_uniques = pd.factorize(combined)
+    out = []
+    for cc in row_uniques.tolist():
+        vals = []
+        for codes, uniques in reversed(per):
+            m = max(len(uniques), 1)
+            vals.append(uniques[cc % m])
+            cc //= m
+        out.append(tuple(reversed(vals)))
+    return row_codes, out
+
+
+def _py_key(v):
+    """Arrow-safe scalar for a group-key value (NaN/NaT/NA -> None)."""
+    try:
+        if pd.isna(v):
+            return None
+    except (TypeError, ValueError):
+        pass
+    return v.item() if isinstance(v, np.generic) else v
+
+
+def _state_batch(cols: list[list], out_schema: StructType) -> pa.RecordBatch:
+    """Build the (keys..., state, count) output batch. Key columns go
+    through a safe cast: an int64 key column that contained nulls
+    arrives from pandas as float64, and its non-null uniques must land
+    back in the declared integer type."""
+    from pyspark.sql.pandas.types import to_arrow_type
+    arrays = []
+    for i, f in enumerate(out_schema.fields):
+        typ = to_arrow_type(f.dataType)
+        arr = pa.array(cols[i])
+        arrays.append(arr if arr.type == typ else arr.cast(typ))
+    return pa.RecordBatch.from_arrays(
+        arrays, names=[f.name for f in out_schema.fields])
 
 
 # ---------------------------------------------------------------------------
@@ -123,13 +177,7 @@ def sketch_partitions(df: DataFrame, value_col: str, factory: SketchFactory,
                 groups = [((), values)]
             else:
                 kf = _key_frame(batch, keys)
-                if len(keys) == 1:
-                    codes, uniques = pd.factorize(kf[keys[0]], sort=False)
-                    uni_tuples = [(u,) for u in uniques]
-                else:
-                    mi = pd.MultiIndex.from_frame(kf)
-                    codes, uniques = pd.factorize(mi, sort=False)
-                    uni_tuples = list(uniques)
+                codes, uni_tuples = _factorize_rows(kf, keys)
                 elem_codes = codes if lengths is None else np.repeat(codes, lengths)
                 order = np.argsort(elem_codes, kind="stable")
                 sorted_vals = values[order]
@@ -146,16 +194,13 @@ def sketch_partitions(df: DataFrame, value_col: str, factory: SketchFactory,
                 counts[key] += len(vals)
         if not sketches:
             return
-        from pyspark.sql.pandas.types import to_arrow_type
         cols: list[list] = [[] for _ in keys] + [[], []]
         for key, sk in sketches.items():
             for i, kv in enumerate(key):
-                cols[i].append(kv)
+                cols[i].append(_py_key(kv))
             cols[len(keys)].append(sk.to_bytes())
             cols[len(keys) + 1].append(counts[key])
-        arrays = [pa.array(cols[i], type=to_arrow_type(f.dataType))
-                  for i, f in enumerate(out_schema.fields)]
-        yield pa.RecordBatch.from_arrays(arrays, names=[f.name for f in out_schema.fields])
+        yield _state_batch(cols, out_schema)
 
     return df.select(*(keys + [value_col])).mapInArrow(run, out_schema)
 
@@ -250,7 +295,6 @@ def sketch_by_key_multi(df: DataFrame, keys: Sequence[str],
     ])
 
     def run(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
-        from pyspark.sql.pandas.types import to_arrow_type
         sketches: dict[tuple, Sketch] = {}
         counts: dict[tuple, int] = {}
         for batch in batches:
@@ -262,13 +306,7 @@ def sketch_by_key_multi(df: DataFrame, keys: Sequence[str],
                 groups = [((), np.arange(batch.num_rows))]
             else:
                 kf = _key_frame(batch, keys)
-                if len(keys) == 1:
-                    codes, uniques = pd.factorize(kf[keys[0]], sort=False)
-                    uni = [(u,) for u in uniques]
-                else:
-                    codes, uniques = pd.factorize(
-                        pd.MultiIndex.from_frame(kf), sort=False)
-                    uni = list(uniques)
+                codes, uni = _factorize_rows(kf, keys)
                 order = np.argsort(codes, kind="stable")
                 bounds = np.searchsorted(codes[order], np.arange(len(uni) + 1))
                 groups = [(uni[c], order[bounds[c]:bounds[c + 1]])
@@ -285,13 +323,10 @@ def sketch_by_key_multi(df: DataFrame, keys: Sequence[str],
         out_cols: list[list] = [[] for _ in keys] + [[], []]
         for key, sk in sketches.items():
             for i, kv in enumerate(key):
-                out_cols[i].append(kv)
+                out_cols[i].append(_py_key(kv))
             out_cols[len(keys)].append(sk.to_bytes())
             out_cols[len(keys) + 1].append(counts[key])
-        arrays = [pa.array(out_cols[i], type=to_arrow_type(f.dataType))
-                  for i, f in enumerate(out_schema.fields)]
-        yield pa.RecordBatch.from_arrays(
-            arrays, names=[f.name for f in out_schema.fields])
+        yield _state_batch(out_cols, out_schema)
 
     states = df.select(*(keys + value_cols)).mapInArrow(run, out_schema)
     return merge_sketches(states, keys, fanout=fanout)

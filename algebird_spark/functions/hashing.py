@@ -262,7 +262,46 @@ def trailing_zeros64(x: np.ndarray) -> np.ndarray:
 
 
 # ---------------------------------------------------------------------------
-# Count-Min universal hash family (CMSHasher.scala:68-92 trick)
+# exact Mersenne-prime modular multiply (for MinHash universal lanes)
+# ---------------------------------------------------------------------------
+
+P61 = np.uint64((1 << 61) - 1)
+_M32 = np.uint64(0xFFFFFFFF)
+_MASK29 = np.uint64((1 << 29) - 1)
+
+
+def mulmod_p61(a: np.ndarray, h: np.ndarray) -> np.ndarray:
+    """Exact ``(a * h) mod (2^61 - 1)`` for uint64 inputs ``< 2^61``.
+
+    The 122-bit product is formed from 32-bit limbs and reduced with
+    2^61 ≡ 1 (mod p); every intermediate fits uint64, so the result is
+    the true universal-hash value (a plain ``(a*h) % p`` in uint64 wraps
+    mod 2^64 first and loses the guarantee). Broadcasting-safe.
+    """
+    a = np.asarray(a, dtype=np.uint64)
+    h = np.asarray(h, dtype=np.uint64)
+    a_hi, a_lo = a >> np.uint64(32), a & _M32
+    h_hi, h_lo = h >> np.uint64(32), h & _M32
+    hh = a_hi * h_hi                       # < 2^58
+    mid = a_hi * h_lo + a_lo * h_hi        # < 2^62
+    ll = a_lo * h_lo                       # < 2^64 (exact in uint64)
+    # hh*2^64 ≡ hh<<3; mid*2^32 ≡ (mid>>29) + (mid&mask29)<<32; ll folds once
+    acc = ((hh << np.uint64(3)) + (mid >> np.uint64(29))
+           + ((mid & _MASK29) << np.uint64(32))
+           + (ll & P61) + (ll >> np.uint64(61)))      # < 2^63
+    acc = (acc & P61) + (acc >> np.uint64(61))        # < 2^61 + 4
+    return np.where(acc >= P61, acc - P61, acc)
+
+
+def affine_mod_p61(a: np.ndarray, h: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Exact ``(a*h + b) mod (2^61-1)`` with a, b, h < 2^61."""
+    acc = mulmod_p61(a, h) + np.asarray(b, dtype=np.uint64)  # < 2^62
+    acc = (acc & P61) + (acc >> np.uint64(61))
+    return np.where(acc >= P61, acc - P61, acc)
+
+
+# ---------------------------------------------------------------------------
+# Count-Min universal hash family over full 64-bit keys
 # ---------------------------------------------------------------------------
 
 _P31 = np.uint64(0x7FFFFFFF)
@@ -276,16 +315,36 @@ def cms_hash_params(depth: int, seed: int) -> np.ndarray:
     return rng.integers(1, int(_P31), size=depth, dtype=np.int64).astype(np.uint64)
 
 
-def cms_hash(a: int | np.uint64, x: np.ndarray, width: int) -> np.ndarray:
-    """h(x) = ((a*x mod 2^31-1) mod width) over a non-negative int batch.
+def _derived_multiplier(a: int, salt: int) -> np.uint64:
+    """Second/third multilinear multipliers derived from the stored a_i
+    (keeps the serialized CMS parameterization unchanged)."""
+    return np.uint64((_fmix64((int(a) ^ salt) & MASK64) & 0x7FFFFFFF) | 1)
 
-    Uses the fold trick: for y < 2^62, (y mod 2^31-1) == ((y + (y>>31)*?)...)
-    algebird folds as ``(y + (y >> 32)) & INT_MAX`` which is what we
-    replicate for estimate parity (CMSHasher.scala:85-90).
+
+def cms_hash(a: int | np.uint64, x: np.ndarray, width: int) -> np.ndarray:
+    """Row hash ``h(x) = ((a1*x0 + a2*x1 + a3*x2) mod (2^31-1)) mod width``
+    where (x0, x1, x2) are the 31+31+2-bit limbs of the FULL 64-bit key —
+    a multilinear universal family (collision prob <= 2/(2^31-1) for
+    x != x'). a2/a3 are derived from a1 via fmix64, so the serialized
+    params stay a single a_i per row as in algebird's generateHashes
+    (CountMinSketch.scala:338-352).
+
+    The previous formulation masked keys to their low 31 bits before
+    hashing, which made any two keys congruent mod 2^31 collide in every
+    row — a deterministic eps*N violation for 64-bit key ranges.
+    Every intermediate fits uint64: a_j < 2^31, limbs < 2^31, so the
+    3-term sum is < 3*2^62.
     """
     xs = np.asarray(x)
     if xs.dtype != np.uint64:
-        xs = xs.astype(np.int64).view(np.uint64) & _P31
-    y = np.uint64(a) * xs
-    folded = (y + (y >> np.uint64(32))) & _P31
-    return (folded % np.uint64(width)).astype(np.int64)
+        xs = xs.astype(np.int64, copy=False).view(np.uint64)
+    a1 = np.uint64(int(a) & 0x7FFFFFFF)
+    a2 = _derived_multiplier(int(a), 0x9E3779B97F4A7C15)
+    a3 = _derived_multiplier(int(a), 0xC2B2AE3D27D4EB4F)
+    y = (a1 * (xs & _P31)
+         + a2 * ((xs >> np.uint64(31)) & _P31)
+         + a3 * (xs >> np.uint64(62)))
+    y = (y & _P31) + (y >> np.uint64(31))
+    y = (y & _P31) + (y >> np.uint64(31))
+    y = np.where(y >= _P31, y - _P31, y)
+    return (y % np.uint64(width)).astype(np.int64)

@@ -22,7 +22,7 @@ import pandas as pd
 
 from pyspark.sql import DataFrame, functions as F
 
-from ..functions.hashing import murmur3_x64_128
+from ..functions.hashing import affine_mod_p61, murmur3_x64_128
 from .text import fingerprint, simhash64_df
 
 
@@ -89,7 +89,9 @@ def add_minhash_signature(df: DataFrame, text_col: str = "text",
                     out.append([0] * num_perm)
                     continue
                 hv = np.fromiter(sh, dtype=np.uint64, count=len(sh)) & np.uint64(p61)
-                lanes = (hv[:, None] * a[None, :] + b[None, :]) % np.uint64(p61)
+                # exact Mersenne-prime affine hash (wrapping % loses
+                # the universal-family guarantee)
+                lanes = affine_mod_p61(a[None, :], hv[:, None], b[None, :])
                 out.append(lanes.min(axis=0).astype(np.int64).tolist())
             yield pd.Series(out)
 

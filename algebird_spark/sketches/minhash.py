@@ -15,7 +15,7 @@ from __future__ import annotations
 
 import numpy as np
 
-from ..functions.hashing import DEFAULT_SEED, murmur64_any
+from ..functions.hashing import DEFAULT_SEED, affine_mod_p61, murmur64_any
 from .base import KIND_MINHASH, Sketch, register
 
 _P61 = np.uint64((1 << 61) - 1)  # Mersenne prime modulus
@@ -55,9 +55,12 @@ class MinHash(Sketch):
         if values.size == 0:
             return
         h = murmur64_any(values, self.seed) & _P61
-        # per-lane min over the batch; loop over lanes (vector per lane)
+        # per-lane min over the batch; loop over lanes (vector per lane).
+        # affine_mod_p61 is the exact Mersenne-prime universal hash — a
+        # plain (a*h + b) % p in uint64 wraps mod 2^64 first and loses
+        # min-wise independence.
         for i in range(self.num_lanes):
-            lane = (self._a[i] * h + self._b[i]) % _P61
+            lane = affine_mod_p61(self._a[i], h, self._b[i])
             m = lane.min()
             if m < self.sig[i]:
                 self.sig[i] = m
@@ -78,8 +81,9 @@ class MinHash(Sketch):
         for b in range(bands):
             chunk = self.sig[b * rows : (b + 1) * rows]
             acc = np.uint64(1469598103934665603) ^ np.uint64(b)
-            for v in chunk:  # FNV-style fold, rows is small
-                acc = (acc ^ v) * np.uint64(1099511628211)
+            with np.errstate(over="ignore"):  # FNV wraps mod 2^64 by design
+                for v in chunk:  # FNV-style fold, rows is small
+                    acc = (acc ^ v) * np.uint64(1099511628211)
             out.append(int(acc & np.uint64(0x7FFFFFFFFFFFFFFF)))
         return out
 

@@ -28,9 +28,24 @@ MANIFEST = "manifest.json"
 
 
 def input_fingerprint(df: DataFrame) -> dict:
-    """Cheap input identity: schema + row count. (At 100 TB swap the
-    count for the table snapshot id / files manifest hash.)"""
-    return {"schema": df.schema.simpleString(), "rows": df.count()}
+    """Input identity: schema + row count + a content signal (source
+    file list with sizes/mtimes), so a rewrite that preserves the row
+    count — replaced partitions, updated values — still invalidates the
+    checkpoint. (At warehouse scale swap the file walk for the Iceberg
+    snapshot id / Delta version from the table metadata.)"""
+    files = []
+    try:
+        for p in sorted(df.inputFiles()):
+            local = p[len("file:"):] if p.startswith("file:") else p
+            try:
+                st = os.stat(local)
+                files.append([p, int(st.st_size), int(st.st_mtime)])
+            except OSError:  # remote FS: path alone still contributes
+                files.append([p, -1, -1])
+    except Exception:  # non-file-based source (e.g. in-memory view)
+        pass
+    return {"schema": df.schema.simpleString(), "rows": df.count(),
+            "files": files}
 
 
 def _describe_factory(factory: SketchFactory) -> dict:
