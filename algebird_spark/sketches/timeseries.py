@@ -88,12 +88,35 @@ def _decode_decayed(params: dict, payload: bytes) -> DecayedValue:
     return out
 
 
+def _canonical_counts(total: int, k: int) -> np.ndarray:
+    """Bucket counts per size 2^j (j ascending) of the l-canonical form:
+    every filled size below the top has k or k+1 buckets, the top size
+    has 1..k+1 — the representation the reference computes directly
+    (ExpHist.scala:287-434, Canonical.fromLong). O(log total)."""
+    if total <= 0:
+        return np.zeros(0, dtype=np.int64)
+    j_top = 0
+    while k * ((1 << (j_top + 1)) - 1) + (1 << (j_top + 1)) <= total:
+        j_top += 1
+    rem = total - k * ((1 << j_top) - 1)
+    n_top = rem >> j_top
+    bits = rem & ((1 << j_top) - 1)
+    counts = np.empty(j_top + 1, dtype=np.int64)
+    for j in range(j_top):
+        counts[j] = k + ((bits >> j) & 1)
+    counts[j_top] = n_top
+    return counts
+
+
 class ExpHist(Sketch):
     """Sliding-window count, relative error <= epsilon.
 
     Buckets: list of (size, newest_ts), sizes are powers of two, at most
-    ``k+1`` buckets per size with k = ceil(1/epsilon); two oldest
-    same-size buckets merge (canonical DGIM maintenance)."""
+    ``k+1`` buckets per size with k = ceil(1/epsilon) (DGIM). Updates
+    and merges rebuild the l-canonical form wholesale from the combined
+    (size, ts) events — fully vectorized (one argsort + two cumsums +
+    one searchsorted per batch), replacing the earlier per-event
+    ``buckets.insert(0, ...)`` loop that was O(n^2) in batch size."""
 
     KIND = KIND_EXPHIST
 
@@ -108,44 +131,54 @@ class ExpHist(Sketch):
         return {"epsilon": self.epsilon, "window": self.window}
 
     def add(self, ts: float, count: int = 1) -> None:
-        self.now = max(self.now, ts)
-        for _ in range(count):
-            self.buckets.insert(0, (1, ts))
-        self._canonicalize()
-        self._expire()
+        if count <= 0:
+            return
+        # a pre-aggregated (count, ts) event is just a ready-made bucket
+        self._ingest(np.array([count], dtype=np.int64),
+                     np.array([ts], dtype=np.float64))
 
     def update_batch(self, values) -> None:
         """values: timestamps (counts of 1 each)."""
         ts = np.asarray(values, dtype=np.float64)
         if ts.size == 0:
             return
-        ts = np.sort(ts)
-        for t in ts.tolist():  # per-event bucket insert (bounded state)
-            self.now = max(self.now, t)
-            self.buckets.insert(0, (1, t))
-            if len(self.buckets) % 64 == 0:
-                self._canonicalize()
-        self._canonicalize()
-        self._expire()
+        self.now = max(self.now, float(ts.max()))
+        ts = ts[ts >= self.now - self.window]  # expired-on-arrival events
+        self._ingest(np.ones(len(ts), dtype=np.int64), ts)
 
-    def _canonicalize(self) -> None:
-        # merge pairs of oldest same-size buckets while any size exceeds k+1
-        changed = True
-        while changed:
-            changed = False
-            counts: dict[int, int] = {}
-            for size, _ in self.buckets:
-                counts[size] = counts.get(size, 0) + 1
-            for size, n in sorted(counts.items()):
-                if n > self.k + 1:
-                    idx = [i for i, (s, _) in enumerate(self.buckets) if s == size]
-                    i2, i1 = idx[-1], idx[-2]  # two oldest
-                    merged = (size * 2, self.buckets[i1][1])
-                    del self.buckets[i2]
-                    del self.buckets[i1]
-                    self.buckets.insert(i1, merged)
-                    changed = True
-                    break
+    def _ingest(self, new_sizes: np.ndarray, new_tss: np.ndarray) -> None:
+        """Combine new (size, ts) events with the existing buckets and
+        rebuild the canonical form. Each canonical bucket's timestamp is
+        the newest event it covers (the DGIM invariant)."""
+        if len(new_tss):
+            self.now = max(self.now, float(new_tss.max()))
+        n_old = len(self.buckets)
+        sizes = np.concatenate([
+            new_sizes,
+            np.fromiter((s for s, _ in self.buckets), dtype=np.int64,
+                        count=n_old)])
+        tss = np.concatenate([
+            new_tss,
+            np.fromiter((t for _, t in self.buckets), dtype=np.float64,
+                        count=n_old)])
+        if sizes.size == 0:
+            self.buckets = []
+            return
+        order = np.argsort(-tss, kind="stable")  # newest first
+        sizes, tss = sizes[order], tss[order]
+        total = int(sizes.sum())
+        counts = _canonical_counts(total, self.k)
+        bucket_sizes = np.repeat(
+            np.left_shift(np.int64(1), np.arange(len(counts), dtype=np.int64)),
+            counts)
+        ends = np.cumsum(bucket_sizes)
+        starts = ends - bucket_sizes
+        event_cum = np.cumsum(sizes)
+        # newest event covering position start+1 (1-indexed, newest first)
+        idx = np.searchsorted(event_cum, starts + 1, side="left")
+        bucket_ts = tss[idx]
+        self.buckets = list(zip(bucket_sizes.tolist(), bucket_ts.tolist()))
+        self._expire()
 
     def _expire(self) -> None:
         cutoff = self.now - self.window
@@ -154,10 +187,10 @@ class ExpHist(Sketch):
     def merge_in_place(self, other: "ExpHist") -> "ExpHist":
         self.merge_check(other)
         self.now = max(self.now, other.now)
-        self.buckets = sorted(self.buckets + other.buckets,
-                              key=lambda st: -st[1])
-        self._canonicalize()
-        self._expire()
+        n = len(other.buckets)
+        self._ingest(
+            np.fromiter((s for s, _ in other.buckets), dtype=np.int64, count=n),
+            np.fromiter((t for _, t in other.buckets), dtype=np.float64, count=n))
         return self
 
     def guess(self) -> float:

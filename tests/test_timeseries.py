@@ -95,3 +95,42 @@ def test_decayed_vector():
     o.update_batch(np.array([[4.0, 0.0, 2.0]]), np.array([10.0]))
     d.merge_in_place(from_bytes(o.to_bytes()))
     assert np.allclose(d.value_at(10.0), [8.0, 2.0, 2.0])
+
+
+def test_exphist_canonical_form_invariants():
+    from algebird_spark.sketches.timeseries import _canonical_counts
+    for total in [1, 2, 3, 5, 17, 100, 12345, 10**9]:
+        for k in [1, 2, 5, 20]:
+            c = _canonical_counts(total, k)
+            assert int((c * (1 << np.arange(len(c)))).sum()) == total
+            assert (c[:-1] >= k).all() and (c[:-1] <= k + 1).all()
+            assert 1 <= c[-1] <= k + 1
+
+
+def test_exphist_batch_update_is_vectorized():
+    """1M-event batch must go through the l-canonical rebuild (ExpHist
+    .scala:287-434 analog), not a per-event insert loop: >= 1M events/s
+    and the epsilon bound still holds."""
+    import time
+    rng = np.random.default_rng(1)
+    big = rng.uniform(0, 1e6, size=1_000_000)
+    eh = ExpHist(epsilon=0.01, window=5e5)
+    t0 = time.perf_counter()
+    eh.update_batch(big)
+    dt = time.perf_counter() - t0
+    exact = int((big > big.max() - 5e5).sum())
+    assert abs(eh.guess() - exact) / exact <= 0.012
+    assert dt < 1.0, f"1M-event batch took {dt:.2f}s — update path regressed"
+
+
+def test_exphist_unsorted_and_chunked_matches_bound():
+    ts = np.arange(5000, dtype=np.float64)
+    np.random.default_rng(0).shuffle(ts)
+    eh = ExpHist(epsilon=0.05, window=1000.0)
+    for chunk in np.array_split(ts, 7):
+        eh.update_batch(chunk)
+    assert abs(eh.guess() - 1000) / 1000 <= 0.06
+    sizes = [s for s, _ in eh.buckets]
+    from collections import Counter
+    per_size = Counter(sizes)
+    assert all(n <= eh.k + 1 for n in per_size.values())
