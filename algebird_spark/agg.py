@@ -383,3 +383,33 @@ def with_presented(states_df: DataFrame, presenter: Callable[[Sketch], dict],
             yield pd.concat([out, pd.DataFrame(presented)], axis=1)
 
     return states_df.mapInPandas(run, schema)
+
+
+def present_explode(states_df: DataFrame,
+                    presenter: Callable[[Sketch], list[dict]],
+                    out_fields: str) -> DataFrame:
+    """Like ``with_presented`` but ``presenter(sketch) -> list[dict]``:
+    zero or more output rows per final state (e.g. top-N per scope from
+    a ScopedTopN state). Group-key columns are carried onto every
+    emitted row; ``out_fields`` is a DDL string for the presented
+    columns. Runs in-plan via mapInPandas — final states are one row
+    per group, so this is cheap and never touches the driver."""
+    key_cols = [f.name for f in states_df.schema.fields
+                if f.name not in (STATE_COL, COUNT_COL)]
+    key_ddl = ", ".join(f"{f.name} {f.dataType.simpleString()}"
+                        for f in states_df.schema.fields
+                        if f.name in key_cols)
+    schema = f"{key_ddl}, {out_fields}" if key_ddl else out_fields
+
+    def run(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows: list[dict] = []
+            for i in range(len(pdf)):
+                for d in presenter(from_bytes(bytes(pdf[STATE_COL].iloc[i]))):
+                    row = {k: pdf[k].iloc[i] for k in key_cols}
+                    row.update(d)
+                    rows.append(row)
+            if rows:
+                yield pd.DataFrame(rows)
+
+    return states_df.mapInPandas(run, schema)

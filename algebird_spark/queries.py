@@ -513,73 +513,76 @@ def q_setsize_distinct(spark, sf):
 
 def q_hllseries_since(spark, sf):
     """HLLSeries: distinct user_id over the trailing half of event time,
-    reconstructed from one time-indexed state, vs exact."""
-    import numpy as np
+    reconstructed from one time-indexed state, vs exact. Built through
+    the distributed multi-column harness (partition combine -> state
+    merge); only the window midpoint (2 scalars) touches the driver —
+    the state itself is presented in-plan."""
+    from .agg import sketch_by_key_multi
     from .sketches.timeseries import HLLSeries
     ev = _t(spark, sf, "events").withColumn(
-        "us", F.unix_micros(F.col("ts").cast("timestamp")))
+        "us", F.unix_micros(F.col("ts").cast("timestamp")).cast("double"))
     lo, hi = ev.agg(F.min("us"), F.max("us")).collect()[0]
-    mid_us = (int(lo) + int(hi)) // 2
-    pdf = ev.select("user_id", "us").toPandas()
-    hs = HLLSeries(p=14)
-    hs.update_batch(pdf["user_id"].to_numpy(),
-                    pdf["us"].to_numpy().astype("float64"))
-    est = hs.since(float(mid_us)).estimate()
-    exact = ev.filter(F.col("us") >= mid_us).agg(
-        F.count_distinct("user_id")).collect()[0][0]
-    ok = abs(est - exact) / max(exact, 1) <= 3.5 * 1.04 / math.sqrt(2 ** 14)
-    return spark.createDataFrame(
-        [Row(exact_recent_users=int(exact), hllseries_ok=bool(ok))],
-        StructType([StructField("exact_recent_users", LongType(), False),
-                    StructField("hllseries_ok", BooleanType(), False)]))
+    mid_us = (float(lo) + float(hi)) / 2
+    states = sketch_by_key_multi(ev, [], ["user_id", "us"],
+                                 lambda: HLLSeries(p=14))
+    est = with_presented(
+        states, lambda sk: {"est": float(sk.since(mid_us).estimate())},
+        "est double")
+    exact_df = ev.filter(F.col("us") >= mid_us).agg(
+        F.count_distinct("user_id").alias("exact_recent_users"))
+    bound = 3.5 * 1.04 / math.sqrt(2 ** 14)
+    return (exact_df.crossJoin(est.select("est"))
+            .select("exact_recent_users",
+                    (F.abs(F.col("est") - F.col("exact_recent_users"))
+                     / F.greatest(F.col("exact_recent_users"), F.lit(1))
+                     <= bound).alias("hllseries_ok")))
 
 
 def q_decayed_value_sketch(spark, sf):
-    """DecayedValue mergeable state agrees with the SQL decay expression
-    to 1e-9 relative, per user (DecayedValue.scala:31-58 semantics)."""
+    """Per-user DecayedValue mergeable states, built through the
+    distributed multi-column harness, agree with the SQL decay
+    expression to 1e-9 relative (DecayedValue.scala:31-58 semantics).
+    The comparison itself runs in-plan: states join the exact SQL
+    answer per user and only the folded (n_users, bool) pair returns."""
+    from .agg import sketch_by_key_multi
     from .sketches.timeseries import DecayedValue
-    ev = _t(spark, sf, "events")
-    pdf = ev.select("user_id", "value",
-                    F.col("ts").cast("timestamp").cast("double").alias("sec")
-                    ).toPandas()
     half = 7 * 86400.0
-    ok_all = True
-    n_users = 0
-    import numpy as np
-    for uid, g in pdf.groupby("user_id"):
-        d = DecayedValue(half_life=half)
-        for part in np.array_split(g.index.to_numpy(), 3):
-            rows = g.loc[part]
-            if len(rows):
-                d.update_batch(np.column_stack([rows["value"], rows["sec"]]))
-        tmax = g["sec"].max()
-        exact = float((g["value"] * 2.0 ** ((g["sec"] - tmax) / half)).sum())
-        if not np.isclose(d.value_at(tmax), exact, rtol=1e-9):
-            ok_all = False
-        n_users += 1
-    return spark.createDataFrame(
-        [Row(n_users=int(n_users), decayed_ok=bool(ok_all))],
-        StructType([StructField("n_users", LongType(), False),
-                    StructField("decayed_ok", BooleanType(), False)]))
+    ev = _t(spark, sf, "events").withColumn(
+        "sec", F.col("ts").cast("timestamp").cast("double"))
+    states = sketch_by_key_multi(ev, ["user_id"], ["value", "sec"],
+                                 lambda: DecayedValue(half_life=half))
+    est = with_presented(states, lambda sk: {"est": float(sk.present())},
+                         "est double")
+    exact_df = exact.decayed_sum(ev, ["user_id"], "ts", "value",
+                                 half_life_seconds=half)
+    joined = est.select("user_id", "est").join(exact_df, "user_id")
+    ok = (F.abs(F.col("est") - F.col("decayed"))
+          <= 1e-9 * F.greatest(F.abs(F.col("decayed")), F.lit(1e-9)))
+    return joined.agg(F.count("*").alias("n_users"),
+                      F.bool_and(ok).alias("decayed_ok"))
 
 
 def q_exphist_window_count(spark, sf):
-    """ExpHist trailing-window count within its epsilon bound vs exact."""
+    """ExpHist trailing-window count within its epsilon bound vs exact.
+    The state is built through the distributed harness (partition
+    combine -> keyless tree merge) and presented in-plan; only the
+    window parameter (2 scalars) touches the driver."""
     from .sketches.timeseries import ExpHist
-    ev = _t(spark, sf, "events")
-    pdf = ev.select(F.col("ts").cast("timestamp").cast("double").alias("sec")
-                    ).toPandas()
-    secs = pdf["sec"].to_numpy()
-    window = (secs.max() - secs.min()) / 4
-    eh = ExpHist(epsilon=0.05, window=window)
-    eh.update_batch(secs)
-    exact = int((secs > secs.max() - window).sum())
-    est = eh.guess()
-    ok = abs(est - exact) / max(exact, 1) <= 0.08
-    return spark.createDataFrame(
-        [Row(exact_window_count=int(exact), exphist_ok=bool(ok))],
-        StructType([StructField("exact_window_count", LongType(), False),
-                    StructField("exphist_ok", BooleanType(), False)]))
+    ev = _t(spark, sf, "events").withColumn(
+        "sec", F.col("ts").cast("timestamp").cast("double"))
+    lo, hi = ev.agg(F.min("sec"), F.max("sec")).collect()[0]
+    window = (float(hi) - float(lo)) / 4
+    states = sketch_by_key(ev, [], "sec",
+                           lambda: ExpHist(epsilon=0.05, window=window))
+    est = with_presented(states, lambda sk: {"est": float(sk.guess())},
+                         "est double")
+    exact_df = ev.filter(F.col("sec") > float(hi) - window).agg(
+        F.count("*").alias("exact_window_count"))
+    return (exact_df.crossJoin(est.select("est"))
+            .select("exact_window_count",
+                    (F.abs(F.col("est") - F.col("exact_window_count"))
+                     / F.greatest(F.col("exact_window_count"), F.lit(1))
+                     <= 0.08).alias("exphist_ok")))
 
 
 def q_map_invert(spark, sf):
@@ -640,30 +643,36 @@ def q_reservoir_sample(spark, sf):
 
 def q_scoped_topn(spark, sf):
     """ScopedTopN: top-2 l_suppkey per l_returnflag scope; capacity >
-    scope cardinality -> exact counts (ScopedTopNLogic semantics)."""
+    scope cardinality -> exact counts (ScopedTopNLogic semantics).
+    Built through the distributed multi-column harness; the merged
+    state explodes to (scope, rank, item, count) rows in-plan and joins
+    back to the flag names with a broadcast join — only the tiny
+    scope-code dictionary (3 rows) touches the driver."""
+    from .agg import present_explode, sketch_by_key_multi
     from .sketches.spacesaver import ScopedTopN
     li = _t(spark, sf, "lineitem")
-    pdf = li.select("l_returnflag", "l_suppkey").toPandas()
-    flags = sorted(pdf["l_returnflag"].unique())
+    flags = sorted(r[0] for r in li.select("l_returnflag").distinct().collect())
     scope_of = {f: i for i, f in enumerate(flags)}
-    import numpy as np
-    merged = ScopedTopN(n=2, capacity=4096)
-    idx = np.arange(len(pdf))
-    for part in np.array_split(idx, 4):
-        s = ScopedTopN(n=2, capacity=4096)
-        s.update_batch(pdf["l_suppkey"].to_numpy()[part],
-                       pdf["l_returnflag"].map(scope_of).to_numpy()[part])
-        merged.merge_in_place(from_bytes(s.to_bytes()))
-    rows = []
-    for f in flags:
-        for rank, (item, count, _e, _g) in enumerate(merged.top_n(scope_of[f]), 1):
-            rows.append(Row(l_returnflag=f, rank=rank, l_suppkey=int(item),
-                            cnt=int(count)))
-    return spark.createDataFrame(rows, StructType([
-        StructField("l_returnflag", StringType(), False),
-        StructField("rank", LongType(), False),
-        StructField("l_suppkey", LongType(), False),
-        StructField("cnt", LongType(), False)]))
+    code_expr = F.create_map(
+        *[x for f, c in scope_of.items() for x in (F.lit(f), F.lit(c))]
+    )[F.col("l_returnflag")]
+    coded = li.withColumn("scope", code_expr.cast("long"))
+    states = sketch_by_key_multi(coded, [], ["l_suppkey", "scope"],
+                                 lambda: ScopedTopN(n=2, capacity=4096))
+
+    def top_rows(sk):
+        return [{"scope": int(scope), "rank": rank, "l_suppkey": int(item),
+                 "cnt": int(count)}
+                for scope in sorted(sk.scopes)
+                for rank, (item, count, _e, _g) in enumerate(sk.top_n(scope), 1)]
+
+    exploded = present_explode(
+        states, top_rows, "scope long, rank long, l_suppkey long, cnt long")
+    flag_df = spark.createDataFrame(
+        [Row(scope=c, l_returnflag=f) for f, c in scope_of.items()],
+        "scope long, l_returnflag string")
+    return (exploded.join(F.broadcast(flag_df), "scope")
+            .select("l_returnflag", "rank", "l_suppkey", "cnt"))
 
 
 def q_sketchmap_sums(spark, sf):

@@ -53,16 +53,24 @@ class DecayedValue(Sketch):
             return 0.0
         return 2.0 ** ((old - new) / self.half_life)
 
-    def update_batch(self, values) -> None:
-        """values: (n, 2) array of [value, ts] pairs or structured rows."""
-        arr = np.asarray(values, dtype=np.float64)
-        if arr.size == 0:
-            return
-        if arr.ndim == 1:
-            arr = arr.reshape(-1, 2)
-        ts = arr[:, 1]
+    def update_batch(self, values, timestamps=None) -> None:
+        """Either aligned (values, timestamps) columns — the
+        ``sketch_by_key_multi`` calling convention — or a single (n, 2)
+        array of [value, ts] pairs."""
+        if timestamps is None:
+            arr = np.asarray(values, dtype=np.float64)
+            if arr.size == 0:
+                return
+            if arr.ndim == 1:
+                arr = arr.reshape(-1, 2)
+            vals, ts = arr[:, 0], arr[:, 1]
+        else:
+            vals = np.asarray(values, dtype=np.float64)
+            ts = np.asarray(timestamps, dtype=np.float64)
+            if vals.size == 0:
+                return
         t_max = float(ts.max())
-        scaled = arr[:, 0] * np.exp2((ts - t_max) / self.half_life)
+        scaled = vals * np.exp2((ts - t_max) / self.half_life)
         self.add(float(scaled.sum()), t_max)
 
     def merge_in_place(self, other: "DecayedValue") -> "DecayedValue":
@@ -253,7 +261,15 @@ class HLLSeries(Sketch):
         idx = (h & np.uint64(self.m - 1)).astype(np.int64)
         w = h >> np.uint64(self.p)
         rho = np.minimum(trailing_zeros64(w).astype(np.int64) + 1, 64 - self.p + 1)
-        for i, r, t in zip(idx.tolist(), rho.tolist(), ts.tolist()):
+        # reduce the batch to max-ts per (register, rho) first — the
+        # Python dict update then touches only distinct pairs (bounded
+        # by state size), never one iteration per event
+        key = idx * np.int64(64) + rho  # rho <= 64 - p + 1 < 64
+        order = np.lexsort((ts, key))
+        k_s, t_s = key[order], ts[order]
+        last = np.flatnonzero(np.diff(np.append(k_s, np.int64(-1))) != 0)
+        for k, t in zip(k_s[last].tolist(), t_s[last].tolist()):
+            i, r = divmod(k, 64)
             reg = self.rows.setdefault(i, {})
             if t > reg.get(r, -math.inf):
                 reg[r] = t

@@ -115,3 +115,15 @@ def test_partitioned_layout_prunes(spark, tmp_path):
     exact = df.filter(F.col("source") == "src_00") \
         .selectExpr("sum(n_tok)").collect()[0]
     assert row[0] == exact[0]
+
+
+@pytest.mark.parametrize("qname", ["hllseries_since", "decayed_value_sketch",
+                                   "exphist_window_count", "scoped_topn"])
+def test_time_indexed_queries_build_distributed(spark, qname):
+    """Round-1 VERDICT item 1: the four time-indexed sketch queries must
+    build their states through the mapInArrow partition combine, not a
+    driver-side toPandas() — the returned plan must contain MapInArrow."""
+    import __spark_entry__ as entrymod
+    df = entrymod.queries()[qname](spark, "/root/testdata/sf0.001")
+    plan = plan_of(df)
+    assert "MapInArrow" in plan, f"{qname} no longer builds distributed"
