@@ -17,6 +17,9 @@ rows) are presented driver-side.
 from __future__ import annotations
 
 import math
+from typing import Iterator
+
+import pandas as pd
 
 from pyspark.sql import DataFrame, Row, SparkSession
 from pyspark.sql import functions as F
@@ -89,24 +92,30 @@ def q_hll_intersection(spark, sf):
 
 def q_cms_point_queries(spark, sf):
     """CMS frequency of every distinct l_partkey: never underestimates,
-    overestimate <= eps*N."""
+    overestimate <= eps*N. The probe runs IN-PLAN: the final sketch
+    state (one ~600 KB blob — the only thing the driver ever holds)
+    ships to executors inside a vectorized pandas UDF that scores the
+    exact groupBy counts; the bound verdicts fold with bool_and. No
+    full key set is ever collected — stays runnable at sf10+."""
     li = _t(spark, sf, "lineitem")
     eps, delta = 0.0005, 1e-6
     sk = sketch_global(li, "l_partkey", lambda: CMS(eps=eps, delta=delta),
                        fanout=16)
-    exact = li.groupBy("l_partkey").count().collect()
-    import numpy as np
-    keys = np.array([r["l_partkey"] for r in exact], dtype=np.int64)
-    cnts = np.array([r["count"] for r in exact], dtype=np.int64)
-    est = sk.frequencies(keys)
-    never_under = bool((est >= cnts).all())
-    within_eps = bool((est <= cnts + eps * sk.total).all())
-    return spark.createDataFrame(
-        [Row(n_queried=int(len(keys)), never_under=never_under,
-             within_eps=within_eps)],
-        StructType([StructField("n_queried", LongType(), False),
-                    StructField("never_under", BooleanType(), False),
-                    StructField("within_eps", BooleanType(), False)]))
+    sk_bytes, total = sk.to_bytes(), sk.total
+
+    @F.pandas_udf("long")
+    def cms_est(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        local = from_bytes(sk_bytes)  # decode once per task
+        for s in it:
+            yield pd.Series(local.frequencies(s.to_numpy()).astype("int64"))
+
+    probed = (li.groupBy("l_partkey").count()
+              .withColumn("est", cms_est(F.col("l_partkey"))))
+    return probed.agg(
+        F.count("*").alias("n_queried"),
+        F.bool_and(F.col("est") >= F.col("count")).alias("never_under"),
+        F.bool_and(F.col("est") <= F.col("count") + eps * total)
+         .alias("within_eps"))
 
 
 def q_cms_heavy_hitters(spark, sf):
@@ -132,32 +141,43 @@ def q_cms_heavy_hitters(spark, sf):
 
 
 def q_bloom_membership(spark, sf):
-    """Bloom over o_custkey; probe every c_custkey: zero false negatives,
-    FPP on a guaranteed-absent id range <= 2x target."""
+    """Bloom over o_custkey; probe every c_custkey IN-PLAN: zero false
+    negatives, FPP on a guaranteed-absent id range <= 2x target. The
+    filter state ships to executors inside a vectorized pandas UDF;
+    presence truth comes from a join against distinct order keys; all
+    verdicts fold with aggregates — no key set is ever collected."""
     od = _t(spark, sf, "orders")
     cu = _t(spark, sf, "customer")
-    import numpy as np
     n_keys = od.select("o_custkey").distinct().count()
     fpp = 0.01
     bf = sketch_global(od, "o_custkey",
                        lambda: BloomFilter(num_entries=max(n_keys, 64),
                                            fp_prob=fpp), fanout=16)
-    probe = np.array([r[0] for r in cu.select("c_custkey").collect()],
-                     dtype=np.int64)
-    with_orders = {r[0] for r in od.select("o_custkey").distinct().collect()}
-    hits = bf.contains_batch(probe)
-    fn = sum(1 for k, h in zip(probe.tolist(), hits.tolist())
-             if k in with_orders and not h)
-    n_present = int(sum(1 for k in probe.tolist() if k in with_orders))
-    absent = np.arange(10**9, 10**9 + 50_000, dtype=np.int64)
-    measured = float(bf.contains_batch(absent).mean())
-    return spark.createDataFrame(
-        [Row(n_probed=int(len(probe)), n_present_exact=n_present,
-             false_negatives=int(fn), fpp_ok=bool(measured <= 2 * fpp + 1e-4))],
-        StructType([StructField("n_probed", LongType(), False),
-                    StructField("n_present_exact", LongType(), False),
-                    StructField("false_negatives", LongType(), False),
-                    StructField("fpp_ok", BooleanType(), False)]))
+    bf_bytes = bf.to_bytes()
+
+    @F.pandas_udf("boolean")
+    def bf_hit(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        local = from_bytes(bf_bytes)
+        for s in it:
+            yield pd.Series(local.contains_batch(s.to_numpy()))
+
+    present = od.select(F.col("o_custkey").alias("c_custkey")).distinct() \
+        .withColumn("__present", F.lit(True))
+    probed = (cu.select("c_custkey")
+              .join(present, "c_custkey", "left")
+              .select(bf_hit(F.col("c_custkey")).alias("hit"),
+                      F.coalesce("__present", F.lit(False)).alias("present")))
+    stats = probed.agg(
+        F.count("*").alias("n_probed"),
+        F.sum(F.col("present").cast("long")).alias("n_present_exact"),
+        F.sum((F.col("present") & ~F.col("hit")).cast("long"))
+         .alias("false_negatives"))
+    # guaranteed-absent probe range: measured FPP folds in-plan too
+    absent = spark.range(10**9, 10**9 + 50_000) \
+        .select(bf_hit(F.col("id").cast("long")).alias("hit"))
+    fpp_df = absent.agg(
+        (F.avg(F.col("hit").cast("double")) <= 2 * fpp + 1e-4).alias("fpp_ok"))
+    return stats.crossJoin(fpp_df)
 
 
 _QUANTILE_PS = [0.05, 0.25, 0.5, 0.75, 0.95]
