@@ -22,7 +22,7 @@ import math
 
 import numpy as np
 
-from ..functions.hashing import DEFAULT_SEED, murmur3_x64_128, murmur128_int64
+from ..functions.hashing import DEFAULT_SEED, murmur128_any
 from .base import KIND_BLOOM, Approximate, Sketch, register
 
 
@@ -53,19 +53,10 @@ class BloomFilter(Sketch):
 
     # ------------------------------------------------------------------
     def _slots(self, values: np.ndarray) -> np.ndarray:
-        """(len(values), k) int64 slot matrix."""
-        arr = np.asarray(values)
-        if np.issubdtype(arr.dtype, np.integer) or np.issubdtype(arr.dtype, np.floating):
-            if np.issubdtype(arr.dtype, np.floating):
-                arr = arr.astype(np.float64).view(np.int64)
-            h1, h2 = murmur128_int64(arr.astype(np.int64, copy=False), self.seed)
-        else:
-            h1 = np.empty(len(arr), dtype=np.uint64)
-            h2 = np.empty(len(arr), dtype=np.uint64)
-            for i, v in enumerate(arr):
-                b = v if isinstance(v, bytes) else str(v).encode("utf-8")
-                a, c = murmur3_x64_128(b, self.seed)
-                h1[i], h2[i] = a, c
+        """(len(values), k) int64 slot matrix. All dtypes vectorized:
+        strings/bytes go through the Arrow-layout murmur kernel
+        (murmur128_bytes) — no per-row Python on any path."""
+        h1, h2 = murmur128_any(np.asarray(values), self.seed)
         i = np.arange(self.k, dtype=np.uint64)[None, :]
         slots = (h1[:, None] + i * h2[:, None]) % np.uint64(self.m)
         return slots.astype(np.int64)

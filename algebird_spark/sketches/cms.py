@@ -28,7 +28,7 @@ import math
 
 import numpy as np
 
-from ..functions.hashing import cms_hash, cms_hash_params
+from ..functions.hashing import cms_hash, cms_hash_params, prepare_keys
 from .base import KIND_CMS, Approximate, IncompatibleSketchError, Sketch, register
 
 DEFAULT_CMS_SEED = 1
@@ -82,11 +82,14 @@ class CMS(Sketch):
     _CHUNK = 1 << 16  # chunk stays cache-resident across all depth rows
 
     def update_batch(self, values, counts=None) -> None:
+        """values: any supported key dtype — ints pass through,
+        strings/bytes go through the canonical prepare_keys 64-bit hash
+        (query methods apply the same prepare, so estimates line up)."""
         values = np.asarray(values)
         if values.size == 0:
             return
         if counts is not None:
-            keys = values.astype(np.int64, copy=False)
+            keys = prepare_keys(values)
             cnts = np.asarray(counts).astype(np.int64, copy=False)
             self.total += int(cnts.sum())
             if self.exact is not None:
@@ -96,7 +99,7 @@ class CMS(Sketch):
             if self.hh_pct is not None:
                 self._update_hh(keys)
             return
-        values = values.astype(np.int64, copy=False)
+        values = prepare_keys(values)
         self.total += int(values.size)
         for lo in range(0, values.shape[0], self._CHUNK):
             chunk = values[lo:lo + self._CHUNK]
@@ -139,7 +142,7 @@ class CMS(Sketch):
 
     # ------------------------------------------------------------------
     def _estimate_many(self, keys: np.ndarray) -> np.ndarray:
-        keys = np.asarray(keys, dtype=np.int64)
+        keys = prepare_keys(np.asarray(keys))
         if self.exact is not None:
             ex = self.exact
             return np.fromiter((ex.get(int(k), 0) for k in keys), dtype=np.int64,
@@ -150,13 +153,13 @@ class CMS(Sketch):
             np.minimum(est, self.table[i][h], out=est)
         return est
 
-    def frequency(self, key: int) -> Approximate:
-        est = int(self._estimate_many(np.array([key], dtype=np.int64))[0])
+    def frequency(self, key) -> Approximate:
+        est = int(self._estimate_many(np.asarray([key]))[0])
         lower = max(0, est - int(math.ceil(self.eps * self.total)))
         return Approximate(float(lower), float(est), float(est), 1.0 - self.delta)
 
     def frequencies(self, keys) -> np.ndarray:
-        return self._estimate_many(np.asarray(keys, dtype=np.int64))
+        return self._estimate_many(np.asarray(keys))
 
     def inner_product(self, other: "CMS") -> Approximate:
         self.merge_check(other)

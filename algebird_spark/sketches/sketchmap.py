@@ -19,7 +19,7 @@ import math
 
 import numpy as np
 
-from ..functions.hashing import cms_hash, cms_hash_params
+from ..functions.hashing import cms_hash, cms_hash_params, prepare_keys
 from .base import Sketch, register
 
 KIND_SKETCHMAP = 22
@@ -47,8 +47,11 @@ class SketchMap(Sketch):
                 "hh_count": self.hh_count}
 
     def update_batch(self, values, weights=None) -> None:
-        """values: int64 keys; weights: V values to sum (default 1.0)."""
-        keys = np.asarray(values).astype(np.int64, copy=False)
+        """values: keys of any supported dtype (prepare_keys canonical
+        hash for strings/bytes); weights: V values to sum (default 1.0).
+        For non-int keys heavy_hitters() reports the 64-bit key hash —
+        join it back to the label in-plan when needed."""
+        keys = prepare_keys(np.asarray(values))
         if keys.size == 0:
             return
         w = (np.ones(len(keys)) if weights is None
@@ -71,7 +74,7 @@ class SketchMap(Sketch):
     def values(self, keys) -> np.ndarray:
         """Estimated V per key: the row value with minimum magnitude
         (generalizes CMS min to signed sums)."""
-        keys = np.asarray(keys, dtype=np.int64)
+        keys = prepare_keys(np.asarray(keys))
         est = None
         for i in range(self.depth):
             h = cms_hash(self._a[i], keys, self.width)
@@ -153,7 +156,7 @@ class DecayingCMS(Sketch):
             self.ts = new_ts
 
     def update_batch(self, values, timestamps=None, weights=None) -> None:
-        keys = np.asarray(values).astype(np.int64, copy=False)
+        keys = prepare_keys(np.asarray(values))
         if keys.size == 0:
             return
         ts = (np.zeros(len(keys)) if timestamps is None
@@ -186,7 +189,7 @@ class DecayingCMS(Sketch):
     def decayed_frequency(self, key: int, at_ts: float | None = None) -> float:
         """Decayed count estimate, normalized to ``at_ts`` (default: the
         sketch's newest timestamp)."""
-        h = np.array([key], dtype=np.int64)
+        h = prepare_keys(np.asarray([key]))
         est = min(float(self.table[i][cms_hash(self._a[i], h, self.width)][0])
                   for i in range(self.depth))
         if at_ts is not None and at_ts > self.ts:

@@ -15,30 +15,43 @@ mergeable-by-construction default; SpaceSaver is provided for parity.
 
 from __future__ import annotations
 
+import json
+
 import numpy as np
 
+from ..functions.hashing import prepare_keys
 from .base import KIND_SPACESAVER, Sketch, register
 
 
 class SpaceSaver(Sketch):
+    """Counters are keyed by the canonical prepare_keys int64 (ints pass
+    through; strings/bytes hash). For non-int items the original label
+    is tracked alongside the TRACKED counters only (bounded by
+    capacity), so ``top_k`` returns the real string back — the
+    CMSHasher[String] use case (CMSHasher.scala:121-150)."""
+
     KIND = KIND_SPACESAVER
 
     def __init__(self, capacity: int = 100):
         if capacity < 1:
             raise ValueError("capacity must be >= 1")
         self.capacity = capacity
-        self.counters: dict[int, tuple[int, int]] = {}  # item -> (count, err)
+        self.counters: dict[int, tuple[int, int]] = {}  # key -> (count, err)
+        self.labels: dict[int, str] = {}  # key -> original label (non-int)
 
     def _params(self) -> dict:
         return {"capacity": self.capacity}
 
     def update_batch(self, values) -> None:
-        values = np.asarray(values).astype(np.int64, copy=False)
-        if values.size == 0:
+        arr = np.asarray(values)
+        if arr.size == 0:
             return
-        uniq, cnts = np.unique(values, return_counts=True)
+        keys = prepare_keys(arr)
+        labeled = keys is not arr and arr.dtype.kind not in ("i", "u", "f")
+        uniq, first, cnts = np.unique(keys, return_index=True,
+                                      return_counts=True)
         c = self.counters
-        for item, n in zip(uniq.tolist(), cnts.tolist()):
+        for j, (item, n) in enumerate(zip(uniq.tolist(), cnts.tolist())):
             if item in c:
                 cc, ee = c[item]
                 c[item] = (cc + n, ee)
@@ -47,7 +60,12 @@ class SpaceSaver(Sketch):
             else:
                 min_item = min(c, key=lambda k: c[k][0])
                 mc, _ = c.pop(min_item)
+                self.labels.pop(min_item, None)
                 c[item] = (mc + n, mc)
+            if labeled and item in c and item not in self.labels:
+                v = arr[first[j]]
+                self.labels[item] = (v.decode("utf-8", "replace")
+                                     if isinstance(v, bytes) else str(v))
 
     def merge_in_place(self, other: "SpaceSaver") -> "SpaceSaver":
         self.merge_check(other)
@@ -61,19 +79,26 @@ class SpaceSaver(Sketch):
             merged[item] = (ca + cb, ea + eb)
         top = sorted(merged.items(), key=lambda kv: (-kv[1][0], kv[0]))[: self.capacity]
         self.counters = dict(top)
+        if self.labels or other.labels:
+            lab = {**other.labels, **self.labels}
+            self.labels = {k: lab[k] for k in self.counters if k in lab}
         return self
 
-    def top_k(self, k: int) -> list[tuple[int, int, int, bool]]:
+    def _label(self, item: int):
+        return self.labels.get(item, item)
+
+    def top_k(self, k: int) -> list[tuple[object, int, int, bool]]:
         """[(item, count, error, guaranteed)] sorted by count desc
-        (SpaceSaver.scala:166-187)."""
+        (SpaceSaver.scala:166-187). ``item`` is the original label for
+        string inputs, the int key otherwise."""
         items = sorted(self.counters.items(), key=lambda kv: (-kv[1][0], kv[0]))
         out = []
         for i, (item, (c, e)) in enumerate(items[:k]):
             nxt = items[i + 1][1][0] if i + 1 < len(items) else 0
-            out.append((item, c, e, c - e >= nxt))
+            out.append((self._label(item), c, e, c - e >= nxt))
         return out
 
-    def most_frequent(self, threshold: int) -> list[tuple[int, int, int, bool]]:
+    def most_frequent(self, threshold: int) -> list[tuple[object, int, int, bool]]:
         return [(i, c, e, g) for i, c, e, g in self.top_k(len(self.counters))
                 if c >= threshold]
 
@@ -87,8 +112,11 @@ class SpaceSaver(Sketch):
         cnts = np.fromiter((v[0] for v in self.counters.values()), dtype=np.int64, count=n)
         errs = np.fromiter((v[1] for v in self.counters.values()), dtype=np.int64, count=n)
         o = np.argsort(items, kind="stable")
+        lab = json.dumps([[k, self.labels[k]] for k in sorted(self.labels)],
+                         ensure_ascii=False).encode("utf-8")
         return (np.array([n], dtype=np.int64).tobytes()
-                + items[o].tobytes() + cnts[o].tobytes() + errs[o].tobytes())
+                + items[o].tobytes() + cnts[o].tobytes() + errs[o].tobytes()
+                + lab)
 
 
 @register(KIND_SPACESAVER)
@@ -100,6 +128,9 @@ def _decode_spacesaver(params: dict, payload: bytes) -> SpaceSaver:
     errs = np.frombuffer(payload[8 + 16 * n : 8 + 24 * n], dtype=np.int64)
     out.counters = {int(i): (int(c), int(e))
                     for i, c, e in zip(items, cnts, errs)}
+    tail = payload[8 + 24 * n :]
+    if tail:
+        out.labels = {int(k): v for k, v in json.loads(tail.decode("utf-8"))}
     return out
 
 
@@ -123,8 +154,9 @@ class ScopedTopN(Sketch):
                 "capacity": self.capacity}
 
     def update_batch(self, values, scopes=None) -> None:
-        """values: int64 items; scopes: int64 scope id per item."""
-        items = np.asarray(values).astype(np.int64, copy=False)
+        """values: items (any dtype the nested SpaceSaver prepares);
+        scopes: int64 scope id per item."""
+        items = np.asarray(values)
         if items.size == 0:
             return
         sc = (np.zeros(len(items), dtype=np.int64) if scopes is None
