@@ -72,8 +72,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scoped_topn": Q.q_scoped_topn,
         "sketchmap_sums": Q.q_sketchmap_sums,
         "streaming_hll": Q.q_streaming_hll,
+        # --- string-key sketches (CMSHasher[K] surface) -------------------
+        "hll_string_distinct": Q.q_hll_string_distinct,
+        "cms_string_keys": Q.q_cms_string_keys,
+        "spacesaver_string_topk": Q.q_spacesaver_string_topk,
         # --- training-data pipeline ops ----------------------------------
         "dedup_exact": Q.q_dedup_exact,
+        "dedup_keep_min_id": Q.q_dedup_keep_min_id,
+        "minhash_lsh_recall": Q.q_minhash_lsh_recall,
         "text_stats": Q.q_text_stats,
         "doc_fingerprint": Q.q_doc_fingerprint,
         "simhash_near_dup": Q.q_simhash_near_dup,      # rows-only
@@ -354,18 +360,57 @@ def oracle_sql() -> dict[str, str]:
                    TRUE AS never_under, TRUE AS within_eps
             FROM lineitem
         """,
+        "hll_string_distinct": """
+            SELECT COUNT(DISTINCT text) AS exact_distinct_ids,
+                   TRUE AS hll_str_ok
+            FROM documents
+        """,
+        "cms_string_keys": """
+            SELECT COUNT(DISTINCT text) AS n_queried,
+                   TRUE AS never_under, TRUE AS within_eps
+            FROM documents
+        """,
+        "spacesaver_string_topk": """
+            SELECT lang, COUNT(*) AS cnt FROM documents GROUP BY lang
+        """,
         "streaming_hll": """
             SELECT event_type, COUNT(DISTINCT user_id) AS exact_users,
                    TRUE AS stream_hll_ok
             FROM events GROUP BY event_type
         """,
         # --- training-data ops --------------------------------------------
+        # planted-duplicate view: same md5 rule as queries._docs_with_dups
         "dedup_exact": """
-            SELECT (SELECT COUNT(*) FROM documents) AS n_docs,
-                   (SELECT COUNT(DISTINCT text) FROM documents) AS n_unique_texts,
+            WITH docs2 AS (
+              SELECT * FROM documents
+              UNION ALL
+              SELECT doc_id + 1000000000, text, lang, source, n_chars
+              FROM documents
+              WHERE SUBSTR(MD5(CAST(doc_id AS VARCHAR)), 1, 1) < '2')
+            SELECT (SELECT COUNT(*) FROM docs2) AS n_docs,
+                   (SELECT COUNT(DISTINCT text) FROM docs2) AS n_unique_texts,
                    (SELECT COUNT(*) FROM (
-                      SELECT text FROM documents GROUP BY text HAVING COUNT(*) > 1))
+                      SELECT text FROM docs2 GROUP BY text HAVING COUNT(*) > 1))
                    AS n_dup_groups
+        """,
+        "dedup_keep_min_id": """
+            WITH docs2 AS (
+              SELECT * FROM documents
+              UNION ALL
+              SELECT doc_id + 1000000000, text, lang, source, n_chars
+              FROM documents
+              WHERE SUBSTR(MD5(CAST(doc_id AS VARCHAR)), 1, 1) < '2')
+            SELECT COUNT(*) AS n_kept,
+                   SUM(CASE WHEN mid >= 1000000000 THEN 1 ELSE 0 END)
+                     AS planted_kept
+            FROM (SELECT MIN(doc_id) AS mid FROM docs2 GROUP BY text)
+        """,
+        "minhash_lsh_recall": """
+            SELECT COUNT(*) AS n_planted, TRUE AS recall_ok
+            FROM documents
+            WHERE SUBSTR(MD5(CAST(doc_id AS VARCHAR)), 1, 1) < '2'
+              AND (CASE WHEN TRIM(text) = '' THEN 0
+                   ELSE len(regexp_split_to_array(TRIM(text), '\\s+')) END) >= 30
         """,
         "text_stats": """
             SELECT lang, COUNT(*) AS n_docs,
@@ -378,8 +423,14 @@ def oracle_sql() -> dict[str, str]:
             FROM documents GROUP BY lang
         """,
         "doc_fingerprint": """
+            WITH docs2 AS (
+              SELECT * FROM documents
+              UNION ALL
+              SELECT doc_id + 1000000000, text, lang, source, n_chars
+              FROM documents
+              WHERE SUBSTR(MD5(CAST(doc_id AS VARCHAR)), 1, 1) < '2')
             SELECT MD5(text) AS fp, COUNT(*) AS n
-            FROM documents GROUP BY MD5(text) HAVING COUNT(*) > 1
+            FROM docs2 GROUP BY MD5(text) HAVING COUNT(*) > 1
         """,
         "embedding_topk": """
             WITH q AS (SELECT vec_id AS q_id, embedding AS q_vec

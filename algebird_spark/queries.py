@@ -393,18 +393,35 @@ def q_count_distinct_exact(spark, sf):
 # training-data pipeline queries (documents / embeddings)
 # ===========================================================================
 
-def q_dedup_exact(spark, sf):
+DUP_SELECT = "SUBSTR(MD5(CAST(doc_id AS VARCHAR)), 1, 1) < \'2\'"
+
+
+def _docs_with_dups(spark, sf):
+    """documents UNION deterministic duplicates: docs whose
+    md5(doc_id) hex starts below '2' (~1/8 of rows, engine-portable
+    rule) are re-emitted with doc_id + 10^9 and the SAME text. The
+    sf0.001/sf0.01 fixtures contain zero natural duplicate texts, which
+    made the round-1 dedup correctness checks vacuous; this view plants
+    a known duplicate population at every SF, reproducible in the
+    DuckDB oracle with the same SQL rule."""
     docs = _t(spark, sf, "documents")
+    dups = (docs.filter(F.substring(F.md5(F.col("doc_id").cast("string")),
+                                    1, 1) < F.lit("2"))
+            .withColumn("doc_id", F.col("doc_id") + F.lit(10**9)))
+    return docs.unionByName(dups)
+
+
+def q_dedup_exact(spark, sf):
+    """Exact dedup counts over the planted-duplicate view; the verdict
+    columns are exact and SQL-reproducible, and n_dup_groups > 0 at
+    every SF (non-vacuous). Aggregated in one pass in-plan."""
+    docs = _docs_with_dups(spark, sf)
     groups = dedup.exact_dup_groups(docs, "text", "doc_id")
-    n_docs = docs.count()
-    n_unique = docs.select("text").distinct().count()
-    n_groups = groups.count()
-    return spark.createDataFrame(
-        [Row(n_docs=int(n_docs), n_unique_texts=int(n_unique),
-             n_dup_groups=int(n_groups))],
-        StructType([StructField("n_docs", LongType(), False),
-                    StructField("n_unique_texts", LongType(), False),
-                    StructField("n_dup_groups", LongType(), False)]))
+    counts = docs.agg(
+        F.count("*").alias("n_docs"),
+        F.count_distinct("text").alias("n_unique_texts"))
+    return counts.crossJoin(
+        groups.agg(F.count("*").alias("n_dup_groups")))
 
 
 def q_text_stats(spark, sf):
@@ -420,10 +437,53 @@ def q_text_stats(spark, sf):
 
 
 def q_doc_fingerprint(spark, sf):
-    docs = _t(spark, sf, "documents")
+    """Duplicate fingerprint groups over the planted-duplicate view —
+    compares actual md5 fingerprints AND group sizes to the oracle."""
+    docs = _docs_with_dups(spark, sf)
     return (docs.select(text.fingerprint(F.col("text")).alias("fp"))
                 .groupBy("fp").agg(F.count("*").alias("n"))
                 .filter(F.col("n") > 1))
+
+
+def q_dedup_keep_min_id(spark, sf):
+    """dedup_exact operator (keep min doc_id per distinct text) over the
+    planted-duplicate view: survivor count == distinct texts and no
+    planted id (>= 10^9) survives when its original is present."""
+    docs = _docs_with_dups(spark, sf)
+    kept = dedup.dedup_exact(docs, "text", "doc_id")
+    return kept.agg(
+        F.count("*").alias("n_kept"),
+        F.sum((F.col("doc_id") >= 10**9).cast("long")).alias("planted_kept"))
+
+
+def q_minhash_lsh_recall(spark, sf):
+    """MinHash-LSH recall against PLANTED near-duplicates: docs selected
+    by the md5 rule (and >= 30 tokens) get a copy with one appended
+    token — shingle Jaccard (L-2)/(L-1) >= 0.96. The LSH pipeline
+    (sign -> band -> bucket-join -> exact-Jaccard verify) must recover
+    >= 90% of the planted pairs; at 64 perms / 16 bands the per-pair
+    miss probability is ~(1 - 0.96^4)^16 ~ 5e-14, so the boolean is
+    stable. n_planted is exact and SQL-reproducible."""
+    docs = _t(spark, sf, "documents")
+    eligible = docs.filter(
+        (F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
+         < F.lit("2"))
+        & (text.token_count(F.col("text")) >= 30))
+    planted = eligible.withColumn("doc_id", F.col("doc_id") + F.lit(10**9))         .withColumn("text", F.concat(F.col("text"), F.lit(" zzqx917")))
+    view = docs.unionByName(planted)
+    found = dedup.near_dup_pairs_minhash(view, "doc_id", "text",
+                                         num_perm=64, bands=16,
+                                         threshold=0.7)
+    pairs = eligible.select(
+        F.col("doc_id").alias("id_a"),
+        (F.col("doc_id") + F.lit(10**9)).alias("id_b"))
+    hit = pairs.join(found, ["id_a", "id_b"], "left_semi")
+    n_planted = pairs.agg(F.count("*").alias("n_planted"))
+    recall = hit.agg(F.count("*").alias("n_found"))
+    return (n_planted.crossJoin(recall)
+            .select("n_planted",
+                    (F.col("n_found") >= 0.9 * F.col("n_planted"))
+                    .alias("recall_ok")))
 
 
 def q_simhash_near_dup(spark, sf):
@@ -719,6 +779,72 @@ def q_sketchmap_sums(spark, sf):
         StructType([StructField("n_keys", LongType(), False),
                     StructField("never_under", BooleanType(), False),
                     StructField("within_eps", BooleanType(), False)]))
+
+
+# ===========================================================================
+# string-key sketch queries (CMSHasher[K] surface — vectorized murmur path)
+# ===========================================================================
+
+def q_hll_string_distinct(spark, sf):
+    """HLL over a STRING column (documents.text — long variable-length
+    strings) vs exact: exercises the vectorized variable-length murmur
+    kernel through the full distributed harness (no per-row Python on
+    the hash path)."""
+    docs = _t(spark, sf, "documents")
+    states = sketch_by_key(docs, [], "text", lambda: HLL(p=14))
+    est = with_presented(states, lambda sk: {"est": sk.estimate()},
+                         "est double")
+    exact_df = docs.agg(
+        F.count_distinct("text").alias("exact_distinct_ids"))
+    bound = 3.5 * 1.04 / math.sqrt(2 ** 14)
+    return (exact_df.crossJoin(est.select("est"))
+            .select("exact_distinct_ids",
+                    (F.abs(F.col("est") - F.col("exact_distinct_ids"))
+                     / F.greatest(F.col("exact_distinct_ids"), F.lit(1))
+                     <= bound).alias("hll_str_ok")))
+
+
+def q_cms_string_keys(spark, sf):
+    """CMS point queries over STRING keys (documents.text, canonical
+    prepare_keys 64-bit hash): never underestimates, over <= eps*N.
+    Probed in-plan like cms_point_queries."""
+    docs = _t(spark, sf, "documents")
+    eps, delta = 0.002, 1e-4
+    sk = sketch_global(docs, "text", lambda: CMS(eps=eps, delta=delta),
+                       fanout=16)
+    sk_bytes, total = sk.to_bytes(), sk.total
+
+    @F.pandas_udf("long")
+    def cms_est(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        local = from_bytes(sk_bytes)
+        for s in it:
+            yield pd.Series(
+                local.frequencies(s.to_numpy()).astype("int64"))
+
+    probed = (docs.groupBy("text").count()
+              .withColumn("est", cms_est(F.col("text"))))
+    return probed.agg(
+        F.count("*").alias("n_queried"),
+        F.bool_and(F.col("est") >= F.col("count")).alias("never_under"),
+        F.bool_and(F.col("est") <= F.col("count") + eps * total)
+         .alias("within_eps"))
+
+
+def q_spacesaver_string_topk(spark, sf):
+    """SpaceSaver over a STRING column (documents.lang) with label
+    tracking: capacity > cardinality -> exact per-language counts, and
+    the ORIGINAL strings come back from the merged state (the
+    heavy-hitter-URLs/user-agents use case). Exploded in-plan."""
+    from .agg import present_explode
+    from .sketches.spacesaver import SpaceSaver
+    docs = _t(spark, sf, "documents")
+    states = sketch_by_key(docs, [], "lang",
+                           lambda: SpaceSaver(capacity=4096))
+    return present_explode(
+        states,
+        lambda sk: [{"lang": str(item), "cnt": int(c)}
+                    for item, c, _e, _g in sk.top_k(100_000)],
+        "lang string, cnt long")
 
 
 def q_streaming_hll(spark, sf):
