@@ -168,27 +168,79 @@ def near_dup_pairs_minhash(df: DataFrame, id_col: str = "doc_id",
 # ---------------------------------------------------------------------------
 
 def near_dup_pairs_simhash(df: DataFrame, id_col: str = "doc_id",
-                           text_col: str = "text", max_hamming: int = 3) -> DataFrame:
-    """SimHash banding: 4 x 16-bit bands; Hamming <= 3 implies at least
-    one band matches exactly (pigeonhole). Verify candidates by popcount
-    of xor. Returns (id_a, id_b, hamming)."""
-    sh = simhash64_df(df, id_col, text_col)
-    banded = sh.select(
-        id_col, "simhash",
-        F.posexplode(F.array(*[
-            F.shiftrightunsigned(F.col("simhash"), 16 * i)
-             .bitwiseAND(F.lit(0xFFFF)).cast("int")
-            for i in range(4)])).alias("band", "bucket"))
+                           text_col: str = "text", max_hamming: int = 3,
+                           chunks: int | None = None,
+                           max_bucket: int | None = None) -> DataFrame:
+    """SimHash near-dup pairs via chunk-combination banding.
+
+    The 64-bit simhash splits into ``chunks`` equal pieces; if two
+    fingerprints differ in <= max_hamming bits, at most max_hamming
+    pieces are corrupted, so at least one of the
+    C(chunks, chunks - max_hamming) fixed combinations of
+    (chunks - max_hamming) pieces matches EXACTLY (pigeonhole) — that
+    combination's concatenated value is the join key. Candidates are
+    then verified by popcount of xor, so the output is exact for the
+    Hamming predicate regardless of banding parameters.
+
+    Banding picks the bucket-key width, which must scale with N: the
+    round-1 fixed 4x16 scheme keys buckets on 16 bits — ~N/65536 docs
+    per bucket, a quadratic within-bucket join at 10^9 docs. With
+    chunks=8 (h=3) each doc emits C(8,5)=56 keys of ~46 bits (combo id
+    + 40 payload bits): 56x the shuffle rows, but expected bucket size
+    N/2^40 — the join stays linear far past 10^12 docs. Default
+    (chunks=None) adapts: 4 below 2M docs (key space 2^16 x 4 keeps
+    buckets ~30 rows there and the plan compact), 8 above.
+
+    ``max_bucket``: optional skew guard — buckets larger than this are
+    dropped from candidate generation (bounded work at the cost of
+    recall on pathological simhash collisions, e.g. boilerplate docs;
+    exact dedup upstream removes most of those).
+
+    Returns (id_a, id_b, hamming)."""
+    from itertools import combinations
+    if chunks is None:
+        chunks = 4 if df.count() < 2_000_000 else 8
+    if 64 % chunks or chunks <= max_hamming:
+        raise ValueError("chunks must divide 64 and exceed max_hamming")
+    w = 64 // chunks
+    combo_size = chunks - max_hamming
+    combos = list(combinations(range(chunks), combo_size))
+    # one row per doc; persist so the self-join doesn't recompute the
+    # 64-way majority-vote aggregation twice (at warehouse scale, write
+    # the fingerprint table to storage instead)
+    sh = simhash64_df(df, id_col, text_col).persist()
+    pieces = F.array(*[
+        F.shiftrightunsigned(F.col("simhash"), w * j)
+         .bitwiseAND(F.lit((1 << w) - 1)).cast("long")
+        for j in range(chunks)])
+    combo_lit = F.array(*[F.array(*[F.lit(j) for j in combo])
+                          for combo in combos])
+    # key = combo id followed by the combo's concatenated pieces; built
+    # with higher-order functions so the expression tree stays
+    # O(chunks), not O(n_combos * combo_size)
+    keys = F.transform(
+        combo_lit,
+        lambda combo, ci: F.aggregate(
+            combo, ci.cast("long"),
+            lambda acc, j: F.shiftleft(acc, w)
+                            .bitwiseOR(F.element_at(F.col("__pieces"), j + 1))))
+    banded = (sh.withColumn("__pieces", pieces)
+              .select(id_col, "simhash", F.explode(keys).alias("bucket")))
+    if max_bucket is not None:
+        small = (banded.groupBy("bucket")
+                 .agg(F.count("*").alias("__bs"))
+                 .filter(F.col("__bs") <= max_bucket)
+                 .select("bucket"))
+        banded = banded.join(small, "bucket")
     l, r = banded.alias("l"), banded.alias("r")
-    cands = (l.join(r, (F.col("l.band") == F.col("r.band"))
-                    & (F.col("l.bucket") == F.col("r.bucket"))
-                    & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")))
-             .select(F.col(f"l.{id_col}").alias("id_a"),
-                     F.col(f"r.{id_col}").alias("id_b"),
-                     F.col("l.simhash").alias("sh_a"),
-                     F.col("r.simhash").alias("sh_b"))
-             .distinct())
-    xor = F.col("sh_a").bitwiseXOR(F.col("sh_b"))
-    ham = F.bit_count(xor)
-    return (cands.select("id_a", "id_b", ham.alias("hamming"))
-                 .filter(F.col("hamming") <= max_hamming))
+    ham = F.bit_count(
+        F.col("l.simhash").bitwiseXOR(F.col("r.simhash")))
+    # verify (cheap elementwise) BEFORE the distinct so the shuffle
+    # dedups only true near-dup pairs, not every band collision
+    return (l.join(r, (F.col("l.bucket") == F.col("r.bucket"))
+                   & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")))
+            .select(F.col(f"l.{id_col}").alias("id_a"),
+                    F.col(f"r.{id_col}").alias("id_b"),
+                    ham.alias("hamming"))
+            .filter(F.col("hamming") <= max_hamming)
+            .distinct())

@@ -127,3 +127,18 @@ def test_time_indexed_queries_build_distributed(spark, qname):
     df = entrymod.queries()[qname](spark, "/root/testdata/sf0.001")
     plan = plan_of(df)
     assert "MapInArrow" in plan, f"{qname} no longer builds distributed"
+
+
+def test_simhash_banding_parity_and_cap(spark):
+    """Chunk-combination banding (pigeonhole over C(c, c-h) combos) must
+    return the identical verified pair set for every layout — the
+    verify step makes the operator exact for the Hamming predicate."""
+    from algebird_spark.operators.dedup import near_dup_pairs_simhash
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    r4 = sorted(map(tuple, near_dup_pairs_simhash(docs, chunks=4).collect()))
+    r8 = sorted(map(tuple, near_dup_pairs_simhash(docs, chunks=8).collect()))
+    r8c = sorted(map(tuple, near_dup_pairs_simhash(
+        docs, chunks=8, max_bucket=100).collect()))
+    assert r4 == r8 == r8c
+    with pytest.raises(ValueError):
+        near_dup_pairs_simhash(docs, chunks=3)
