@@ -1,4 +1,5 @@
-from .base import (Approximate, IncompatibleSketchError, Sketch, from_bytes,
+from .base import (Approximate, ApproximateBoolean,
+                   IncompatibleSketchError, Sketch, from_bytes,
                    merge_all)
 from .bloom import BloomFilter, optimal_num_hashes, optimal_width
 from .cms import CMS
@@ -14,7 +15,8 @@ from .tdigest import TDigest
 from .timeseries import DecayedValue, ExpHist, HLLSeries
 
 __all__ = [
-    "Approximate", "IncompatibleSketchError", "Sketch", "from_bytes", "merge_all",
+    "Approximate", "ApproximateBoolean", "IncompatibleSketchError",
+    "Sketch", "from_bytes", "merge_all",
     "BloomFilter", "optimal_num_hashes", "optimal_width",
     "CMS", "MultiSketch", "HLL", "bits_for_error", "KLL", "kll_rank_error",
     "MinHash", "pick_bands_rows", "TDigest",

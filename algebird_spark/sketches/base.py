@@ -49,9 +49,50 @@ _DECODERS: dict[int, Callable[[dict, bytes], "Sketch"]] = {}
 
 
 @dataclass(frozen=True)
+class ApproximateBoolean:
+    """Boolean answer correct w.p. >= prob
+    (Approximate.scala ApproximateBoolean:26-66). Combine with &, |, ^
+    (Python can't overload ``and``/``or``)."""
+
+    is_true: bool
+    prob: float
+
+    def not_(self) -> "ApproximateBoolean":
+        return ApproximateBoolean(not self.is_true, self.prob)
+
+    __invert__ = not_
+
+    def __and__(self, that: "ApproximateBoolean") -> "ApproximateBoolean":
+        if self.is_true and that.is_true:
+            # need both to be correct
+            return ApproximateBoolean(True, self.prob * that.prob)
+        # confidence is the max confidence of the false cases
+        return ApproximateBoolean(
+            False, max(p.prob for p in (self, that) if not p.is_true))
+
+    def __or__(self, that: "ApproximateBoolean") -> "ApproximateBoolean":
+        if self.is_true or that.is_true:
+            return ApproximateBoolean(
+                True, max(p.prob for p in (self, that) if p.is_true))
+        # need both to be correct to believe it is false
+        return ApproximateBoolean(False, self.prob * that.prob)
+
+    def __xor__(self, that: "ApproximateBoolean") -> "ApproximateBoolean":
+        return ApproximateBoolean(self.is_true ^ that.is_true,
+                                  self.prob * that.prob)
+
+    @staticmethod
+    def exact(b: bool) -> "ApproximateBoolean":
+        return ApproximateBoolean(bool(b), 1.0)
+
+
+@dataclass(frozen=True)
 class Approximate:
-    """Interval answer: true value in [low, high] w.p. >= prob
-    (Approximate.scala:74)."""
+    """Interval answer: true value in [low, high] w.p. >= prob — a LOWER
+    bound, like the reference (Approximate.scala:74-174). Supports the
+    same algebra: +, -, * (interval arithmetic, probabilities multiply;
+    a monoid, not a ring — negate(x) + x != exact 0 and * does not
+    distribute, because bound probabilities compose per operation)."""
 
     low: float
     estimate: float
@@ -60,6 +101,82 @@ class Approximate:
 
     def contains(self, true_value: float) -> bool:
         return self.low <= true_value <= self.high
+
+    def contains_approx(self, true_value: float) -> ApproximateBoolean:
+        """Approximate.scala `contains`: the membership verdict carries
+        the interval's own confidence."""
+        return ApproximateBoolean(self.contains(true_value), self.prob)
+
+    # -- algebra (Approximate.scala:96-160) -----------------------------
+    @staticmethod
+    def exact(v: float) -> "Approximate":
+        return Approximate(float(v), float(v), float(v), 1.0)
+
+    @staticmethod
+    def zero() -> "Approximate":
+        return Approximate.exact(0.0)
+
+    @staticmethod
+    def one() -> "Approximate":
+        return Approximate.exact(1.0)
+
+    @property
+    def is_exact(self) -> bool:
+        return self.prob == 1.0 and self.low == self.high
+
+    @property
+    def is_zero(self) -> bool:
+        return self.is_exact and self.estimate == 0.0
+
+    @property
+    def is_one(self) -> bool:
+        return self.is_exact and self.estimate == 1.0
+
+    @staticmethod
+    def _coerce(v) -> "Approximate":
+        return v if isinstance(v, Approximate) else Approximate.exact(v)
+
+    def __add__(self, right) -> "Approximate":
+        r = Approximate._coerce(right)
+        return Approximate(self.low + r.low, self.estimate + r.estimate,
+                           self.high + r.high, self.prob * r.prob)
+
+    __radd__ = __add__
+
+    def negate(self) -> "Approximate":
+        return self * Approximate.exact(-1.0)
+
+    def __sub__(self, right) -> "Approximate":
+        return self + Approximate._coerce(right).negate()
+
+    def __mul__(self, right) -> "Approximate":
+        r = Approximate._coerce(right)
+        if r.is_zero or self.is_one:
+            return r
+        if self.is_zero or r.is_one:
+            return self
+        ends = [self.low * r.low, self.low * r.high,
+                self.high * r.low, self.high * r.high]
+        return Approximate(min(ends), self.estimate * r.estimate,
+                           max(ends), self.prob * r.prob)
+
+    __rmul__ = __mul__
+
+    def with_min(self, m: float) -> "Approximate":
+        """Assert the true value is known to be >= m
+        (Approximate.scala withMin)."""
+        if m > self.high:
+            raise ValueError(f"with_min({m}) above high={self.high}")
+        if m <= self.low:
+            return self
+        return Approximate(m, max(m, self.estimate), self.high, self.prob)
+
+    def with_max(self, m: float) -> "Approximate":
+        if m < self.low:
+            raise ValueError(f"with_max({m}) below low={self.low}")
+        if m >= self.high:
+            return self
+        return Approximate(self.low, min(m, self.estimate), m, self.prob)
 
 
 class IncompatibleSketchError(ValueError):

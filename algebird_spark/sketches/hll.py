@@ -227,12 +227,13 @@ class HLL(Sketch):
         tail_int = HLL.intersection_size(tail)
         merged_tail = [h + head for h in tail]  # ∩(t_i ∪ head) == (∩ t_i) ∪ head
         inter_union = HLL.intersection_size(merged_tail)
-        head_sz = head.approximate_size()
-        est = head_sz.estimate + tail_int.estimate - inter_union.estimate
-        low = head_sz.low + tail_int.low - inter_union.high
-        high = head_sz.high + tail_int.high - inter_union.low
-        prob = head_sz.prob * tail_int.prob * inter_union.prob
-        return Approximate(max(0.0, low), max(0.0, est), max(0.0, high), prob)
+        # inclusion-exclusion through the Approximate algebra: interval
+        # subtraction takes low - right.high / high - right.low and the
+        # probabilities multiply (Approximate.scala:96-118)
+        raw = head.approximate_size() + tail_int - inter_union
+        if raw.high < 0.0:  # bounds entirely negative: size is 0
+            return Approximate(0.0, 0.0, 0.0, raw.prob)
+        return raw.with_min(0.0)
 
     # ------------------------------------------------------------------
     def _payload(self) -> bytes:

@@ -163,16 +163,20 @@ class QTree(Sketch):
 
     # ------------------------------------------------------------------
     def _payload(self) -> bytes:
+        # canonical: levels ascending AND offsets sorted within each
+        # level, so byte-equality of equal states holds regardless of
+        # build/merge order (the convention every other sketch follows)
         parts = [np.array([self.total, len(self.nodes)], dtype=np.int64).tobytes()]
         for level in sorted(self.nodes):
             m = self.nodes[level]
             offs = np.fromiter(m.keys(), dtype=np.int64, count=len(m))
             cnts = np.fromiter((v[0] for v in m.values()), dtype=np.int64, count=len(m))
             sums = np.fromiter((v[1] for v in m.values()), dtype=np.float64, count=len(m))
+            o = np.argsort(offs, kind="stable")
             parts.append(np.array([level, len(m)], dtype=np.int64).tobytes())
-            parts.append(offs.tobytes())
-            parts.append(cnts.tobytes())
-            parts.append(sums.tobytes())
+            parts.append(offs[o].tobytes())
+            parts.append(cnts[o].tobytes())
+            parts.append(sums[o].tobytes())
         return b"".join(parts)
 
 
