@@ -71,6 +71,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "reservoir_sample": Q.q_reservoir_sample,
         "scoped_topn": Q.q_scoped_topn,
         "sketchmap_sums": Q.q_sketchmap_sums,
+        "decaying_cms": Q.q_decaying_cms,
+        "merge_lookup": Q.q_merge_lookup,
+        "set_diff": Q.q_set_diff,
         "streaming_hll": Q.q_streaming_hll,
         # --- string-key sketches (CMSHasher[K] surface) -------------------
         "hll_string_distinct": Q.q_hll_string_distinct,
@@ -359,6 +362,22 @@ def oracle_sql() -> dict[str, str]:
             SELECT COUNT(DISTINCT l_suppkey) AS n_keys,
                    TRUE AS never_under, TRUE AS within_eps
             FROM lineitem
+        """,
+        "decaying_cms": """
+            SELECT COUNT(DISTINCT user_id) AS n_keys,
+                   TRUE AS never_under, TRUE AS within_eps
+            FROM events
+        """,
+        "merge_lookup": """
+            SELECT s_nationkey, ROUND(SUM(l_quantity), 2) AS total_qty
+            FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+            GROUP BY s_nationkey
+        """,
+        "set_diff": """
+            SELECT s_nationkey,
+                   ARRAY_TO_STRING(LIST_SORT(LIST(s_suppkey)), ',') AS members
+            FROM supplier WHERE s_acctbal >= 1000
+            GROUP BY s_nationkey
         """,
         "hll_string_distinct": """
             SELECT COUNT(DISTINCT text) AS exact_distinct_ids,

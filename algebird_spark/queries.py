@@ -781,6 +781,81 @@ def q_sketchmap_sums(spark, sf):
                     StructField("within_eps", BooleanType(), False)]))
 
 
+def q_merge_lookup(spark, sf):
+    """MapAlgebra.mergeLookup: broadcast-join the supplier dimension,
+    sum quantity by the presented nation key (MapAlgebra.scala:183-188).
+    The plan gate asserts the broadcast; the oracle checks the values."""
+    from .operators.mapalgebra import merge_lookup
+    li = _t(spark, sf, "lineitem")
+    su = _t(spark, sf, "supplier").select(
+        F.col("s_suppkey").alias("l_suppkey"), "s_nationkey")
+    out = merge_lookup(li, su, "l_suppkey", "s_nationkey", "l_quantity")
+    return out.select("s_nationkey", F.round("total", 2).alias("total_qty"))
+
+
+def q_set_diff(spark, sf):
+    """SetDiff monoid applied per nation: (base ∪ add) \\ remove over
+    supplier-key sets partitioned by account balance (SetDiff.scala
+    :19-89 semantics; the oracle derives membership independently)."""
+    from .operators.mapalgebra import set_diff_apply
+    su = _t(spark, sf, "supplier")
+    g = su.groupBy("s_nationkey").agg(
+        F.collect_set(F.when(F.col("s_acctbal") >= 5000, F.col("s_suppkey")))
+         .alias("base"),
+        F.collect_set(F.when((F.col("s_acctbal") >= 0)
+                             & (F.col("s_acctbal") < 5000),
+                             F.col("s_suppkey"))).alias("add"),
+        F.collect_set(F.when(F.col("s_acctbal") < 1000, F.col("s_suppkey")))
+         .alias("remove"))
+    out = g.select(
+        "s_nationkey",
+        set_diff_apply(F.col("base"), F.col("add"), F.col("remove"))
+        .alias("members"))
+    return (out.filter(F.size("members") > 0)
+            .select("s_nationkey",
+                    F.array_join("members", ",").alias("members")))
+
+
+def q_decaying_cms(spark, sf):
+    """DecayingCMS built through the distributed 3-column harness
+    (user_id, sec, value): decayed frequency per user, normalized to the
+    global max timestamp, never underestimates the SQL decay expression
+    and overestimates by <= eps * total decayed mass
+    (DecayingCMS.scala:26-651 semantics). Probed in-plan."""
+    from .agg import sketch_by_key_multi
+    from .sketches.sketchmap import DecayingCMS
+    half = 7 * 86400.0
+    eps, delta = 0.005, 1e-4
+    ev = _t(spark, sf, "events").withColumn(
+        "sec", F.col("ts").cast("timestamp").cast("double"))
+    t_max = float(ev.agg(F.max("sec")).collect()[0][0])
+    states = sketch_by_key_multi(
+        ev, [], ["user_id", "sec", "value"],
+        lambda: DecayingCMS(eps=eps, delta=delta, half_life=half))
+    sk_bytes = bytes(states.collect()[0][STATE_COL])
+
+    @F.pandas_udf("double")
+    def dcms_est(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        local = from_bytes(sk_bytes)
+        for s in it:
+            yield pd.Series(local.decayed_frequencies(s.to_numpy(), t_max))
+
+    exact_df = (ev.groupBy("user_id")
+                .agg(F.sum(F.col("value")
+                           * F.pow(F.lit(2.0),
+                                   (F.col("sec") - F.lit(t_max)) / half))
+                     .alias("exact_decayed")))
+    mass = exact_df.agg(F.sum("exact_decayed").alias("__mass"))
+    probed = (exact_df.crossJoin(mass)
+              .withColumn("est", dcms_est(F.col("user_id"))))
+    return probed.agg(
+        F.count("*").alias("n_keys"),
+        F.bool_and(F.col("est") >= F.col("exact_decayed") - 1e-6)
+         .alias("never_under"),
+        F.bool_and(F.col("est") <= F.col("exact_decayed")
+                   + eps * F.col("__mass") + 1e-6).alias("within_eps"))
+
+
 # ===========================================================================
 # string-key sketch queries (CMSHasher[K] surface — vectorized murmur path)
 # ===========================================================================

@@ -186,6 +186,20 @@ class DecayingCMS(Sketch):
         self.table += other.table * scale
         return self
 
+    def decayed_frequencies(self, keys, at_ts: float | None = None):
+        """Vectorized decayed count estimates (min over rows), normalized
+        to ``at_ts`` (default: the sketch's newest timestamp)."""
+        import numpy as np
+        keys = prepare_keys(np.asarray(keys))
+        est = None
+        for i in range(self.depth):
+            h = cms_hash(self._a[i], keys, self.width)
+            row = self.table[i][h]
+            est = row.copy() if est is None else np.minimum(est, row)
+        if at_ts is not None and at_ts > self.ts:
+            est = est * 2.0 ** ((self.ts - at_ts) / self.half_life)
+        return est
+
     def decayed_frequency(self, key: int, at_ts: float | None = None) -> float:
         """Decayed count estimate, normalized to ``at_ts`` (default: the
         sketch's newest timestamp)."""
