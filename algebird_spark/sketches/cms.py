@@ -38,13 +38,18 @@ class CMS(Sketch):
     KIND = KIND_CMS
 
     def __init__(self, eps: float = 0.001, delta: float = 1e-6,
-                 seed: int = DEFAULT_CMS_SEED, heavy_hitters_pct: float | None = None):
+                 seed: int = DEFAULT_CMS_SEED,
+                 heavy_hitters_pct: float | None = None,
+                 heavy_hitters_n: int | None = None):
         if not 0 < eps < 1 or not 0 < delta < 1:
             raise ValueError("eps and delta must be in (0, 1)")
+        if heavy_hitters_pct is not None and heavy_hitters_n is not None:
+            raise ValueError("choose heavy_hitters_pct OR heavy_hitters_n")
         self.eps = eps
         self.delta = delta
         self.seed = seed
         self.hh_pct = heavy_hitters_pct
+        self.hh_n = heavy_hitters_n
         self.depth = int(math.ceil(math.log(1.0 / delta)))
         self.width = int(math.ceil(math.e / eps))
         self.max_exact = max(self.width * self.depth // 100, 50)
@@ -57,7 +62,7 @@ class CMS(Sketch):
     # ------------------------------------------------------------------
     def _params(self) -> dict:
         return {"eps": self.eps, "delta": self.delta, "seed": self.seed,
-                "hh_pct": self.hh_pct}
+                "hh_pct": self.hh_pct, "hh_n": self.hh_n}
 
     @property
     def is_sparse(self) -> bool:
@@ -96,20 +101,21 @@ class CMS(Sketch):
                 self._update_exact(keys, cnts)
             else:
                 self._add_dense(keys, cnts)
-            if self.hh_pct is not None:
+            if self.hh_pct is not None or self.hh_n is not None:
                 self._update_hh(keys)
             return
         values = prepare_keys(values)
         self.total += int(values.size)
         for lo in range(0, values.shape[0], self._CHUNK):
             chunk = values[lo:lo + self._CHUNK]
-            if self.exact is not None or self.hh_pct is not None:
+            if (self.exact is not None or self.hh_pct is not None
+                    or self.hh_n is not None):
                 keys, cnts = np.unique(chunk, return_counts=True)
                 if self.exact is not None:
                     self._update_exact(keys, cnts.astype(np.int64))
                 else:
                     self._add_dense_ones(chunk)
-                if self.hh_pct is not None:
+                if self.hh_pct is not None or self.hh_n is not None:
                     self._update_hh(keys)
             else:
                 # dense fast path: no sort/unique — hash the raw chunk per
@@ -129,16 +135,27 @@ class CMS(Sketch):
             self.table[i] += np.bincount(h, minlength=self.width)
 
     def _update_hh(self, keys: np.ndarray) -> None:
-        thresh = self.hh_pct * self.total
-        est = self._estimate_many(keys)
-        for k, e in zip(keys.tolist(), est.tolist()):
-            if e >= thresh:
-                self.hh[k] = e
+        if self.hh_pct is not None:
+            thresh = self.hh_pct * self.total
+            est = self._estimate_many(keys)
+            for k, e in zip(keys.tolist(), est.tolist()):
+                if e >= thresh:
+                    self.hh[k] = e
+        else:  # TopN (TopNLogic, CountMinSketch.scala:1084-1106)
+            cand = np.unique(np.concatenate([
+                keys, np.fromiter(self.hh.keys(), dtype=np.int64,
+                                  count=len(self.hh))]))
+            est = self._estimate_many(cand)
+            self.hh = dict(zip(cand.tolist(), est.tolist()))
         self._purge_hh()
 
     def _purge_hh(self) -> None:
-        thresh = self.hh_pct * self.total
-        self.hh = {k: v for k, v in self.hh.items() if v >= thresh}
+        if self.hh_pct is not None:
+            thresh = self.hh_pct * self.total
+            self.hh = {k: v for k, v in self.hh.items() if v >= thresh}
+        elif self.hh_n is not None and len(self.hh) > self.hh_n:
+            top = sorted(self.hh.items(), key=lambda kv: (-kv[1], kv[0]))
+            self.hh = dict(top[: self.hh_n])
 
     # ------------------------------------------------------------------
     def _estimate_many(self, keys: np.ndarray) -> np.ndarray:
@@ -174,16 +191,18 @@ class CMS(Sketch):
     def _densified(self) -> np.ndarray:
         if self.exact is None:
             return self.table
-        tmp = CMS(self.eps, self.delta, self.seed, self.hh_pct)
+        tmp = CMS(self.eps, self.delta, self.seed, self.hh_pct, self.hh_n)
         tmp.exact = dict(self.exact)
         tmp.total = self.total
         tmp._to_dense()
         return tmp.table
 
     def heavy_hitters(self) -> dict[int, int]:
-        """Candidates with estimated count >= pct * total."""
-        if self.hh_pct is None:
-            raise ValueError("sketch was built without heavy_hitters_pct")
+        """TopPct: candidates with estimated count >= pct * total.
+        TopN: the current top-n candidates by estimated count."""
+        if self.hh_pct is None and self.hh_n is None:
+            raise ValueError(
+                "sketch was built without heavy_hitters_pct/_n")
         return dict(sorted(self.hh.items(), key=lambda kv: (-kv[1], kv[0])))
 
     # ------------------------------------------------------------------
@@ -207,21 +226,24 @@ class CMS(Sketch):
         else:
             self._to_dense()
             self.table += other.table
-        if self.hh_pct is not None:
+        if self.hh_pct is not None or self.hh_n is not None:
             # union candidates, re-estimate vs merged sketch, purge
-            # (TopCMS sum, CountMinSketch.scala:1004-1016)
+            # (TopCMS sum, CountMinSketch.scala:1004-1016). For TopN
+            # this carries the reference's DOCUMENTED merge-order bias
+            # (:1084-1106): candidates dropped before the merge cannot
+            # come back — prefer TopPct for strict mergeability.
             cand = np.array(sorted(set(self.hh) | set(other.hh)), dtype=np.int64)
             if len(cand):
                 est = self._estimate_many(cand)
-                thresh = self.hh_pct * self.total
-                self.hh = {int(k): int(e) for k, e in zip(cand, est) if e >= thresh}
+                self.hh = {int(k): int(e) for k, e in zip(cand, est)}
+                self._purge_hh()
             else:
                 self.hh = {}
         return self
 
     def present(self) -> dict:
         out = {"total": self.total}
-        if self.hh_pct is not None:
+        if self.hh_pct is not None or self.hh_n is not None:
             out["heavy_hitters"] = self.heavy_hitters()
         return out
 
@@ -248,7 +270,8 @@ class CMS(Sketch):
 
 @register(KIND_CMS)
 def _decode_cms(params: dict, payload: bytes) -> CMS:
-    out = CMS(params["eps"], params["delta"], params["seed"], params["hh_pct"])
+    out = CMS(params["eps"], params["delta"], params["seed"],
+              params["hh_pct"], params.get("hh_n"))
     tag = payload[0]
     buf = payload[1:]
     out.total = int(np.frombuffer(buf[:8], dtype=np.int64)[0])

@@ -130,3 +130,30 @@ def test_serialization_roundtrip():
         assert c2.to_bytes() == c.to_bytes()
         q = np.arange(100, dtype=np.int64)
         assert (c2.frequencies(q) == c.frequencies(q)).all()
+
+
+def test_topn_cms_semantics_and_documented_bias():
+    """TopNCMS parity (TopNLogic, CountMinSketch.scala:1084-1106,
+    1212-1238): keeps the top-n candidates by estimated count; the
+    dominant key always survives merges; the merge-order bias at the
+    margins is documented behavior, not an error."""
+    import numpy as np
+    from algebird_spark.sketches import CMS, from_bytes
+    rng = np.random.default_rng(9)
+    # skewed stream: key 1 dominates
+    data = np.concatenate([np.full(5000, 1), rng.integers(2, 500, size=5000)])
+    rng.shuffle(data)
+    parts = []
+    for chunk in np.array_split(data, 4):
+        sk = CMS(eps=0.005, delta=1e-4, heavy_hitters_n=5)
+        sk.update_batch(chunk)
+        parts.append(sk.to_bytes())
+    merged = from_bytes(parts[0])
+    for b in parts[1:]:
+        merged.merge_in_place(from_bytes(b))
+    hh = merged.heavy_hitters()
+    assert len(hh) <= 5
+    assert 1 in hh and next(iter(hh)) == 1  # dominant key, ranked first
+    assert hh[1] >= 5000                    # never underestimates
+    with pytest.raises(ValueError):
+        CMS(heavy_hitters_pct=0.01, heavy_hitters_n=5)
