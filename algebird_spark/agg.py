@@ -222,14 +222,73 @@ def _merge_fn(keys: Sequence[str]):
     return merge
 
 
+def premerge_local(states_df: DataFrame, keys: Sequence[str] = (),
+                   target_partitions: int | None = None) -> DataFrame:
+    """Shuffle-free pre-merge of partition states.
+
+    ``coalesce`` (no Exchange) packs many map partitions into
+    ``target_partitions`` tasks, and a mapInArrow pass merges states
+    per key WITHIN each coalesced partition. At warehouse scale the
+    input stage can emit hundreds of thousands of (partition x key)
+    state rows; this reduces what the keyed merge shuffle carries from
+    P x K rows to target x K without moving a byte across the network.
+    Use before merge_sketches when P >> cores (e.g. 800k-partition
+    scans); a no-op branch when already at or below the target."""
+    if target_partitions is None:
+        target_partitions = (
+            states_df.sparkSession.sparkContext.defaultParallelism)
+    if states_df.rdd.getNumPartitions() <= target_partitions:
+        return states_df
+    keys = list(keys)
+    coalesced = states_df.coalesce(target_partitions)
+    out_schema = StructType([states_df.schema[k] for k in keys] + [
+        StructField(STATE_COL, BinaryType(), False),
+        StructField(COUNT_COL, LongType(), False),
+    ])
+
+    def run(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        acc: dict[tuple, Sketch] = {}
+        counts: dict[tuple, int] = {}
+        for batch in batches:
+            tbl = pa.Table.from_batches([batch])
+            key_cols = [tbl.column(k).to_pylist() for k in keys]
+            states = tbl.column(STATE_COL).to_pylist()
+            ns = tbl.column(COUNT_COL).to_pylist()
+            for i, (blob, n) in enumerate(zip(states, ns)):
+                key = tuple(col[i] for col in key_cols)
+                sk = from_bytes(bytes(blob))
+                if key in acc:
+                    acc[key].merge_in_place(sk)
+                    counts[key] += n
+                else:
+                    acc[key] = sk
+                    counts[key] = n
+        if not acc:
+            return
+        cols: list[list] = [[] for _ in keys] + [[], []]
+        for key, sk in acc.items():
+            for i, kv in enumerate(key):
+                cols[i].append(_py_key(kv))
+            cols[len(keys)].append(sk.to_bytes())
+            cols[len(keys) + 1].append(counts[key])
+        yield _state_batch(cols, out_schema)
+
+    return coalesced.mapInArrow(run, out_schema)
+
+
 def merge_sketches(states_df: DataFrame, keys: Sequence[str] = (),
-                   fanout: int = 0) -> DataFrame:
+                   fanout: int = 0,
+                   premerge: int | None = None) -> DataFrame:
     """Merge per-partition states down to one state per key.
 
     ``fanout > 0`` inserts an intermediate salted round: states first
     merge within ``fanout`` buckets per key, bounding any single
     reducer's fan-in (treeAggregate-style; use when #partitions is
-    large or a key is hot)."""
+    large or a key is hot). ``premerge`` additionally inserts the
+    shuffle-free coalesce-level combine (see premerge_local) BEFORE the
+    keyed shuffle — the lever for very high input partition counts."""
+    if premerge is not None:
+        states_df = premerge_local(states_df, keys, premerge)
     keys = list(keys)
     schema = StructType([states_df.schema[k] for k in keys] + [
         StructField(STATE_COL, BinaryType(), False),
@@ -264,18 +323,23 @@ def merge_sketches(states_df: DataFrame, keys: Sequence[str] = (),
 
 def sketch_by_key(df: DataFrame, keys: Sequence[str], value_col: str,
                   factory: SketchFactory, fanout: int = 0,
-                  min_partitions: int | None = None) -> DataFrame:
+                  min_partitions: int | None = None,
+                  premerge: int | None = None) -> DataFrame:
     """``rdd.algebird.aggregateByKey`` analog: DataFrame of
-    ``keys..., sketch_state, n_values`` with one row per key."""
+    ``keys..., sketch_state, n_values`` with one row per key.
+    ``premerge``: shuffle-free coalesce-level combine before the keyed
+    merge — set to ~cluster cores when the scan has far more
+    partitions than executors (see premerge_local)."""
     states = sketch_partitions(df, value_col, factory, keys,
                                min_partitions=min_partitions)
-    return merge_sketches(states, keys, fanout=fanout)
+    return merge_sketches(states, keys, fanout=fanout, premerge=premerge)
 
 
 def sketch_by_key_multi(df: DataFrame, keys: Sequence[str],
                         value_cols: Sequence[str], factory: SketchFactory,
                         fanout: int = 0,
-                        min_partitions: int | None = None) -> DataFrame:
+                        min_partitions: int | None = None,
+                        premerge: int | None = None) -> DataFrame:
     """Multi-argument variant for sketches whose ``update_batch`` takes
     aligned companion arrays — SketchMap(keys, weights),
     DecayingCMS(keys, timestamps, weights), HLLSeries(values, timestamps),
@@ -329,7 +393,7 @@ def sketch_by_key_multi(df: DataFrame, keys: Sequence[str],
         yield _state_batch(out_cols, out_schema)
 
     states = df.select(*(keys + value_cols)).mapInArrow(run, out_schema)
-    return merge_sketches(states, keys, fanout=fanout)
+    return merge_sketches(states, keys, fanout=fanout, premerge=premerge)
 
 
 def sketch_global(df: DataFrame, value_col: str, factory: SketchFactory,

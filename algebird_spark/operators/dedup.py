@@ -22,7 +22,7 @@ import pandas as pd
 
 from pyspark.sql import DataFrame, functions as F
 
-from ..functions.hashing import affine_mod_p61, murmur3_x64_128
+from ..functions.hashing import affine_mod_p61
 from .text import fingerprint, simhash64_df
 
 
@@ -56,13 +56,49 @@ def dedup_exact(df: DataFrame, text_col: str = "text",
 # shingling + MinHash signatures (vectorized pandas UDF)
 # ---------------------------------------------------------------------------
 
-def _shingles(text: str, n: int) -> set[int]:
-    words = text.lower().split()
-    if len(words) < n:
-        grams = [" ".join(words)] if words else []
+def _shingle_hashes_batch(texts, shingle_n: int, seed: int):
+    """(hashes uint64, doc_start_offsets int64) for a batch of texts.
+
+    Fully vectorized: every token of every doc hashes in ONE
+    murmur128_bytes call (Arrow offsets layout), then n-gram shingle
+    hashes mix the n shifted token-hash arrays — no per-shingle Python,
+    no string concatenation. Docs shorter than n contribute one shingle
+    (their full token sequence), empty docs contribute a sentinel."""
+    import pyarrow as pa
+
+    from ..functions.hashing import _vfmix64, murmur128_any
+
+    tok_lists = [(t or "").lower().split() for t in texts]
+    lens = np.fromiter((len(t) for t in tok_lists), dtype=np.int64,
+                       count=len(tok_lists))
+    flat = [w for toks in tok_lists for w in toks]
+    if flat:
+        th = murmur128_any(pa.array(flat, type=pa.string()), seed)[0]
     else:
-        grams = [" ".join(words[i:i + n]) for i in range(len(words) - n + 1)]
-    return {murmur3_x64_128(g.encode("utf-8"))[0] for g in grams}
+        th = np.zeros(0, dtype=np.uint64)
+    tok_starts = np.zeros(len(lens) + 1, dtype=np.int64)
+    np.cumsum(lens, out=tok_starts[1:])
+    # shingle count per doc: max(L - n + 1, min(L, 1))
+    n_sh = np.maximum(lens - shingle_n + 1, np.minimum(lens, 1))
+    sh_starts = np.zeros(len(lens) + 1, dtype=np.int64)
+    np.cumsum(n_sh, out=sh_starts[1:])
+    total = int(sh_starts[-1])
+    acc = np.zeros(total, dtype=np.uint64)
+    # gather index of shingle j of doc d = tok_starts[d] + j; build once
+    base = np.repeat(tok_starts[:-1], n_sh)
+    within = np.arange(total, dtype=np.int64) - np.repeat(sh_starts[:-1], n_sh)
+    idx0 = base + within
+    rot = np.uint64(0)
+    for k in range(shingle_n):
+        # token k of each shingle; clamp for docs shorter than n (their
+        # single shingle reuses the last token — still deterministic)
+        idx = np.minimum(idx0 + k,
+                         np.repeat(tok_starts[1:], n_sh) - 1)
+        tk = th[idx]
+        acc ^= (tk << rot) | (tk >> (np.uint64(64) - rot)) if k else tk
+        rot = np.uint64((int(rot) + 17) % 64)
+    acc = _vfmix64(acc)
+    return acc, sh_starts
 
 
 def add_minhash_signature(df: DataFrame, text_col: str = "text",
@@ -71,29 +107,35 @@ def add_minhash_signature(df: DataFrame, text_col: str = "text",
                           alias: str = "minhash") -> DataFrame:
     """array<bigint> MinHash signature per doc over word n-gram shingles.
 
-    Arrow-batched: one pandas UDF call per ~10k docs; the per-doc lane
-    minimum is a single numpy reduction over the (shingles x lanes)
-    universal-hash matrix."""
-    p61 = (1 << 61) - 1
+    Arrow-batched AND batch-vectorized: token hashing is one
+    murmur128_bytes call per pandas batch, shingle hashes mix shifted
+    token-hash arrays, and per-doc lane minima come from
+    ``np.minimum.reduceat`` over doc boundaries — the only per-doc
+    Python is ``str.split``. Duplicate shingles need no dedup (they
+    cannot change a minimum)."""
+    p61 = np.uint64((1 << 61) - 1)
     rng = np.random.default_rng(seed)
-    a = rng.integers(1, p61, size=num_perm, dtype=np.int64).astype(np.uint64)
-    b = rng.integers(0, p61, size=num_perm, dtype=np.int64).astype(np.uint64)
+    a = rng.integers(1, int(p61), size=num_perm, dtype=np.int64).astype(np.uint64)
+    b = rng.integers(0, int(p61), size=num_perm, dtype=np.int64).astype(np.uint64)
 
     @F.pandas_udf("array<long>")
     def sig(texts: Iterator[pd.Series]) -> Iterator[pd.Series]:
         for s in texts:
-            out = []
-            for t in s:
-                sh = _shingles(t or "", shingle_n)
-                if not sh:
-                    out.append([0] * num_perm)
-                    continue
-                hv = np.fromiter(sh, dtype=np.uint64, count=len(sh)) & np.uint64(p61)
-                # exact Mersenne-prime affine hash (wrapping % loses
-                # the universal-family guarantee)
-                lanes = affine_mod_p61(a[None, :], hv[:, None], b[None, :])
-                out.append(lanes.min(axis=0).astype(np.int64).tolist())
-            yield pd.Series(out)
+            if len(s) == 0:
+                yield pd.Series([], dtype=object)
+                continue
+            hv, sh_starts = _shingle_hashes_batch(s.tolist(), shingle_n, seed)
+            hv &= p61
+            n_docs = len(sh_starts) - 1
+            sigs = np.zeros((n_docs, num_perm), dtype=np.int64)
+            nonempty = np.flatnonzero(np.diff(sh_starts) > 0)
+            starts_ne = sh_starts[nonempty]
+            for i in range(num_perm):
+                lane = affine_mod_p61(a[i], hv, b[i])
+                if len(starts_ne):
+                    mins = np.minimum.reduceat(lane, starts_ne)
+                    sigs[nonempty, i] = mins.astype(np.int64)
+            yield pd.Series([row.tolist() for row in sigs])
 
     return df.withColumn(alias, sig(F.col(text_col)))
 
@@ -157,8 +199,11 @@ def near_dup_pairs_minhash(df: DataFrame, id_col: str = "doc_id",
                            bands: int = 16, shingle_n: int = 3,
                            threshold: float = 0.7) -> DataFrame:
     """Full MinHash-LSH near-dup pipeline: sign -> band -> bucket-join
-    -> exact-Jaccard verify."""
-    signed = add_minhash_signature(df, text_col, num_perm, shingle_n)
+    -> exact-Jaccard verify. The signed table persists across the
+    banded self-join so signatures compute once (at warehouse scale,
+    write the signature table to storage instead)."""
+    signed = add_minhash_signature(df, text_col, num_perm, shingle_n) \
+        .select(id_col, "minhash").persist()
     cands = lsh_candidate_pairs(signed, id_col, "minhash", bands)
     return jaccard_verify(df, cands, id_col, text_col, shingle_n, threshold)
 

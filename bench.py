@@ -34,6 +34,9 @@ HEADLINE = [
     "text_stats",
     "simhash_near_dup",
     "embedding_topk",
+    # round 2: string-key sketches + LSH recall
+    "hll_string_distinct",
+    "minhash_lsh_recall",
 ]
 
 

@@ -175,3 +175,34 @@ def test_multi_column_harness_sketchmap_and_hllseries(spark):
         .agg(F.count_distinct("user_id")).collect()[0][0]
     est = sk.since(mid).estimate()
     assert abs(est - exact_recent) / exact_recent <= 3.5 * 1.04 / np.sqrt(2**12)
+
+
+def test_premerge_local_shuffle_free_and_equivalent(spark, tokens):
+    """premerge_local packs partition states without an Exchange and
+    the final estimates are identical to the direct merge path."""
+    import io
+    from contextlib import redirect_stdout
+    from algebird_spark.agg import merge_sketches, premerge_local, sketch_partitions
+
+    states = sketch_partitions(tokens.repartition(16), "tokens",
+                               lambda: HLL(p=12), ["source"])
+    pre = premerge_local(states, ["source"], target_partitions=4)
+    # no Exchange between the two mapInArrow stages (coalesce only)
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        pre.explain("formatted")
+    plan = buf.getvalue().split("\n\n")[0]
+    first_map = plan.index("MapInArrow")
+    assert "Exchange" not in plan[:first_map], "premerge must not shuffle"
+    direct = merge_sketches(states, ["source"])
+    via_pre = merge_sketches(pre, ["source"])
+    a = {r["source"]: (from_bytes(bytes(r[STATE_COL])).estimate(), r["n_values"])
+         for r in direct.collect()}
+    b = {r["source"]: (from_bytes(bytes(r[STATE_COL])).estimate(), r["n_values"])
+         for r in via_pre.collect()}
+    assert a == b
+    # end-to-end through the entry point
+    c = {r["source"]: (from_bytes(bytes(r[STATE_COL])).estimate(), r["n_values"])
+         for r in sketch_by_key(tokens, ["source"], "tokens",
+                                lambda: HLL(p=12), premerge=4).collect()}
+    assert c == a
