@@ -100,7 +100,9 @@ def simhash64_df(df: DataFrame, id_col: str, text_col: str = "text",
     Spark-first formulation: explode tokens once, then ONE groupBy with
     64 plain integer sums (whole-stage codegen keeps this in one pass;
     no Python, no per-row loops)."""
-    toks = df.select(
+    par = df.sparkSession.sparkContext.defaultParallelism
+    src = df if df.rdd.getNumPartitions() >= par else df.repartition(par)
+    toks = src.select(
         id_col,
         F.explode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias("__tok"))
     h = F.xxhash64("__tok")
