@@ -64,6 +64,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "last_n_window": Q.q_last_n_window,
         "decayed_value": Q.q_decayed_value,
         "count_distinct_exact": Q.q_count_distinct_exact,
+        "head_last": Q.q_head_last,
+        "either_split": Q.q_either_split,
         "map_invert": Q.q_map_invert,
         "to_graph": Q.q_to_graph,
         "sparse_dot": Q.q_sparse_dot,
@@ -319,6 +321,26 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(DISTINCT l_orderkey) AS n_orders,
                    COUNT(DISTINCT (l_partkey, l_suppkey)) AS n_part_supp
             FROM lineitem GROUP BY l_linestatus
+        """,
+        "head_last": """
+            SELECT l_returnflag,
+                   ROUND(ARG_MIN(l_extendedprice,
+                     (l_orderkey * 10 + l_linenumber) * 100000 + l_suppkey), 2)
+                     AS head_price,
+                   ROUND(ARG_MAX(l_extendedprice,
+                     (l_orderkey * 10 + l_linenumber) * 100000 + l_suppkey), 2)
+                     AS last_price
+            FROM lineitem GROUP BY l_returnflag
+        """,
+        "either_split": """
+            SELECT l_returnflag,
+                   ROUND(SUM(CASE WHEN l_quantity < 25 THEN l_extendedprice END), 4)
+                     AS left_sum,
+                   COUNT(CASE WHEN l_quantity < 25 THEN 1 END) AS left_n,
+                   ROUND(SUM(CASE WHEN NOT l_quantity < 25 THEN l_quantity END), 4)
+                     AS right_sum,
+                   COUNT(CASE WHEN NOT l_quantity < 25 THEN 1 END) AS right_n
+            FROM lineitem GROUP BY l_returnflag
         """,
         "map_invert": """
             SELECT s_nationkey,

@@ -479,7 +479,9 @@ def cms_hash(a: int | np.uint64, x: np.ndarray, width: int) -> np.ndarray:
     hashing, which made any two keys congruent mod 2^31 collide in every
     row — a deterministic eps*N violation for 64-bit key ranges.
     Every intermediate fits uint64: a_j < 2^31, limbs < 2^31, so the
-    3-term sum is < 3*2^62.
+    3-term sum is < 3*2^62. In-place formulation: exactly two uint64
+    scratch buffers (the CMS update loop calls this once per depth row
+    per chunk — temporaries must stay L2-resident, BENCH/BASELINE.md).
     """
     xs = np.asarray(x)
     if xs.dtype != np.uint64:
@@ -487,10 +489,23 @@ def cms_hash(a: int | np.uint64, x: np.ndarray, width: int) -> np.ndarray:
     a1 = np.uint64(int(a) & 0x7FFFFFFF)
     a2 = _derived_multiplier(int(a), 0x9E3779B97F4A7C15)
     a3 = _derived_multiplier(int(a), 0xC2B2AE3D27D4EB4F)
-    y = (a1 * (xs & _P31)
-         + a2 * ((xs >> np.uint64(31)) & _P31)
-         + a3 * (xs >> np.uint64(62)))
-    y = (y & _P31) + (y >> np.uint64(31))
-    y = (y & _P31) + (y >> np.uint64(31))
-    y = np.where(y >= _P31, y - _P31, y)
-    return (y % np.uint64(width)).astype(np.int64)
+    s31, s62 = np.uint64(31), np.uint64(62)
+    y = np.bitwise_and(xs, _P31)          # scratch 1 (allocates)
+    np.multiply(y, a1, out=y)             # a1*x0 < 2^62
+    t = np.right_shift(xs, s31)           # scratch 2 (allocates)
+    np.bitwise_and(t, _P31, out=t)
+    np.multiply(t, a2, out=t)             # a2*x1 < 2^62
+    np.add(y, t, out=y)
+    np.right_shift(xs, s62, out=t)
+    np.multiply(t, a3, out=t)             # a3*x2 < 2^33
+    np.add(y, t, out=y)                   # < 3*2^62
+    for _ in range(2):                    # fold 2^31 ≡ 1 (mod 2^31-1)
+        np.right_shift(y, s31, out=t)
+        np.bitwise_and(y, _P31, out=y)
+        np.add(y, t, out=y)
+    # conditional subtract: y in [0, 2^31+3] here
+    np.greater_equal(y, _P31, out=t)      # 1 where y >= p, else 0
+    np.multiply(t, _P31, out=t)
+    np.subtract(y, t, out=y)
+    np.remainder(y, np.uint64(width), out=y)
+    return y.astype(np.int64)

@@ -94,6 +94,35 @@ def exists_forall(df: DataFrame, pred: Column, keys: Sequence[str] = ()) -> Data
     return df.groupBy(*keys).agg(*aggs) if keys else df.agg(*aggs)
 
 
+def head_last(df: DataFrame, keys: Sequence[str], order: Column | str,
+              value: str) -> DataFrame:
+    """``Aggregator.head`` / ``Aggregator.last``
+    (core/Aggregator.scala head/last): first and last value of the fold.
+    The reference's fold order is the traversal order; on a distributed
+    engine that is nondeterministic, so the order is made EXPLICIT —
+    pass a unique ordering column/expression. head = min_by(value,
+    order), last = max_by(value, order)."""
+    aggs = [F.min_by(value, order).alias("head"),
+            F.max_by(value, order).alias("last")]
+    return df.groupBy(*keys).agg(*aggs) if keys else df.agg(*aggs)
+
+
+def either_agg(df: DataFrame, pred: Column, left_val: Column,
+               right_val: Column, keys: Sequence[str] = ()) -> DataFrame:
+    """Fold over Either values (the reference's ``either`` combinator,
+    core/Aggregator.scala: route each element to the left or right
+    aggregator by predicate): rows where ``pred`` holds contribute
+    left_val to the left sum, the rest contribute right_val to the
+    right sum, with counts per side."""
+    aggs = [
+        F.sum(F.when(pred, left_val)).alias("left_sum"),
+        F.count(F.when(pred, F.lit(1))).alias("left_n"),
+        F.sum(F.when(~pred, right_val)).alias("right_sum"),
+        F.count(F.when(~pred, F.lit(1))).alias("right_n"),
+    ]
+    return df.groupBy(*keys).agg(*aggs) if keys else df.agg(*aggs)
+
+
 def max_min_by(df: DataFrame, keys: Sequence[str], by: str, value: str) -> DataFrame:
     return df.groupBy(*keys).agg(
         F.max_by(value, by).alias("argmax"),

@@ -14,7 +14,10 @@
 
 from __future__ import annotations
 
+from typing import Iterator
+
 import numpy as np
+import pandas as pd
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
@@ -84,6 +87,87 @@ def lsh_bucketed_topk(vectors: DataFrame, queries: DataFrame, k: int,
         F.col(q_id_col), F.col(id_col),
         cosine(F.col(vec_col), F.col(q_vec_col)).alias("cos"))
     scored = scored.filter(F.col(id_col) != F.col(q_id_col))
+    w = Window.partitionBy(q_id_col).orderBy(F.col("cos").desc(), F.col(id_col))
+    return (scored.withColumn("rank", F.row_number().over(w))
+                  .filter(F.col("rank") <= k))
+
+
+def _multitable_buckets_udf(planes_per_table: list[np.ndarray]):
+    """pandas UDF: array<long> of one bucket id per table, computed as
+    ONE BLAS matmul per Arrow batch — (batch, dim) @ (dim, tables*planes)
+    — then sign-bit packing. The expression-tree formulation
+    (hyperplane_bucket) evaluates interpreted higher-order lambdas per
+    plane per element; at tables*planes=32 that is ~100x slower."""
+    all_planes = np.vstack(planes_per_table).astype(np.float64)  # (T*P, d)
+    n_planes = planes_per_table[0].shape[0]
+    n_tables = len(planes_per_table)
+    weights = (np.int64(1) << np.arange(n_planes, dtype=np.int64))
+
+    @F.pandas_udf("array<long>")
+    def buckets(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        for s in it:
+            if len(s) == 0:
+                yield pd.Series([], dtype=object)
+                continue
+            m = np.vstack(s.to_numpy())            # (batch, dim)
+            signs = (m @ all_planes.T) >= 0        # (batch, T*P)
+            bits = signs.reshape(len(m), n_tables, n_planes)
+            ids = (bits * weights).sum(axis=2)     # (batch, T)
+            yield pd.Series([row.tolist() for row in ids])
+
+    return buckets
+
+
+def lsh_multitable_topk(vectors: DataFrame, queries: DataFrame, k: int,
+                        dim: int, n_planes: int = 8, n_tables: int = 4,
+                        multiprobe: bool = True, seed: int = 42,
+                        id_col: str = "vec_id", vec_col: str = "embedding",
+                        q_id_col: str = "q_id",
+                        q_vec_col: str = "q_vec") -> DataFrame:
+    """Production-recall ANN: OR over ``n_tables`` independent
+    hyperplane tables, plus optional multi-probe (each query also
+    probes the n_planes buckets at Hamming distance 1 — the standard
+    multi-probe LSH trick that buys table-count recall for free).
+
+    Single-table single-probe recall for cos~0.9 neighbors at 8 planes
+    is ~(1 - theta/pi)^8 ~ 0.29; four tables with 1-bit probes push
+    past 0.9 while candidates stay O(N * tables / 2^planes) per query.
+    Vectors emit ONE row per table (the scan side never multiplies by
+    probes — probing happens on the tiny broadcast query side).
+    Returns (q_id, vec_id, cos, rank)."""
+    planes_per_table = [random_hyperplanes(dim, n_planes, seed + 1000 * t)
+                        for t in range(n_tables)]
+    bucket_udf = _multitable_buckets_udf(planes_per_table)
+    # one (table, bucket) struct per table for the scan side
+    tb = lambda col: F.transform(  # noqa: E731
+        col, lambda b, t: F.struct(t.alias("t"), b.alias("b")))
+    v = vectors.select(
+        id_col, vec_col,
+        F.explode(tb(bucket_udf(F.col(vec_col)))).alias("__tb"))
+    q_base = queries.select(q_id_col, q_vec_col,
+                            bucket_udf(F.col(q_vec_col)).alias("__bk"))
+    q_structs = tb(F.col("__bk"))
+    if multiprobe:
+        # query side also probes every Hamming-distance-1 bucket per
+        # table — probing multiplies the tiny broadcast side only
+        flips = F.flatten(F.transform(
+            F.col("__bk"),
+            lambda b, t: F.transform(
+                F.sequence(F.lit(0), F.lit(n_planes - 1)),
+                lambda i: F.struct(
+                    t.alias("t"),
+                    b.bitwiseXOR(F.pow(F.lit(2.0), i).cast("long"))
+                     .alias("b")))))
+        q_structs = F.concat(q_structs, flips)
+    q = q_base.select(q_id_col, q_vec_col,
+                      F.explode(q_structs).alias("__tb"))
+    joined = v.join(F.broadcast(q), on="__tb")
+    scored = (joined.filter(F.col(id_col) != F.col(q_id_col))
+              .groupBy(q_id_col, id_col)
+              .agg(F.first(F.col(vec_col)).alias("__v"),
+                   F.first(F.col(q_vec_col)).alias("__q"))
+              .select(q_id_col, id_col,
+                      cosine(F.col("__v"), F.col("__q")).alias("cos")))
     w = Window.partitionBy(q_id_col).orderBy(F.col("cos").desc(), F.col(id_col))
     return (scored.withColumn("rank", F.row_number().over(w))
                   .filter(F.col("rank") <= k))
