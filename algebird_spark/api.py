@@ -59,8 +59,36 @@ def heavy_hitters(df: DataFrame, col: str, by: Sequence[str] = (),
 
 def frequency_sketch(df: DataFrame, col: str, eps: float = 0.001,
                      delta: float = 1e-6) -> CMS:
-    """Global CMS for ad-hoc point/inner-product queries."""
+    """Global CMS for ad-hoc point/inner-product queries. Any key dtype:
+    strings/bytes go through the canonical prepare_keys hash."""
     return sketch_global(df, col, lambda: CMS(eps=eps, delta=delta))
+
+
+def top_k(df: DataFrame, col: str, k: int = 10, by: Sequence[str] = (),
+          capacity: int | None = None, fanout: int = 0):
+    """Top-k items with SpaceSaver per-item error bounds; string columns
+    come back as the ORIGINAL strings (label tracking survives the
+    distributed merge). With ``by``: DataFrame of keys + parallel arrays
+    (items, counts, errors, guaranteed); without: the
+    [(item, count, error, guaranteed)] list."""
+    from .sketches import SpaceSaver
+    capacity = capacity or max(k * 8, 256)
+    factory = lambda: SpaceSaver(capacity=capacity)  # noqa: E731
+
+    def present(sk):
+        top = sk.top_k(k)
+        return {"items": [str(i) for i, _c, _e, _g in top],
+                "counts": [int(c) for _i, c, _e, _g in top],
+                "errors": [int(e) for _i, _c, e, _g in top],
+                "guaranteed": [bool(g) for _i, _c, _e, g in top]}
+
+    if by:
+        states = sketch_by_key(df, by, col, factory, fanout=fanout)
+        return with_presented(
+            states, present,
+            "items array<string>, counts array<long>, "
+            "errors array<long>, guaranteed array<boolean>")
+    return sketch_global(df, col, factory).top_k(k)
 
 
 def quantiles(df: DataFrame, col: str, probs: Sequence[float],

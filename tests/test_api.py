@@ -48,3 +48,21 @@ def test_membership_filter(spark, li):
     assert bf.contains_batch(some).all()
     absent = np.arange(10**12, 10**12 + 1000, dtype=np.int64)
     assert bf.contains_batch(absent).mean() < 0.05
+
+
+def test_api_top_k_string_labels(spark):
+    from algebird_spark.api import top_k
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    # global: original strings back, counts exact (capacity > cardinality)
+    got = top_k(docs, "lang", k=3, capacity=1024)
+    exact = {r[0]: r[1] for r in docs.groupBy("lang").count().collect()}
+    assert all(isinstance(item, str) and item in exact for item, *_ in got)
+    assert got[0][1] == max(exact.values())
+    # keyed: arrays per source
+    keyed = top_k(docs, "lang", k=2, by=["source"], capacity=1024)
+    rows = {r["source"]: r for r in keyed.collect()}
+    for src, r in rows.items():
+        per = {x[0]: x[1] for x in docs.filter(F.col("source") == src)
+               .groupBy("lang").count().collect()}
+        assert r["items"][0] in per and r["counts"][0] == max(per.values())
+        assert all(g in (True, False) for g in r["guaranteed"])
