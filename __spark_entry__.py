@@ -74,9 +74,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scoped_topn": Q.q_scoped_topn,
         "sketchmap_sums": Q.q_sketchmap_sums,
         "decaying_cms": Q.q_decaying_cms,
+        "decayed_vector": Q.q_decayed_vector,
         "merge_lookup": Q.q_merge_lookup,
         "set_diff": Q.q_set_diff,
         "streaming_hll": Q.q_streaming_hll,
+        "streaming_windowed_hll": Q.q_streaming_windowed_hll,
         # --- string-key sketches (CMSHasher[K] surface) -------------------
         "hll_string_distinct": Q.q_hll_string_distinct,
         "cms_string_keys": Q.q_cms_string_keys,
@@ -418,6 +420,18 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type, COUNT(DISTINCT user_id) AS exact_users,
                    TRUE AS stream_hll_ok
             FROM events GROUP BY event_type
+        """,
+        "streaming_windowed_hll": """
+            SELECT CAST(FLOOR(EPOCH_US(ts) / 1e6 / 604800) * 604800 AS DOUBLE)
+                     AS window_sec,
+                   event_type,
+                   COUNT(DISTINCT user_id) AS exact_users,
+                   TRUE AS windowed_hll_ok
+            FROM events GROUP BY 1, 2
+        """,
+        "decayed_vector": """
+            SELECT COUNT(DISTINCT user_id) AS n_users, TRUE AS decayed_vec_ok
+            FROM events
         """,
         # --- training-data ops --------------------------------------------
         # planted-duplicate view: same md5 rule as queries._docs_with_dups

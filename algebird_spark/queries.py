@@ -963,6 +963,94 @@ def q_spacesaver_string_topk(spark, sf):
         "lang string, cnt long")
 
 
+def q_decayed_vector(spark, sf):
+    """DecayedVector built through the distributed multi-column harness:
+    per-user element-wise decayed sums of [value, value^2] agree with
+    the SQL decay expressions to 1e-9 relative
+    (DecayedVector.scala semantics). Compared in-plan per user."""
+    from .agg import sketch_by_key_multi
+    from .sketches.timeseries import DecayedVector
+    half = 7 * 86400.0
+    ev = (_t(spark, sf, "events")
+          .withColumn("sec", F.col("ts").cast("timestamp").cast("double"))
+          .withColumn("vec", F.array(F.col("value"),
+                                     F.col("value") * F.col("value"))))
+    states = sketch_by_key_multi(ev, ["user_id"], ["vec", "sec"],
+                                 lambda: DecayedVector(dim=2, half_life=half))
+    est = with_presented(
+        states,
+        lambda sk: {"e0": float(sk.vec[0]), "e1": float(sk.vec[1])},
+        "e0 double, e1 double")
+    from pyspark.sql import Window
+    decay = F.pow(F.lit(2.0),
+                  (F.col("sec")
+                   - F.max("sec").over(Window.partitionBy("user_id")))
+                  / half)
+    exact_df = (ev.withColumn("__d", decay)
+                .groupBy("user_id")
+                .agg(F.sum(F.col("value") * F.col("__d")).alias("x0"),
+                     F.sum(F.col("value") * F.col("value") * F.col("__d"))
+                      .alias("x1")))
+    joined = est.select("user_id", "e0", "e1").join(exact_df, "user_id")
+    ok = ((F.abs(F.col("e0") - F.col("x0"))
+           <= 1e-9 * F.greatest(F.abs(F.col("x0")), F.lit(1e-9)))
+          & (F.abs(F.col("e1") - F.col("x1"))
+             <= 1e-9 * F.greatest(F.abs(F.col("x1")), F.lit(1e-9))))
+    return joined.agg(F.count("*").alias("n_users"),
+                      F.bool_and(ok).alias("decayed_vec_ok"))
+
+
+def q_streaming_windowed_hll(spark, sf):
+    """Event-time tumbling-window stateful sketch through a REAL stream
+    (applyInPandasWithState + watermark): per (7-day window, event_type)
+    distinct users vs the batch exact recount — the stream/batch
+    equivalence for windowed state."""
+    import shutil
+    import tempfile
+    import uuid
+    from .streaming.stateful import windowed_sketch_stream
+    d = tempfile.mkdtemp(prefix="stream_evw_")
+    try:
+        shutil.copy(f"{sf}/events.parquet", f"{d}/part-0.parquet")
+        batch = spark.read.parquet(d)
+        sdf = spark.readStream.schema(batch.schema).parquet(d)
+        out = windowed_sketch_stream(sdf, "ts", "7 days", ["event_type"],
+                                     "user_id", lambda: HLL(p=14))
+        qname = f"q_streamw_{uuid.uuid4().hex[:8]}"
+        q = (out.writeStream.outputMode("update").format("memory")
+             .queryName(qname).start())
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        # update-mode emits one row per state change per micro-batch;
+        # HLL estimates are monotone, so max = the final state's value
+        got = (spark.sql(f"SELECT * FROM {qname}")
+               .withColumn("window_sec", F.col("window_start")
+                           .cast("timestamp").cast("double"))
+               .groupBy("window_sec", "event_type")
+               .agg(F.max("estimate").alias("estimate")))
+        # exact side reads the ORIGINAL parquet: the returned plan is
+        # lazy and must not reference the deleted tmp copy
+        exact = _t(spark, sf, "events").withColumn(
+            "window_sec",
+            (F.floor(F.col("ts").cast("timestamp").cast("double")
+                     / (7 * 86400)) * (7 * 86400)).cast("double")) \
+            .groupBy("window_sec", "event_type") \
+            .agg(F.count_distinct("user_id").alias("exact_users"))
+        bound = 3.5 * 1.04 / math.sqrt(2 ** 14)
+        joined = exact.join(got.select("window_sec", "event_type", "estimate"),
+                            ["window_sec", "event_type"], "left")
+        return joined.select(
+            "window_sec", "event_type", "exact_users",
+            (F.abs(F.coalesce(F.col("estimate"), F.lit(-1e18))
+                   - F.col("exact_users"))
+             / F.greatest(F.col("exact_users"), F.lit(1))
+             <= bound).alias("windowed_hll_ok"))
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
 def q_streaming_hll(spark, sf):
     """Structured Streaming stateful HLL (applyInPandasWithState): drive
     the events table through a real stream, then compare the final

@@ -368,10 +368,18 @@ class DecayedVector(Sketch):
             self.vec += vec * 2.0 ** ((ts - self.ts) / self.half_life)
 
     def update_batch(self, values, timestamps=None) -> None:
-        """values: (n, dim) matrix; timestamps: (n,)"""
-        arr = np.asarray(values, dtype=np.float64).reshape(-1, self.dim)
+        """values: (n, dim) matrix — or an object array of per-row
+        vectors, the shape an Arrow array<double> column arrives in
+        through the multi-column harness; timestamps: (n,)"""
+        arr = np.asarray(values)
+        if arr.dtype == object:
+            arr = (np.array(arr.tolist(), dtype=np.float64)
+                   if arr.size else np.zeros((0, self.dim)))
+        else:
+            arr = arr.astype(np.float64, copy=False).reshape(-1, self.dim)
         if arr.size == 0:
             return
+        arr = arr.reshape(-1, self.dim)
         ts = (np.zeros(arr.shape[0]) if timestamps is None
               else np.asarray(timestamps, dtype=np.float64))
         t_max = float(ts.max())
