@@ -49,6 +49,10 @@ def main(argv=None):
     ap.add_argument("--checkpoint", default=None)
     ap.add_argument("--output", default=None)
     ap.add_argument("--fanout", type=int, default=0)
+    ap.add_argument("--premerge", type=int, default=None,
+                    help="shuffle-free coalesce-level state combine before "
+                         "the keyed merge; set to ~cluster cores when the "
+                         "scan has far more partitions than executors")
     ap.add_argument("--hll-bits", type=int, default=14)
     ap.add_argument("--cms-eps", type=float, default=0.001)
     ap.add_argument("--cms-delta", type=float, default=1e-6)
@@ -79,10 +83,11 @@ def main(argv=None):
     t0 = time.time()
     if args.checkpoint:
         states = build_or_resume(spark, df, keys, args.value_col, factory,
-                                 args.checkpoint, fanout=args.fanout)
+                                 args.checkpoint, fanout=args.fanout,
+                                 premerge=args.premerge)
     else:
         states = sketch_by_key(df, keys, args.value_col, factory,
-                               fanout=args.fanout)
+                               fanout=args.fanout, premerge=args.premerge)
 
     def presenter(sk):
         p = sk.present()

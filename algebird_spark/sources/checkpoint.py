@@ -56,6 +56,7 @@ def _describe_factory(factory: SketchFactory) -> dict:
 def build_or_resume(spark: SparkSession, df: DataFrame, keys: Sequence[str],
                     value_col: str, factory: SketchFactory,
                     checkpoint_dir: str, fanout: int = 0,
+                    premerge: int | None = None,
                     job_id: str = "sketch_job") -> DataFrame:
     """Per-key sketch states with a persisted partition-state checkpoint."""
     os.makedirs(checkpoint_dir, exist_ok=True)
@@ -73,7 +74,8 @@ def build_or_resume(spark: SparkSession, df: DataFrame, keys: Sequence[str],
                 and manifest.get("value_col") == value_col
                 and os.path.exists(os.path.join(states_path, "_SUCCESS"))):
             states = spark.read.parquet(states_path)
-            return merge_sketches(states, keys, fanout=fanout)
+            return merge_sketches(states, keys, fanout=fanout,
+                                  premerge=premerge)
 
     t0 = time.time()
     partition_states = sketch_partitions(df, value_col, factory, keys)
@@ -102,4 +104,4 @@ def build_or_resume(spark: SparkSession, df: DataFrame, keys: Sequence[str],
     }
     with open(man_path, "w") as f:
         json.dump(manifest, f, indent=2)
-    return merge_sketches(states, keys, fanout=fanout)
+    return merge_sketches(states, keys, fanout=fanout, premerge=premerge)

@@ -131,3 +131,17 @@ def test_prepare_keys_int_passthrough_and_hash_consistency():
     s2 = prepare_keys(np.array(["a", "b"], dtype=object))
     assert s1.tolist() == s2.tolist()
     assert s1.dtype == np.int64
+
+
+def test_spacesaver_label_state_byte_equality():
+    """Serialization canonicalization extends to the label table: equal
+    states built in different orders serialize byte-identically."""
+    a, b = SpaceSaver(capacity=16), SpaceSaver(capacity=16)
+    items1 = np.array(["x", "y", "z", "x"], dtype=object)
+    items2 = np.array(["z", "x", "x", "y"], dtype=object)
+    a.update_batch(items1)
+    b.update_batch(items2)
+    assert a.to_bytes() == b.to_bytes()
+    rt = from_bytes(a.to_bytes())
+    assert rt.to_bytes() == a.to_bytes()
+    assert rt.top_k(3) == a.top_k(3)
