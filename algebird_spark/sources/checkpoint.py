@@ -53,39 +53,80 @@ def _describe_factory(factory: SketchFactory) -> dict:
     return {"kind": type(probe).__name__, "params": probe._params()}
 
 
+def _incremental_files(manifest: dict, fp: dict) -> list[str] | None:
+    """If the input grew APPEND-ONLY since the checkpoint (every old
+    file unchanged, >= 1 new file), return the new file paths; else
+    None. This is the snapshot-diff a table format provides natively
+    (Iceberg incremental scan between snapshot ids) — here derived from
+    the file-level fingerprint."""
+    old = {tuple(f[:1])[0]: f for f in manifest.get(
+        "input_fingerprint", {}).get("files", [])}
+    new = {f[0]: f for f in fp.get("files", [])}
+    if not old or not new:
+        return None
+    if manifest["input_fingerprint"].get("schema") != fp.get("schema"):
+        return None
+    if not set(old) < set(new):
+        return None
+    if any(old[p] != new[p] for p in old):  # old file rewritten
+        return None
+    return sorted(set(new) - set(old))
+
+
 def build_or_resume(spark: SparkSession, df: DataFrame, keys: Sequence[str],
                     value_col: str, factory: SketchFactory,
                     checkpoint_dir: str, fanout: int = 0,
                     premerge: int | None = None,
                     job_id: str = "sketch_job") -> DataFrame:
-    """Per-key sketch states with a persisted partition-state checkpoint."""
+    """Per-key sketch states with a persisted partition-state checkpoint.
+
+    Resume ladder:
+      1. unchanged input -> serve persisted states (merge only);
+      2. APPEND-ONLY growth -> sketch ONLY the new files, append their
+         partition states to the checkpoint (incremental maintenance —
+         the mergeable-monoid property is exactly what makes a sketch
+         over yesterday's 10^12 rows reusable when today adds 10^9);
+      3. anything else (rewrite, schema change, different params) ->
+         full rebuild.
+    """
     os.makedirs(checkpoint_dir, exist_ok=True)
     man_path = os.path.join(checkpoint_dir, MANIFEST)
     states_path = os.path.join(checkpoint_dir, "states")
     fp = input_fingerprint(df)
     desc = _describe_factory(factory)
 
+    incr_files: list[str] | None = None
     if os.path.exists(man_path):
         with open(man_path) as f:
             manifest = json.load(f)
-        if (manifest.get("input_fingerprint") == fp
-                and manifest.get("sketch") == desc
-                and manifest.get("keys") == list(keys)
-                and manifest.get("value_col") == value_col
-                and os.path.exists(os.path.join(states_path, "_SUCCESS"))):
+        compatible = (manifest.get("sketch") == desc
+                      and manifest.get("keys") == list(keys)
+                      and manifest.get("value_col") == value_col
+                      and os.path.exists(
+                          os.path.join(states_path, "_SUCCESS")))
+        if compatible and manifest.get("input_fingerprint") == fp:
             states = spark.read.parquet(states_path)
             return merge_sketches(states, keys, fanout=fanout,
                                   premerge=premerge)
+        if compatible:
+            incr_files = _incremental_files(manifest, fp)
 
     t0 = time.time()
-    partition_states = sketch_partitions(df, value_col, factory, keys)
-    partition_states.write.mode("overwrite").parquet(states_path)
+    if incr_files:
+        delta = spark.read.schema(df.schema).parquet(*incr_files)
+        new_states = sketch_partitions(delta, value_col, factory, keys)
+        new_states.write.mode("append").parquet(states_path)
+        stage = f"incremental_append({len(incr_files)} files)"
+    else:
+        partition_states = sketch_partitions(df, value_col, factory, keys)
+        partition_states.write.mode("overwrite").parquet(states_path)
+        stage = "partition_states"
     states = spark.read.parquet(states_path)
     n_states = states.count()
     n_values = states.agg({COUNT_COL: "sum"}).collect()[0][0]
     manifest = {
         "job_id": job_id,
-        "stage": "partition_states",
+        "stage": stage,
         "keys": list(keys),
         "value_col": value_col,
         "sketch": desc,

@@ -47,3 +47,48 @@ def test_build_resume_invalidate(spark, ckdir):
                          lambda: HLL(p=9), ckdir)
     manifest = json.load(open(f"{ckdir}/manifest.json"))
     assert manifest["metrics"]["values_processed"] == half.count()
+
+
+def test_incremental_append_only_resume(spark, tmp_path, ckdir):
+    """Append-only growth sketches ONLY the new files and appends their
+    partition states — incremental sketch maintenance via the monoid."""
+    from pyspark.sql import Row
+    src = str(tmp_path / "events_src")
+    spark.createDataFrame([Row(k="a", v=i) for i in range(500)]) \
+        .coalesce(1).write.parquet(src)
+    df1 = spark.read.parquet(src)
+    s1 = build_or_resume(spark, df1, ["k"], "v", lambda: HLL(p=12), ckdir)
+    r1 = {r[0]: round(from_bytes(bytes(r[STATE_COL])).estimate())
+          for r in s1.collect()}
+    assert abs(r1["a"] - 500) <= 30
+
+    # append a new file with new values + a new key
+    spark.createDataFrame([Row(k="a", v=500 + i) for i in range(500)]
+                          + [Row(k="b", v=i) for i in range(200)]) \
+        .coalesce(1).write.mode("append").parquet(src)
+    df2 = spark.read.parquet(src)
+    s2 = build_or_resume(spark, df2, ["k"], "v", lambda: HLL(p=12), ckdir)
+    r2 = {r[0]: round(from_bytes(bytes(r[STATE_COL])).estimate())
+          for r in s2.collect()}
+    manifest = json.load(open(f"{ckdir}/manifest.json"))
+    assert manifest["stage"].startswith("incremental_append"), manifest["stage"]
+    assert abs(r2["a"] - 1000) / 1000 <= 0.1
+    assert abs(r2["b"] - 200) / 200 <= 0.15
+
+    # incremental result == full rebuild result
+    full = build_or_resume(spark, df2, ["k"], "v", lambda: HLL(p=12),
+                           str(tmp_path / "ck_full"))
+    rf = {r[0]: round(from_bytes(bytes(r[STATE_COL])).estimate())
+          for r in full.collect()}
+    assert r2 == rf
+
+    # a REWRRITE of an old file must trigger a full rebuild, not append
+    spark.createDataFrame([Row(k="a", v=i) for i in range(100)]) \
+        .coalesce(1).write.mode("overwrite").parquet(src)
+    df3 = spark.read.parquet(src)
+    s3 = build_or_resume(spark, df3, ["k"], "v", lambda: HLL(p=12), ckdir)
+    r3 = {r[0]: round(from_bytes(bytes(r[STATE_COL])).estimate())
+          for r in s3.collect()}
+    manifest3 = json.load(open(f"{ckdir}/manifest.json"))
+    assert manifest3["stage"] == "partition_states"
+    assert set(r3) == {"a"} and abs(r3["a"] - 100) <= 15
