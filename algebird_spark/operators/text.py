@@ -92,30 +92,53 @@ def fingerprint(text: Column) -> Column:
     return F.md5(text)
 
 
+_SIMHASH_LANE_BITS = 20          # counters per packed long: 3 x 20 bits
+_SIMHASH_MAX_TOKENS = 1 << _SIMHASH_LANE_BITS
+
+
 def simhash64_df(df: DataFrame, id_col: str, text_col: str = "text",
                  alias: str = "simhash") -> DataFrame:
     """64-bit SimHash per document: bit b of the result = majority vote
     of bit b across the xxhash64 of each whitespace token.
 
-    Spark-first formulation: explode tokens once, then ONE groupBy with
-    64 plain integer sums (whole-stage codegen keeps this in one pass;
-    no Python, no per-row loops)."""
+    Spark-first formulation: explode tokens once, then ONE groupBy —
+    with the 64 majority counters PACKED three-per-long into 22
+    aggregate columns (20-bit lanes). Packing shrinks the partial-
+    aggregation buffer from 65 to 23 longs per in-flight doc (512 ->
+    184 bytes of hash-map state and map-side-spill volume per document
+    — material at 10^9 docs) while the per-row work stays identical
+    shift/mask/add; results are bit-identical to the unpacked
+    formulation (tested). Documents longer than 2^20 tokens would
+    overflow a lane and yield NULL (chunk such documents upstream);
+    no Python, no per-row loops anywhere."""
     par = df.sparkSession.sparkContext.defaultParallelism
     src = df if df.rdd.getNumPartitions() >= par else df.repartition(par)
     toks = src.select(
         id_col,
         F.explode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias("__tok"))
     h = F.xxhash64("__tok")
-    aggs = [F.count("*").alias("__n")] + [
-        F.sum(F.shiftright(h, b).bitwiseAND(F.lit(1)).cast("long")).alias(f"__b{b}")
-        for b in range(64)]
+    groups = [list(range(g, min(g + 3, 64))) for g in range(0, 64, 3)]
+    aggs = [F.count("*").alias("__n")]
+    for gi, bits in enumerate(groups):
+        packed = None
+        for j, b in enumerate(bits):
+            lane = F.shiftright(h, b).bitwiseAND(F.lit(1)).cast("long")
+            if j:
+                lane = F.shiftleft(lane, _SIMHASH_LANE_BITS * j)
+            packed = lane if packed is None else packed.bitwiseOR(lane)
+        aggs.append(F.sum(packed).alias(f"__p{gi}"))
     per_doc = toks.groupBy(id_col).agg(*aggs)
+    lane_mask = (1 << _SIMHASH_LANE_BITS) - 1
     sim = F.lit(0).cast("long")
     for b in range(64):
-        bit = F.when(F.col(f"__b{b}") * 2 > F.col("__n"),
-                     F.shiftleft(F.lit(1).cast("long"), b)).otherwise(
-                         F.lit(0).cast("long"))
-        sim = sim.bitwiseOR(bit)
+        cnt = F.shiftright(F.col(f"__p{b // 3}"),
+                           _SIMHASH_LANE_BITS * (b % 3)) \
+            .bitwiseAND(F.lit(lane_mask))
+        sim = sim.bitwiseOR(
+            F.when(cnt * 2 > F.col("__n"),
+                   F.shiftleft(F.lit(1).cast("long"), b))
+             .otherwise(F.lit(0).cast("long")))
+    sim = F.when(F.col("__n") < _SIMHASH_MAX_TOKENS, sim)
     return per_doc.select(id_col, sim.alias(alias))
 
 

@@ -78,3 +78,50 @@ def test_cms_hash_range_and_determinism():
 def test_string_fallback():
     h = murmur64_any(np.array(["abc", "abd", "abc"], dtype=object))
     assert h[0] == h[2] and h[0] != h[1]
+
+
+# ---------------------------------------------------------------------------
+# hypothesis property tests for the round-2 kernels
+# ---------------------------------------------------------------------------
+
+from hypothesis import given, settings, strategies as st
+
+
+@settings(max_examples=50, deadline=None)
+@given(st.lists(st.binary(min_size=0, max_size=200), min_size=1, max_size=40),
+       st.integers(0, 2**32 - 1))
+def test_murmur128_bytes_matches_scalar_hypothesis(strs, seed):
+    import pyarrow as pa
+    from algebird_spark.functions.hashing import murmur128_any
+    h1, h2 = murmur128_any(pa.array(strs, type=pa.binary()), seed)
+    for i, s in enumerate(strs):
+        assert (int(h1[i]), int(h2[i])) == murmur3_x64_128(s, seed)
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.integers(0, (1 << 61) - 2), st.integers(0, (1 << 61) - 2),
+       st.integers(0, (1 << 61) - 2))
+def test_mersenne61_affine_hypothesis(a, h, b):
+    import numpy as np
+    from algebird_spark.functions.hashing import affine_mod_p61
+    p = (1 << 61) - 1
+    got = affine_mod_p61(np.array([a], dtype=np.uint64),
+                         np.array([h], dtype=np.uint64),
+                         np.array([b], dtype=np.uint64))
+    assert int(got[0]) == (a * h + b) % p
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.integers(-(2**63), 2**63 - 1), st.integers(1, (1 << 31) - 2),
+       st.integers(2, 100_000))
+def test_cms_hash_matches_reference_arithmetic(x, a, width):
+    import numpy as np
+    from algebird_spark.functions.hashing import cms_hash, _derived_multiplier
+    p = (1 << 31) - 1
+    got = int(cms_hash(a, np.array([x], dtype=np.int64), width)[0])
+    u = x & 0xFFFFFFFFFFFFFFFF
+    a1 = a & 0x7FFFFFFF
+    a2 = int(_derived_multiplier(a, 0x9E3779B97F4A7C15))
+    a3 = int(_derived_multiplier(a, 0xC2B2AE3D27D4EB4F))
+    want = ((a1 * (u & p) + a2 * ((u >> 31) & p) + a3 * (u >> 62)) % p) % width
+    assert got == want

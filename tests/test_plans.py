@@ -142,3 +142,27 @@ def test_simhash_banding_parity_and_cap(spark):
     assert r4 == r8 == r8c
     with pytest.raises(ValueError):
         near_dup_pairs_simhash(docs, chunks=3)
+
+
+def test_simhash_packed_counters_match_unpacked(spark):
+    """The 3-per-long packed majority counters must reproduce the
+    unpacked 64-sum formulation bit-for-bit."""
+    from algebird_spark.operators.text import simhash64_df
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("t"))
+    h = F.xxhash64("t")
+    aggs = [F.count("*").alias("n")] + [
+        F.sum(F.shiftright(h, b).bitwiseAND(F.lit(1)).cast("long")).alias(f"b{b}")
+        for b in range(64)]
+    per = toks.groupBy("doc_id").agg(*aggs)
+    sim = F.lit(0).cast("long")
+    for b in range(64):
+        sim = sim.bitwiseOR(
+            F.when(F.col(f"b{b}") * 2 > F.col("n"),
+                   F.shiftleft(F.lit(1).cast("long"), b))
+             .otherwise(F.lit(0).cast("long")))
+    ref = {r[0]: r[1] for r in per.select("doc_id", sim.alias("s")).collect()}
+    got = {r[0]: r[1] for r in simhash64_df(docs, "doc_id").collect()}
+    assert got == ref
