@@ -467,6 +467,39 @@ def _derived_multiplier(a: int, salt: int) -> np.uint64:
     return np.uint64((_fmix64((int(a) ^ salt) & MASK64) & 0x7FFFFFFF) | 1)
 
 
+def cms_limbs(x: np.ndarray) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """The 31+31+2-bit limb decomposition of a 64-bit key batch, hoisted
+    so the CMS depth loop extracts limbs ONCE per chunk instead of once
+    per row (the decomposition is ~1/3 of the row hash)."""
+    xs = np.asarray(x)
+    if xs.dtype != np.uint64:
+        xs = xs.astype(np.int64, copy=False).view(np.uint64)
+    return (xs & _P31, (xs >> np.uint64(31)) & _P31, xs >> np.uint64(62))
+
+
+def cms_hash_limbs(a: int | np.uint64, l0: np.ndarray, l1: np.ndarray,
+                   l2: np.ndarray, width: int) -> np.ndarray:
+    """Row hash over pre-extracted limbs (see cms_hash for the family)."""
+    a1 = np.uint64(int(a) & 0x7FFFFFFF)
+    a2 = _derived_multiplier(int(a), 0x9E3779B97F4A7C15)
+    a3 = _derived_multiplier(int(a), 0xC2B2AE3D27D4EB4F)
+    s31 = np.uint64(31)
+    y = np.multiply(l0, a1)               # scratch 1 (allocates)
+    t = np.multiply(l1, a2)               # scratch 2 (allocates)
+    np.add(y, t, out=y)
+    np.multiply(l2, a3, out=t)
+    np.add(y, t, out=y)                   # < 3*2^62
+    for _ in range(2):                    # fold 2^31 ≡ 1 (mod 2^31-1)
+        np.right_shift(y, s31, out=t)
+        np.bitwise_and(y, _P31, out=y)
+        np.add(y, t, out=y)
+    np.greater_equal(y, _P31, out=t)      # conditional subtract
+    np.multiply(t, _P31, out=t)
+    np.subtract(y, t, out=y)
+    np.remainder(y, np.uint64(width), out=y)
+    return y.astype(np.int64)
+
+
 def cms_hash(a: int | np.uint64, x: np.ndarray, width: int) -> np.ndarray:
     """Row hash ``h(x) = ((a1*x0 + a2*x1 + a3*x2) mod (2^31-1)) mod width``
     where (x0, x1, x2) are the 31+31+2-bit limbs of the FULL 64-bit key —
@@ -475,37 +508,11 @@ def cms_hash(a: int | np.uint64, x: np.ndarray, width: int) -> np.ndarray:
     params stay a single a_i per row as in algebird's generateHashes
     (CountMinSketch.scala:338-352).
 
-    The previous formulation masked keys to their low 31 bits before
+    The round-1 formulation masked keys to their low 31 bits before
     hashing, which made any two keys congruent mod 2^31 collide in every
     row — a deterministic eps*N violation for 64-bit key ranges.
     Every intermediate fits uint64: a_j < 2^31, limbs < 2^31, so the
-    3-term sum is < 3*2^62. In-place formulation: exactly two uint64
-    scratch buffers (the CMS update loop calls this once per depth row
-    per chunk — temporaries must stay L2-resident, BENCH/BASELINE.md).
-    """
-    xs = np.asarray(x)
-    if xs.dtype != np.uint64:
-        xs = xs.astype(np.int64, copy=False).view(np.uint64)
-    a1 = np.uint64(int(a) & 0x7FFFFFFF)
-    a2 = _derived_multiplier(int(a), 0x9E3779B97F4A7C15)
-    a3 = _derived_multiplier(int(a), 0xC2B2AE3D27D4EB4F)
-    s31, s62 = np.uint64(31), np.uint64(62)
-    y = np.bitwise_and(xs, _P31)          # scratch 1 (allocates)
-    np.multiply(y, a1, out=y)             # a1*x0 < 2^62
-    t = np.right_shift(xs, s31)           # scratch 2 (allocates)
-    np.bitwise_and(t, _P31, out=t)
-    np.multiply(t, a2, out=t)             # a2*x1 < 2^62
-    np.add(y, t, out=y)
-    np.right_shift(xs, s62, out=t)
-    np.multiply(t, a3, out=t)             # a3*x2 < 2^33
-    np.add(y, t, out=y)                   # < 3*2^62
-    for _ in range(2):                    # fold 2^31 ≡ 1 (mod 2^31-1)
-        np.right_shift(y, s31, out=t)
-        np.bitwise_and(y, _P31, out=y)
-        np.add(y, t, out=y)
-    # conditional subtract: y in [0, 2^31+3] here
-    np.greater_equal(y, _P31, out=t)      # 1 where y >= p, else 0
-    np.multiply(t, _P31, out=t)
-    np.subtract(y, t, out=y)
-    np.remainder(y, np.uint64(width), out=y)
-    return y.astype(np.int64)
+    3-term sum is < 3*2^62. In-place with two scratch buffers; hot
+    depth loops hoist cms_limbs() once per chunk and call
+    cms_hash_limbs per row."""
+    return cms_hash_limbs(a, *cms_limbs(x), width)

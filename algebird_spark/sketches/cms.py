@@ -28,7 +28,8 @@ import math
 
 import numpy as np
 
-from ..functions.hashing import cms_hash, cms_hash_params, prepare_keys
+from ..functions.hashing import (cms_hash_limbs, cms_hash_params, cms_limbs,
+                                 prepare_keys)
 from .base import KIND_CMS, Approximate, IncompatibleSketchError, Sketch, register
 
 DEFAULT_CMS_SEED = 1
@@ -79,8 +80,9 @@ class CMS(Sketch):
         self.exact = None
 
     def _add_dense(self, keys: np.ndarray, counts: np.ndarray) -> None:
+        limbs = cms_limbs(keys)  # hoisted once across all depth rows
         for i in range(self.depth):
-            h = cms_hash(self._a[i], keys, self.width)
+            h = cms_hash_limbs(self._a[i], *limbs, self.width)
             self.table[i] += np.bincount(h, weights=counts, minlength=self.width).astype(np.int64)
 
     # ------------------------------------------------------------------
@@ -130,8 +132,9 @@ class CMS(Sketch):
             self._to_dense()
 
     def _add_dense_ones(self, chunk: np.ndarray) -> None:
+        limbs = cms_limbs(chunk)  # hoisted once across all depth rows
         for i in range(self.depth):
-            h = cms_hash(self._a[i], chunk, self.width)
+            h = cms_hash_limbs(self._a[i], *limbs, self.width)
             self.table[i] += np.bincount(h, minlength=self.width)
 
     def _update_hh(self, keys: np.ndarray) -> None:
@@ -165,8 +168,9 @@ class CMS(Sketch):
             return np.fromiter((ex.get(int(k), 0) for k in keys), dtype=np.int64,
                                count=len(keys))
         est = np.full(len(keys), np.iinfo(np.int64).max, dtype=np.int64)
+        limbs = cms_limbs(keys)
         for i in range(self.depth):
-            h = cms_hash(self._a[i], keys, self.width)
+            h = cms_hash_limbs(self._a[i], *limbs, self.width)
             np.minimum(est, self.table[i][h], out=est)
         return est
 

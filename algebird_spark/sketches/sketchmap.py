@@ -19,7 +19,8 @@ import math
 
 import numpy as np
 
-from ..functions.hashing import cms_hash, cms_hash_params, prepare_keys
+from ..functions.hashing import (cms_hash, cms_hash_limbs, cms_hash_params,
+                                 cms_limbs, prepare_keys)
 from .base import Sketch, register
 
 KIND_SKETCHMAP = 22
@@ -57,8 +58,9 @@ class SketchMap(Sketch):
         w = (np.ones(len(keys)) if weights is None
              else np.asarray(weights, dtype=np.float64))
         self.total += float(w.sum())
+        limbs = cms_limbs(keys)
         for i in range(self.depth):
-            h = cms_hash(self._a[i], keys, self.width)
+            h = cms_hash_limbs(self._a[i], *limbs, self.width)
             self.table[i] += np.bincount(h, weights=w, minlength=self.width)
         uniq = np.unique(keys)
         est = self.values(uniq)
@@ -76,8 +78,9 @@ class SketchMap(Sketch):
         (generalizes CMS min to signed sums)."""
         keys = prepare_keys(np.asarray(keys))
         est = None
+        limbs = cms_limbs(keys)
         for i in range(self.depth):
-            h = cms_hash(self._a[i], keys, self.width)
+            h = cms_hash_limbs(self._a[i], *limbs, self.width)
             row = self.table[i][h]
             if est is None:
                 est = row.copy()
@@ -167,8 +170,9 @@ class DecayingCMS(Sketch):
         self._rescale_to(t_max)
         # decay each observation to the table timestamp (late data ok)
         scaled = w * np.exp2((ts - self.ts) / self.half_life)
+        limbs = cms_limbs(keys)
         for i in range(self.depth):
-            h = cms_hash(self._a[i], keys, self.width)
+            h = cms_hash_limbs(self._a[i], *limbs, self.width)
             self.table[i] += np.bincount(h, weights=scaled,
                                          minlength=self.width)
 
@@ -192,8 +196,9 @@ class DecayingCMS(Sketch):
         import numpy as np
         keys = prepare_keys(np.asarray(keys))
         est = None
+        limbs = cms_limbs(keys)
         for i in range(self.depth):
-            h = cms_hash(self._a[i], keys, self.width)
+            h = cms_hash_limbs(self._a[i], *limbs, self.width)
             row = self.table[i][h]
             est = row.copy() if est is None else np.minimum(est, row)
         if at_ts is not None and at_ts > self.ts:
