@@ -79,6 +79,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "set_diff": Q.q_set_diff,
         "streaming_hll": Q.q_streaming_hll,
         "streaming_windowed_hll": Q.q_streaming_windowed_hll,
+        "sliding_window_counts": Q.q_sliding_window_counts,
         # --- string-key sketches (CMSHasher[K] surface) -------------------
         "hll_string_distinct": Q.q_hll_string_distinct,
         "cms_string_keys": Q.q_cms_string_keys,
@@ -432,6 +433,17 @@ def oracle_sql() -> dict[str, str]:
         "decayed_vector": """
             SELECT COUNT(DISTINCT user_id) AS n_users, TRUE AS decayed_vec_ok
             FROM events
+        """,
+        "sliding_window_counts": """
+            WITH e AS (SELECT FLOOR(EPOCH_US(ts) / 1e6 / 21600) * 21600 AS g,
+                              event_type
+                       FROM events),
+                 x AS (SELECT g AS ws, event_type FROM e
+                       UNION ALL
+                       SELECT g - 21600 AS ws, event_type FROM e)
+            SELECT CAST(ws AS DOUBLE) AS window_start_sec, event_type,
+                   COUNT(*) AS n
+            FROM x GROUP BY 1, 2
         """,
         # --- training-data ops --------------------------------------------
         # planted-duplicate view: same md5 rule as queries._docs_with_dups

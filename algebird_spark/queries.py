@@ -1051,6 +1051,41 @@ def q_streaming_windowed_hll(spark, sf):
         shutil.rmtree(d, ignore_errors=True)
 
 
+def q_sliding_window_counts(spark, sf):
+    """Sliding event-time windows (12h width, 6h slide) through a REAL
+    stream — the ExpHist query surface on Structured Streaming. Counts
+    are exact, so the oracle reproduces them verbatim: each event lands
+    in exactly two windows (w = 2*slide), generated in SQL by a
+    two-way union of shifted window starts."""
+    import shutil
+    import tempfile
+    import uuid
+    from .streaming.stateful import sliding_counts
+    d = tempfile.mkdtemp(prefix="stream_slide_")
+    try:
+        shutil.copy(f"{sf}/events.parquet", f"{d}/part-0.parquet")
+        batch = spark.read.parquet(d)
+        sdf = spark.readStream.schema(batch.schema).parquet(d)
+        out = sliding_counts(sdf, "ts", "12 hours", "6 hours",
+                             ["event_type"])
+        qname = f"q_slide_{uuid.uuid4().hex[:8]}"
+        q = (out.writeStream.outputMode("update").format("memory")
+             .queryName(qname).start())
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        # update mode re-emits growing counts; the final value per
+        # (window, key) is the max
+        return (spark.sql(f"SELECT * FROM {qname}")
+                .withColumn("window_start_sec",
+                            F.col("window_start").cast("double"))
+                .groupBy("window_start_sec", "event_type")
+                .agg(F.max("n").alias("n")))
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
 def q_streaming_hll(spark, sf):
     """Structured Streaming stateful HLL (applyInPandasWithState): drive
     the events table through a real stream, then compare the final
