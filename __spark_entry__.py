@@ -92,6 +92,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint": Q.q_doc_fingerprint,
         "simhash_near_dup": Q.q_simhash_near_dup,      # rows-only
         "minhash_near_dup": Q.q_minhash_near_dup,      # rows-only
+        "connected_components": Q.q_connected_components,
+        "dedup_clusters": Q.q_dedup_clusters,
         "embedding_topk": Q.q_embedding_topk,
         "embedding_lsh_recall": Q.q_embedding_lsh_recall,  # rows-only
         "multimodal_features": Q.q_multimodal_features,    # rows-only
@@ -498,6 +500,29 @@ def oracle_sql() -> dict[str, str]:
               WHERE SUBSTR(MD5(CAST(doc_id AS VARCHAR)), 1, 1) < '2')
             SELECT MD5(text) AS fp, COUNT(*) AS n
             FROM docs2 GROUP BY MD5(text) HAVING COUNT(*) > 1
+        """,
+        "connected_components": """
+            WITH RECURSIVE e AS (
+              SELECT a.doc_id AS u, b.doc_id AS v
+              FROM documents a JOIN documents b ON a.doc_id = b.doc_id + 1
+              WHERE a.doc_id % 7 <> 0),
+            sym AS (SELECT u, v FROM e UNION SELECT v AS u, u AS v FROM e),
+            reach(u, v) AS (
+              SELECT doc_id AS u, doc_id AS v FROM documents
+              UNION
+              SELECT r.u, s.v FROM reach r JOIN sym s ON r.v = s.u),
+            lab AS (SELECT u AS node, MIN(v) AS component
+                    FROM reach GROUP BY u)
+            SELECT component, COUNT(*) AS n_nodes FROM lab GROUP BY component
+        """,
+        "dedup_clusters": """
+            SELECT COUNT(*) AS n_planted_docs,
+                   TRUE AS planted_connected_ok,
+                   CAST(0 AS BIGINT) AS planted_kept
+            FROM documents
+            WHERE SUBSTR(MD5(CAST(doc_id AS VARCHAR)), 1, 1) < '2'
+              AND (CASE WHEN TRIM(text) = '' THEN 0
+                   ELSE len(regexp_split_to_array(TRIM(text), '\\s+')) END) >= 30
         """,
         "embedding_topk": """
             WITH q AS (SELECT vec_id AS q_id, embedding AS q_vec

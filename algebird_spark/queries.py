@@ -1125,3 +1125,62 @@ def q_streaming_hll(spark, sf):
             StructField("stream_hll_ok", BooleanType(), False)]))
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# graph: connected components / dedup clustering
+# ---------------------------------------------------------------------------
+
+def q_connected_components(spark, sf):
+    """Connected components (alternating large-star/small-star) over a
+    deterministic chain graph on documents: edge (d, d-1) whenever
+    d % 7 != 0 and both docs exist. Components are id-chains of up to
+    7 nodes, so convergence requires genuine multi-round propagation.
+    The oracle recomputes the SAME graph's components via a recursive
+    transitive-closure CTE — label values AND sizes are compared."""
+    from .operators.graph import connected_components
+    docs = _t(spark, sf, "documents").select("doc_id")
+    a, b = docs.alias("a"), docs.alias("b")
+    edges = (a.join(b, F.col("a.doc_id") == F.col("b.doc_id") + 1)
+              .filter(F.col("a.doc_id") % 7 != 0)
+              .select(F.col("a.doc_id").alias("src"),
+                      F.col("b.doc_id").alias("dst")))
+    cc = connected_components(edges, vertices=docs, vertex_col="doc_id")
+    return (cc.groupBy("component").agg(F.count("*").alias("n_nodes")))
+
+
+def q_dedup_clusters(spark, sf):
+    """Transitive near-dup clustering: plant CHAINS of 3 near-dups
+    (orig -> +1 token -> +2 tokens) for every md5-eligible doc, find
+    pairs with MinHash-LSH, cluster with connected components, keep
+    min-id per cluster. Verdicts are robust to extra genuine near-dup
+    pairs in the corpus (clusters may merge; planted members must
+    still share their orig's component and never be the survivor)."""
+    from .operators.graph import dedup_clusters
+    docs = _t(spark, sf, "documents")
+    eligible = docs.filter(
+        (F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
+         < F.lit("2"))
+        & (text.token_count(F.col("text")) >= 30))
+    c1 = (eligible.withColumn("doc_id", F.col("doc_id") + F.lit(10**9))
+                  .withColumn("text", F.concat("text", F.lit(" zzqx917"))))
+    c2 = (eligible.withColumn("doc_id", F.col("doc_id") + F.lit(2 * 10**9))
+                  .withColumn("text", F.concat("text",
+                                               F.lit(" zzqx917 qqv84z"))))
+    view = docs.unionByName(c1).unionByName(c2)
+    pairs = dedup.near_dup_pairs_minhash(view, "doc_id", "text",
+                                         num_perm=64, bands=16,
+                                         threshold=0.7)
+    clusters = dedup_clusters(view, pairs.select("id_a", "id_b"), "doc_id")
+    planted = clusters.filter(F.col("doc_id") >= 10**9).select(
+        (F.col("doc_id") % 10**9).alias("orig"), "component", "keep")
+    orig_comp = (clusters.filter(F.col("doc_id") < 10**9)
+                 .select(F.col("doc_id").alias("orig"),
+                         F.col("component").alias("orig_component")))
+    joined = planted.join(orig_comp, "orig")
+    verdict = joined.agg(
+        (F.count("*") / F.lit(2)).cast("long").alias("n_planted_docs"),
+        F.min((F.col("component") == F.col("orig_component"))
+              .cast("int")).cast("boolean").alias("planted_connected_ok"),
+        F.sum(F.col("keep").cast("long")).alias("planted_kept"))
+    return verdict
