@@ -95,6 +95,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "connected_components": Q.q_connected_components,
         "dedup_clusters": Q.q_dedup_clusters,
         "embedding_topk": Q.q_embedding_topk,
+        "ivf_topk_exhaustive": Q.q_ivf_topk_exhaustive,
+        "ivf_recall": Q.q_ivf_recall,
         "embedding_lsh_recall": Q.q_embedding_lsh_recall,  # rows-only
         "multimodal_features": Q.q_multimodal_features,    # rows-only
     }
@@ -538,6 +540,27 @@ def oracle_sql() -> dict[str, str]:
               FROM scored)
             SELECT q_id, vec_id, ROUND(cos, 4) AS cos, rank
             FROM ranked WHERE rank <= 5
+        """,
+        "ivf_topk_exhaustive": """
+            WITH q AS (SELECT vec_id AS q_id, embedding AS q_vec
+                       FROM embeddings ORDER BY vec_id LIMIT 3),
+            scored AS (
+              SELECT q.q_id, e.vec_id,
+                     list_cosine_similarity(e.embedding, q.q_vec) AS cos
+              FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.q_id),
+            ranked AS (
+              SELECT q_id, vec_id, cos,
+                     ROW_NUMBER() OVER (PARTITION BY q_id
+                                        ORDER BY cos DESC, vec_id) AS rank
+              FROM scored)
+            SELECT q_id, vec_id, ROUND(cos, 4) AS cos, rank
+            FROM ranked WHERE rank <= 5
+        """,
+        "ivf_recall": """
+            SELECT (SELECT COUNT(*) FROM
+                     (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 5))
+                   AS n_queries,
+                   TRUE AS recall_ok
         """,
         # rows-only (no oracle): simhash_near_dup, minhash_near_dup,
         # embedding_lsh_recall, multimodal_features

@@ -1,0 +1,68 @@
+"""IVF-Flat ANN: exhaustive-probe equivalence with brute force,
+centroid training invariants, partial-probe recall sanity."""
+
+import numpy as np
+import pytest
+
+from pyspark.sql import functions as F
+
+from algebird_spark.operators.similarity import (cosine_topk, ivf_topk,
+                                                 train_ivf_centroids)
+
+
+@pytest.fixture(scope="module")
+def vec_df(spark):
+    rng = np.random.default_rng(99)
+    base = rng.standard_normal((8, 16))
+    rows = []
+    for i in range(120):
+        v = base[i % 8] + 0.3 * rng.standard_normal(16)
+        rows.append((i, [float(x) for x in v]))
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>") \
+        .repartition(4).persist()
+
+
+def _queries(vec_df, n):
+    return (vec_df.orderBy("vec_id").limit(n)
+            .select(F.col("vec_id").alias("q_id"),
+                    F.col("embedding").alias("q_vec")))
+
+
+def test_centroids_unit_norm_and_shape(vec_df):
+    c = train_ivf_centroids(vec_df, n_lists=8, n_iter=3)
+    assert c.shape == (8, 16)
+    np.testing.assert_allclose(np.linalg.norm(c, axis=1), 1.0, atol=1e-9)
+
+
+def test_exhaustive_probe_equals_brute_force(vec_df):
+    c = train_ivf_centroids(vec_df, n_lists=8, n_iter=2)
+    q = _queries(vec_df, 4)
+    exact = {(r["q_id"], r["rank"]): r["vec_id"]
+             for r in cosine_topk(vec_df, q, k=5).collect()}
+    ivf = {(r["q_id"], r["rank"]): r["vec_id"]
+           for r in ivf_topk(vec_df, q, k=5, centroids=c,
+                             nprobe=8).collect()}
+    assert ivf == exact
+
+
+def test_partial_probe_recall(vec_df):
+    # planted 8 clusters, 8 lists: k-means should recover them, so
+    # even nprobe=1 finds most true neighbors (same-cluster vectors)
+    c = train_ivf_centroids(vec_df, n_lists=8, n_iter=5)
+    q = _queries(vec_df, 4)
+    exact = {(r["q_id"], r["vec_id"])
+             for r in cosine_topk(vec_df, q, k=5).collect()}
+    got = {(r["q_id"], r["vec_id"])
+           for r in ivf_topk(vec_df, q, k=5, centroids=c,
+                             nprobe=2).collect()}
+    assert len(exact & got) / len(exact) >= 0.7
+
+
+def test_each_vector_single_list(vec_df):
+    # candidates per (q, vec) pair must be unique: one list per vector
+    c = train_ivf_centroids(vec_df, n_lists=8, n_iter=2)
+    q = _queries(vec_df, 2)
+    out = ivf_topk(vec_df, q, k=1000, centroids=c, nprobe=8)
+    dups = (out.groupBy("q_id", "vec_id").count()
+               .filter(F.col("count") > 1).count())
+    assert dups == 0
