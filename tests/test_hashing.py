@@ -125,3 +125,63 @@ def test_cms_hash_matches_reference_arithmetic(x, a, width):
     a3 = int(_derived_multiplier(a, 0xC2B2AE3D27D4EB4F))
     want = ((a1 * (u & p) + a2 * ((u >> 31) & p) + a3 * (u >> 62)) % p) % width
     assert got == want
+
+
+def test_chunked_array_hashes_per_chunk():
+    import pyarrow as pa
+    from algebird_spark.functions.hashing import murmur128_any
+    vals = ["alpha", "", "beta gamma", "x" * 40, "delta"]
+    chunked = pa.chunked_array([vals[:2], vals[2:4], [], vals[4:]],
+                               type=pa.string())
+    flat = pa.array(vals, type=pa.string())
+    c1, c2 = murmur128_any(chunked, 7)
+    f1, f2 = murmur128_any(flat, 7)
+    np.testing.assert_array_equal(c1, f1)
+    np.testing.assert_array_equal(c2, f2)
+    e1, e2 = murmur128_any(pa.chunked_array([], type=pa.string()), 7)
+    assert len(e1) == 0 and len(e2) == 0
+
+
+def test_bytes_kernel_wide_index_path():
+    """int64 gather-index path (>2 GiB data) on small input via the
+    testing seam: must be bit-identical to the int32 path and the
+    scalar reference across mixed row lengths."""
+    from algebird_spark.functions.hashing import (murmur3_x64_128,
+                                                  murmur128_bytes)
+    rng = np.random.default_rng(11)
+    lens = [0, 1, 7, 8, 9, 15, 16, 17, 31, 32, 33, 100, 1025]
+    data = rng.integers(0, 256, size=sum(lens), dtype=np.uint8)
+    offsets = np.cumsum([0] + lens).astype(np.int64)
+    w1, w2 = murmur128_bytes(offsets, data, 99, _force_wide_index=True)
+    n1, n2 = murmur128_bytes(offsets, data, 99)
+    np.testing.assert_array_equal(w1, n1)
+    np.testing.assert_array_equal(w2, n2)
+    for i in range(len(lens)):
+        b = data[offsets[i]:offsets[i + 1]].tobytes()
+        assert (int(w1[i]), int(w2[i])) == murmur3_x64_128(b, 99)
+
+
+@pytest.mark.skipif("SPARK_GRAFT_BIG_TESTS" not in __import__("os").environ,
+                    reason="allocates >4 GiB; set SPARK_GRAFT_BIG_TESTS=1")
+def test_bytes_kernel_past_2gb_offsets():
+    """The REAL >2 GiB allocation: total data just past 2^31 bytes
+    auto-switches to int64 indices; sampled rows (incl. the
+    boundary-straddling last rows) must match the scalar reference
+    bit-for-bit. Env-gated: this VM's first-touch page cost makes the
+    2 GiB build take 40-200 s wall."""
+    from algebird_spark.functions.hashing import (murmur3_x64_128,
+                                                  murmur128_bytes)
+    row_len = 1024
+    n = (2**31 // row_len) + 16  # ~2.147 GB + 16 KiB
+    rng = np.random.default_rng(5)
+    pattern = rng.integers(0, 256, size=row_len * 257, dtype=np.uint8)
+    reps = (n * row_len) // len(pattern) + 1
+    data = np.tile(pattern, reps)[: n * row_len]
+    offsets = np.arange(n + 1, dtype=np.int64) * row_len
+    h1, h2 = murmur128_bytes(offsets, data, 42)
+    assert len(h1) == n
+    sample = list(range(0, n, n // 97)) + list(range(n - 3, n))
+    for i in sample:
+        b = data[offsets[i]:offsets[i + 1]].tobytes()
+        s1, s2 = murmur3_x64_128(b, 42)
+        assert (int(h1[i]), int(h2[i])) == (s1, s2), i
