@@ -80,6 +80,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_hll": Q.q_streaming_hll,
         "streaming_windowed_hll": Q.q_streaming_windowed_hll,
         "sliding_window_counts": Q.q_sliding_window_counts,
+        "streaming_dedup": Q.q_streaming_dedup,
         # --- string-key sketches (CMSHasher[K] surface) -------------------
         "hll_string_distinct": Q.q_hll_string_distinct,
         "cms_string_keys": Q.q_cms_string_keys,
@@ -89,6 +90,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_keep_min_id": Q.q_dedup_keep_min_id,
         "minhash_lsh_recall": Q.q_minhash_lsh_recall,
         "text_stats": Q.q_text_stats,
+        "hashing_trick": Q.q_hashing_trick,
+        "training_pipeline": Q.q_training_pipeline,
         "doc_fingerprint": Q.q_doc_fingerprint,
         "simhash_near_dup": Q.q_simhash_near_dup,      # rows-only
         "minhash_near_dup": Q.q_minhash_near_dup,      # rows-only
@@ -464,6 +467,17 @@ def oracle_sql() -> dict[str, str]:
                       SELECT text FROM docs2 GROUP BY text HAVING COUNT(*) > 1))
                    AS n_dup_groups
         """,
+        "streaming_dedup": """
+            WITH docs2 AS (
+              SELECT * FROM documents
+              UNION ALL
+              SELECT doc_id + 1000000000, text, lang, source, n_chars
+              FROM documents
+              WHERE SUBSTR(MD5(CAST(doc_id AS VARCHAR)), 1, 1) < '2')
+            SELECT COUNT(DISTINCT text) AS n_kept,
+                   COUNT(DISTINCT text) AS n_distinct_fp
+            FROM docs2
+        """,
         "dedup_keep_min_id": """
             WITH docs2 AS (
               SELECT * FROM documents
@@ -482,6 +496,39 @@ def oracle_sql() -> dict[str, str]:
             WHERE SUBSTR(MD5(CAST(doc_id AS VARCHAR)), 1, 1) < '2'
               AND (CASE WHEN TRIM(text) = '' THEN 0
                    ELSE len(regexp_split_to_array(TRIM(text), '\\s+')) END) >= 30
+        """,
+        "training_pipeline": """
+            WITH docs2 AS (
+              SELECT * FROM documents
+              UNION ALL
+              SELECT doc_id + 1000000000, text, lang, source, n_chars
+              FROM documents
+              WHERE SUBSTR(MD5(CAST(doc_id AS VARCHAR)), 1, 1) < '2'),
+            filt AS (
+              SELECT *,
+                     CASE WHEN TRIM(text) = '' THEN 0
+                     ELSE len(regexp_split_to_array(TRIM(text), '\\s+')) END
+                     AS tokcnt
+              FROM docs2
+              WHERE n_chars >= 100
+                AND (CASE WHEN TRIM(text) = '' THEN 0
+                     ELSE len(regexp_split_to_array(TRIM(text), '\\s+')) END)
+                    >= 20),
+            keep AS (SELECT MIN(doc_id) AS doc_id FROM filt GROUP BY text)
+            SELECT lang, COUNT(*) AS n_kept,
+                   SUM(tokcnt) AS total_tokens,
+                   SUM(n_chars) AS total_chars
+            FROM filt JOIN keep USING (doc_id)
+            GROUP BY lang
+        """,
+        "hashing_trick": """
+            SELECT source,
+                   SUM(CASE WHEN TRIM(text) = '' THEN 0
+                       ELSE len(regexp_split_to_array(TRIM(text), '\\s+'))
+                       END) AS n_tokens,
+                   4096 AS dim,
+                   TRUE AS monoid_ok
+            FROM documents GROUP BY source
         """,
         "text_stats": """
             SELECT lang, COUNT(*) AS n_docs,

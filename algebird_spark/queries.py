@@ -1227,3 +1227,92 @@ def q_ivf_recall(spark, sf):
         .crossJoin(exact.agg(F.count("*").alias("__t"))) \
         .select("n_queries",
                 (F.col("__h") >= 0.7 * F.col("__t")).alias("recall_ok"))
+
+
+def q_streaming_dedup(spark, sf):
+    """Exact dedup as a STREAM: fingerprint each arriving doc and keep
+    first-seen via dropDuplicatesWithinWatermark — the Structured
+    Streaming form of dedup_exact. The watermark (1 hour over a
+    synthetic event-time derived from doc_id) bounds dedup state at
+    scale: only fingerprints within the watermark horizon stay in the
+    store, exactly how a 100 TB ingest pipeline keeps streaming dedup
+    feasible. Survivor count == distinct texts (SQL-reproducible);
+    survivor identity is arrival-order-dependent, so only counts are
+    compared."""
+    import shutil
+    import tempfile
+    import uuid
+    d = tempfile.mkdtemp(prefix="stream_dedup_")
+    try:
+        docs = _docs_with_dups(spark, sf).withColumn(
+            "ts", (F.lit(1_700_000_000) + F.col("doc_id") % 3600)
+                  .cast("timestamp"))
+        docs.coalesce(1).write.mode("overwrite").parquet(d)
+        batch = spark.read.parquet(d)
+        sdf = spark.readStream.schema(batch.schema).parquet(d)
+        kept = (sdf.withColumn("fp", text.fingerprint(F.col("text")))
+                .withWatermark("ts", "1 hour")
+                .dropDuplicatesWithinWatermark(["fp"]))
+        qname = f"q_dedup_{uuid.uuid4().hex[:8]}"
+        q = (kept.writeStream.outputMode("append").format("memory")
+             .queryName(qname).start())
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        out = spark.sql(f"SELECT * FROM {qname}")
+        return out.agg(
+            F.count("*").alias("n_kept"),
+            F.count_distinct("fp").alias("n_distinct_fp"))
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def q_hashing_trick(spark, sf):
+    """HashingTrick feature vectors per source (reference
+    HashingTrick.scala:19-38): whitespace tokens hash into a 2^12
+    sparse signed vector. Signed bucket values are hash-dependent, so
+    the oracle pins the exact token mass (SQL-reproducible) and a
+    monoid-law verdict computed in-plan: the vector of all docs must
+    equal the bucket-wise sum of the even-doc and odd-doc vectors
+    (exact — ±1 weights sum to integer doubles)."""
+    from .operators.features import feature_hash_vector
+    docs = _t(spark, sf, "documents")
+    toks = (docs.select("source", "doc_id",
+                        F.explode(F.split(F.trim("text"), r"\s+"))
+                         .alias("tok"))
+            .filter(F.col("tok") != ""))
+    whole = feature_hash_vector(toks, ["source"], "tok", bits=12)
+    parts = (feature_hash_vector(toks.filter(F.col("doc_id") % 2 == 0),
+                                 ["source"], "tok", bits=12)
+             .union(feature_hash_vector(toks.filter(F.col("doc_id") % 2 == 1),
+                                        ["source"], "tok", bits=12))
+             .groupBy("source", "f_index")
+             .agg(F.sum("f_value").alias("f_value"))
+             .filter(F.col("f_value") != 0))
+    mismatches = (whole.join(parts, ["source", "f_index"], "full_outer")
+                  .filter(~(whole["f_value"].eqNullSafe(parts["f_value"])))
+                  .groupBy("source").agg(F.count("*").alias("__bad")))
+    n_tok = toks.groupBy("source").agg(F.count("*").alias("n_tokens"))
+    return (n_tok.join(mismatches, "source", "left")
+            .select("source", "n_tokens",
+                    F.lit(4096).alias("dim"),
+                    F.coalesce(F.col("__bad"), F.lit(0)).eqNullSafe(0)
+                     .alias("monoid_ok")))
+
+
+def q_training_pipeline(spark, sf):
+    """End-to-end training-data pipeline composition over the
+    planted-duplicate view: quality gate (length + token thresholds)
+    -> exact dedup (keep min doc_id) -> per-language corpus stats.
+    Every stage is a library operator; every output is exact and
+    integer-valued, so the oracle reproduces the full pipeline in SQL."""
+    docs = _docs_with_dups(spark, sf)
+    filtered = docs.filter((F.col("n_chars") >= 100)
+                           & (text.token_count(F.col("text")) >= 20))
+    kept = dedup.dedup_exact(filtered, "text", "doc_id")
+    return (kept.groupBy("lang")
+            .agg(F.count("*").alias("n_kept"),
+                 F.sum(text.token_count(F.col("text")).cast("long"))
+                  .alias("total_tokens"),
+                 F.sum("n_chars").alias("total_chars")))
