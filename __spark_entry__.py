@@ -37,6 +37,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_intersection": Q.q_hll_intersection,
         "cms_point_queries": Q.q_cms_point_queries,
         "cms_heavy_hitters": Q.q_cms_heavy_hitters,
+        "cms_inner_product": Q.q_cms_inner_product,
         "bloom_membership": Q.q_bloom_membership,
         "kll_quantiles": Q.q_kll_quantiles,
         "tdigest_quantiles": Q.q_tdigest_quantiles,
@@ -137,6 +138,15 @@ def oracle_sql() -> dict[str, str]:
                  c AS (SELECT l_suppkey, COUNT(*) AS cnt FROM lineitem GROUP BY l_suppkey)
             SELECT (SELECT COUNT(*) FROM c, n WHERE cnt >= 0.005 * total) AS n_true_hh,
                    TRUE AS contains_all, TRUE AS within_relaxed
+        """,
+        "cms_inner_product": """
+            WITH ca AS (SELECT l_partkey, COUNT(*) AS ca FROM lineitem
+                        WHERE l_returnflag = 'A' GROUP BY l_partkey),
+                 cr AS (SELECT l_partkey, COUNT(*) AS cr FROM lineitem
+                        WHERE l_returnflag = 'R' GROUP BY l_partkey)
+            SELECT CAST(SUM(ca.ca * cr.cr) AS BIGINT) AS exact_inner,
+                   TRUE AS never_under, TRUE AS within_eps
+            FROM ca JOIN cr USING (l_partkey)
         """,
         "bloom_membership": """
             SELECT (SELECT COUNT(*) FROM customer) AS n_probed,

@@ -40,7 +40,7 @@ def make_factory(names: list[str], args):
     return lambda: MultiSketch({n: builders[n]() for n in names})
 
 
-def main(argv=None):
+def main(argv=None, spark=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--input", required=True)
     ap.add_argument("--value-col", default="tokens")
@@ -64,13 +64,16 @@ def main(argv=None):
     ap.add_argument("--qtree-k", type=int, default=10)
     args = ap.parse_args(argv)
 
-    from pyspark.sql import SparkSession
-    spark = (SparkSession.builder.appName("algebird_spark_build_sketches")
-             .config("spark.sql.adaptive.enabled", "true")
-             .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-             .config("spark.sql.execution.arrow.maxRecordsPerBatch", "4096")
-             .getOrCreate())
-    spark.sparkContext.setLogLevel("WARN")
+    owns_session = spark is None
+    if owns_session:
+        from pyspark.sql import SparkSession
+        spark = (SparkSession.builder.appName("algebird_spark_build_sketches")
+                 .config("spark.sql.adaptive.enabled", "true")
+                 .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+                 .config("spark.sql.execution.arrow.maxRecordsPerBatch",
+                         "4096")
+                 .getOrCreate())
+        spark.sparkContext.setLogLevel("WARN")
 
     from algebird_spark.agg import STATE_COL, sketch_by_key, with_presented
     from algebird_spark.sources.checkpoint import build_or_resume
@@ -101,9 +104,12 @@ def main(argv=None):
         n = spark.read.parquet(args.output + "/states").count()
     else:
         n = states.count()
-    print(json.dumps({"groups": n, "seconds": round(time.time() - t0, 2),
-                      "sketches": names, "keys": keys}), file=sys.stderr)
-    spark.stop()
+    metrics = {"groups": n, "seconds": round(time.time() - t0, 2),
+               "sketches": names, "keys": keys}
+    print(json.dumps(metrics), file=sys.stderr)
+    if owns_session:
+        spark.stop()
+    return metrics
 
 
 if __name__ == "__main__":

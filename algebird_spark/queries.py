@@ -1316,3 +1316,30 @@ def q_training_pipeline(spark, sf):
                  F.sum(text.token_count(F.col("text")).cast("long"))
                   .alias("total_tokens"),
                  F.sum("n_chars").alias("total_chars")))
+
+
+def q_cms_inner_product(spark, sf):
+    """CMS innerProduct (CountMinSketch.scala innerProduct semantics):
+    estimate sum_k fA(k)*fR(k) — the A-vs-R join size on l_partkey —
+    from two independently built distributed sketches. Exact inner
+    product is SQL-reproducible; verdicts assert the published bound
+    (never under; over by <= eps * NA * NR with prob 1-delta)."""
+    li = _t(spark, sf, "lineitem")
+    a = li.filter(F.col("l_returnflag") == "A")
+    r = li.filter(F.col("l_returnflag") == "R")
+    eps, delta = 0.0005, 1e-6
+    ska = sketch_global(a, "l_partkey", lambda: CMS(eps=eps, delta=delta),
+                        fanout=16)
+    skr = sketch_global(r, "l_partkey", lambda: CMS(eps=eps, delta=delta),
+                        fanout=16)
+    approx = ska.inner_product(skr)
+    ca = a.groupBy("l_partkey").agg(F.count("*").alias("ca"))
+    cr = r.groupBy("l_partkey").agg(F.count("*").alias("cr"))
+    exact = (ca.join(cr, "l_partkey")
+             .agg(F.sum(F.col("ca") * F.col("cr")).alias("exact_inner")))
+    slack = eps * ska.total * skr.total
+    return exact.select(
+        "exact_inner",
+        (F.lit(approx.estimate) >= F.col("exact_inner")).alias("never_under"),
+        (F.lit(approx.estimate) <= F.col("exact_inner") + F.lit(slack))
+            .alias("within_eps"))

@@ -1,0 +1,66 @@
+"""Smoke tests for the spark-submit entrypoints, run in-process with
+the shared test session (main(argv, spark=...) skips session teardown).
+"""
+
+import json
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from algebird_spark.jobs import build_sketches, dedup_corpus
+
+
+def test_build_sketches_job(spark, tmp_path):
+    out = str(tmp_path / "out")
+    m = build_sketches.main([
+        "--input", "/root/testdata/sf0.001/documents.parquet",
+        "--value-col", "n_chars", "--keys", "source",
+        "--sketches", "hll,kll", "--output", out,
+    ], spark=spark)
+    n_sources = (spark.read
+                 .parquet("/root/testdata/sf0.001/documents.parquet")
+                 .select("source").distinct().count())
+    assert m["groups"] == n_sources
+    states = spark.read.parquet(out + "/states")
+    assert states.count() == n_sources
+    est = [json.loads(r["presented"])
+           for r in spark.read.json(out + "/estimates").collect()]
+    assert all({"hll", "kll"} <= set(e) for e in est)
+
+
+def test_dedup_corpus_job(spark, tmp_path):
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    # plant exact dups AND a near-dup chain for one eligible doc
+    base = docs.limit(60)
+    exact_dup = base.limit(10).withColumn("doc_id",
+                                          F.col("doc_id") + 10_000)
+    near = (base.filter(F.length("text") >= 200).limit(5)
+            .withColumn("doc_id", F.col("doc_id") + 20_000)
+            .withColumn("text", F.concat("text", F.lit(" zzqx917"))))
+    inp = str(tmp_path / "docs")
+    base.unionByName(exact_dup).unionByName(near) \
+        .write.mode("overwrite").parquet(inp)
+    out = str(tmp_path / "dedup")
+    m = dedup_corpus.main(["--input", inp, "--output", out,
+                           "--min-chars", "1"], spark=spark)
+    assert m["n_input"] == 75
+    assert m["n_after_exact_dedup"] == 65  # 10 exact dups removed
+    # 5 planted near-dups clustered away; the base corpus itself holds
+    # a couple of genuine near-dup pairs at threshold 0.7, so allow
+    # a small number of additional removals
+    assert 55 <= m["n_survivors"] <= 60
+    surv = spark.read.parquet(out + "/survivors")
+    assert surv.count() == m["n_survivors"]
+    assert surv.filter(F.col("doc_id") >= 10_000).count() == 0
+    clusters = spark.read.parquet(out + "/clusters")
+    assert clusters.filter("keep").count() == m["n_survivors"]
+
+
+def test_dedup_corpus_job_no_near_dup(spark, tmp_path):
+    inp = str(tmp_path / "docs")
+    spark.read.parquet("/root/testdata/sf0.001/documents.parquet") \
+        .limit(40).write.mode("overwrite").parquet(inp)
+    m = dedup_corpus.main(["--input", inp, "--near-dup", "none"],
+                          spark=spark)
+    assert m["n_input"] == 40 and m["n_survivors"] == 40

@@ -166,3 +166,45 @@ def test_simhash_packed_counters_match_unpacked(spark):
     ref = {r[0]: r[1] for r in per.select("doc_id", sim.alias("s")).collect()}
     got = {r[0]: r[1] for r in simhash64_df(docs, "doc_id").collect()}
     assert got == ref
+
+
+def test_ivf_topk_broadcasts_probes_no_scan_shuffle(spark):
+    # the vector side must reach the join without an Exchange: list
+    # assignment is a projection, probes broadcast from the query side
+    import numpy as np
+    from algebird_spark.operators.similarity import ivf_topk
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = (emb.orderBy("vec_id").limit(2)
+         .select(F.col("vec_id").alias("q_id"),
+                 F.col("embedding").alias("q_vec")))
+    rng = np.random.default_rng(1)
+    cents = rng.standard_normal((8, 64))
+    cents /= np.linalg.norm(cents, axis=1, keepdims=True)
+    plan = plan_of(ivf_topk(emb, q, k=3, centroids=cents, nprobe=2))
+    assert "BroadcastHashJoin" in plan
+    scan_to_join = plan.split("BroadcastHashJoin")[0]
+    assert "Exchange hashpartitioning" not in scan_to_join
+
+
+def test_feature_hash_partial_aggregation(spark):
+    # the (group, index) sum must map-side combine: partial + final
+    # HashAggregate around one Exchange
+    from algebird_spark.operators.features import feature_hash_vector
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    toks = docs.select("source",
+                       F.explode(F.split(F.trim("text"), r"\s+"))
+                        .alias("tok"))
+    import re
+    plan = plan_of(feature_hash_vector(toks, ["source"], "tok", bits=8))
+    assert plan.count("HashAggregate") >= 2 and "partial_sum" in plan
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1
+
+
+def test_cc_star_rounds_shuffle_only_edges(spark):
+    # one star round = groupBy-min + join back: the shuffled rows are
+    # (node, long) pairs, never anything wider
+    from algebird_spark.operators.graph import _large_star
+    e = spark.createDataFrame([(1, 2), (2, 3)], "src long, dst long")
+    plan = plan_of(_large_star(e))
+    # no scalar python UDF anywhere in the round
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
