@@ -200,7 +200,10 @@ def _probe_udf(centroids: np.ndarray, nprobe: int):
     matmul per Arrow batch. Cosine assignment == argmax of dot against
     L2-normalized centroids (the vector's own norm is a positive
     scalar, so it cannot change the argmax order)."""
-    cn = centroids.astype(np.float64)
+    cn = np.atleast_2d(np.asarray(centroids, dtype=np.float64))
+    if cn.size == 0:
+        raise ValueError("empty centroid set")
+    nprobe = min(nprobe, cn.shape[0])
     cn = cn / np.linalg.norm(cn, axis=1, keepdims=True)
 
     @F.pandas_udf("array<int>")
@@ -236,6 +239,10 @@ def train_ivf_centroids(vectors: DataFrame, n_lists: int, n_iter: int = 5,
     k-means quality is sample-stable) and persist the centroids."""
     init = (vectors.orderBy(id_col).limit(n_lists)
             .select(vec_col).collect())
+    if not init:
+        raise ValueError("train_ivf_centroids: empty vector table")
+    # fewer vectors than lists: train with what exists (k-means with
+    # k = N is exact assignment anyway)
     c = np.vstack([np.asarray(r[0], dtype=np.float64) for r in init])
     c = c / np.linalg.norm(c, axis=1, keepdims=True)
     for _ in range(n_iter):

@@ -66,3 +66,22 @@ def test_each_vector_single_list(vec_df):
     dups = (out.groupBy("q_id", "vec_id").count()
                .filter(F.col("count") > 1).count())
     assert dups == 0
+
+
+def test_tiny_corpus_fewer_vectors_than_lists(spark):
+    rows = [(i, [float(i), 1.0, 0.5]) for i in range(3)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    c = train_ivf_centroids(df, n_lists=8, n_iter=2)
+    assert c.shape[0] == 3  # trains with what exists
+    q = _queries(df, 1)
+    # nprobe beyond centroid count clamps instead of crashing
+    out = ivf_topk(df, q, k=2, centroids=c, nprobe=8).collect()
+    exact = cosine_topk(df, q, k=2).collect()
+    assert {(r["q_id"], r["vec_id"]) for r in out} == \
+           {(r["q_id"], r["vec_id"]) for r in exact}
+
+
+def test_empty_vectors_raise(spark):
+    df = spark.createDataFrame([], "vec_id long, embedding array<float>")
+    with pytest.raises(ValueError):
+        train_ivf_centroids(df, n_lists=4)

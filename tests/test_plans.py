@@ -208,3 +208,36 @@ def test_cc_star_rounds_shuffle_only_edges(spark):
     plan = plan_of(_large_star(e))
     # no scalar python UDF anywhere in the round
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_bucketed_cojoin_no_exchange(spark, tmp_path):
+    # two tables bucketed the same way join with ZERO Exchange: the
+    # one-shuffle-at-write, none-at-read contract for repeated joins
+    import re
+    import shutil
+    from algebird_spark.sources.bucketed import cojoin, write_bucketed
+    wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    for t in ("t_orders_b", "t_lineitem_b"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        shutil.rmtree(f"{wh}/{t}", ignore_errors=True)
+    orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    write_bucketed(orders, "t_orders_b", ["o_orderkey"], 4)
+    write_bucketed(li.withColumnRenamed("l_orderkey", "o_orderkey"),
+                   "t_lineitem_b", ["o_orderkey"], 4)
+    # at fixture scale the planner would broadcast (which also avoids
+    # a shuffle); force the SMJ path to prove the bucketed contract
+    # that matters when BOTH sides are 100 TB facts
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = cojoin(spark, "t_orders_b", "t_lineitem_b", ["o_orderkey"])
+        plan = plan_of(joined)
+        assert "SortMergeJoin" in plan
+        assert not re.search(r"\(\d+\) Exchange", plan), plan
+        assert "Bucketed: true" in plan
+        # and the result is right
+        exact = orders.join(li, orders.o_orderkey == li.l_orderkey).count()
+        assert joined.count() == exact
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
