@@ -145,3 +145,61 @@ def jaccard_similarity(df: DataFrame, col: str, by: Sequence[str],
                        num_lanes: int = 256) -> DataFrame:
     """MinHash signature per key — feed pairs to ``MinHash.similarity``."""
     return sketch_by_key(df, by, col, lambda: MinHash(num_lanes=num_lanes))
+
+
+def dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+          near: str | None = "minhash", threshold: float = 0.7,
+          min_chars: int = 0, min_tokens: int = 0) -> DataFrame:
+    """One-call corpus dedup: optional quality gate -> exact dedup ->
+    (optional) near-dup pairs -> connected-component clustering ->
+    one survivor (min id) per cluster. Returns the surviving rows.
+    ``near``: 'minhash' (shingle-Jaccard >= threshold), 'simhash'
+    (Hamming <= 3), or None for exact-only."""
+    from pyspark.sql import functions as F
+
+    from .operators import dedup as _d
+    from .operators import text as _t
+    from .operators.graph import dedup_clusters
+
+    gated = df
+    if min_chars:
+        gated = gated.filter(F.length(text_col) >= min_chars)
+    if min_tokens:
+        gated = gated.filter(_t.token_count(F.col(text_col)) >= min_tokens)
+    kept = _d.dedup_exact(gated, text_col, id_col)
+    if near is None:
+        return kept
+    if near == "minhash":
+        pairs = _d.near_dup_pairs_minhash(kept, id_col, text_col,
+                                          threshold=threshold)
+    elif near == "simhash":
+        pairs = _d.near_dup_pairs_simhash(kept, id_col, text_col)
+    else:
+        raise ValueError(f"unknown near-dup mode {near!r}")
+    clusters = dedup_clusters(kept, pairs.select("id_a", "id_b"), id_col)
+    return kept.join(clusters.filter("keep").select(id_col),
+                     id_col, "left_semi")
+
+
+def ann_topk(vectors: DataFrame, queries: DataFrame, k: int = 10,
+             method: str = "ivf", **kw) -> DataFrame:
+    """Top-k cosine neighbors per query row ((q_id, q_vec) columns).
+    method: 'exact' (brute force — the small-scale oracle), 'ivf'
+    (spherical-k-means inverted lists; kw: n_lists=16, nprobe=4,
+    n_iter=5), or 'lsh' (multi-table hyperplane LSH; kw: n_planes,
+    n_tables, dim)."""
+    from .operators import similarity as _s
+    if method == "exact":
+        return _s.cosine_topk(vectors, queries, k, **kw)
+    if method == "ivf":
+        cents = _s.train_ivf_centroids(vectors,
+                                       n_lists=kw.pop("n_lists", 16),
+                                       n_iter=kw.pop("n_iter", 5))
+        return _s.ivf_topk(vectors, queries, k, cents,
+                           nprobe=kw.pop("nprobe", 4), **kw)
+    if method == "lsh":
+        if "dim" not in kw:
+            kw["dim"] = len(vectors.select(
+                kw.get("vec_col", "embedding")).first()[0])
+        return _s.lsh_multitable_topk(vectors, queries, k, **kw)
+    raise ValueError(f"unknown ANN method {method!r}")

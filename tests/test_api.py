@@ -66,3 +66,33 @@ def test_api_top_k_string_labels(spark):
                .groupBy("lang").count().collect()}
         assert r["items"][0] in per and r["counts"][0] == max(per.values())
         assert all(g in (True, False) for g in r["guaranteed"])
+
+
+def test_api_dedup_exact_and_near(spark):
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet") \
+        .limit(50)
+    import pyspark.sql.functions as F
+    dup = docs.limit(5).withColumn("doc_id", F.col("doc_id") + 9000)
+    view = docs.unionByName(dup)
+    from algebird_spark import api
+    exact_only = api.dedup(view, near=None)
+    assert exact_only.count() == 50
+    full = api.dedup(view, near="minhash")
+    assert full.count() <= 50
+    assert full.filter(F.col("doc_id") >= 9000).count() == 0
+
+
+def test_api_ann_topk_methods_agree_on_clusters(spark):
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    import pyspark.sql.functions as F
+    q = (emb.orderBy("vec_id").limit(2)
+         .select(F.col("vec_id").alias("q_id"),
+                 F.col("embedding").alias("q_vec")))
+    from algebird_spark import api
+    exact = {(r["q_id"], r["rank"]): r["vec_id"]
+             for r in api.ann_topk(emb, q, k=3, method="exact").collect()}
+    ivf_all = {(r["q_id"], r["rank"]): r["vec_id"]
+               for r in api.ann_topk(emb, q, k=3, method="ivf",
+                                     n_lists=8, nprobe=8,
+                                     n_iter=2).collect()}
+    assert ivf_all == exact  # exhaustive probe == brute force
