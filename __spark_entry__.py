@@ -93,6 +93,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_stats": Q.q_text_stats,
         "hashing_trick": Q.q_hashing_trick,
         "training_pipeline": Q.q_training_pipeline,
+        "decontamination": Q.q_decontamination,
         "doc_fingerprint": Q.q_doc_fingerprint,
         "simhash_near_dup": Q.q_simhash_near_dup,      # rows-only
         "minhash_near_dup": Q.q_minhash_near_dup,      # rows-only
@@ -506,6 +507,18 @@ def oracle_sql() -> dict[str, str]:
             WHERE SUBSTR(MD5(CAST(doc_id AS VARCHAR)), 1, 1) < '2'
               AND (CASE WHEN TRIM(text) = '' THEN 0
                    ELSE len(regexp_split_to_array(TRIM(text), '\\s+')) END) >= 30
+        """,
+        "decontamination": """
+            SELECT COUNT(*) AS n_docs,
+                   SUM(CASE WHEN
+                         SUBSTR(MD5(CAST(doc_id AS VARCHAR)), 1, 1) < '2'
+                         AND (CASE WHEN TRIM(text) = '' THEN 0
+                              ELSE len(regexp_split_to_array(TRIM(text),
+                                                             '\\s+')) END)
+                             >= 30
+                       THEN 1 ELSE 0 END) AS n_contaminated,
+                   TRUE AS exact_flagging
+            FROM documents
         """,
         "training_pipeline": """
             WITH docs2 AS (

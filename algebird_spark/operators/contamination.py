@@ -1,0 +1,65 @@
+"""Benchmark decontamination: flag training documents that overlap an
+evaluation/benchmark set at the n-gram level — the standard pre-train
+hygiene pass (n-gram collision decontamination, cf. GPT-3 appendix C /
+PaLM-style 8-gram overlap).
+
+Scale design: the benchmark side is SMALL (thousands of eval docs) —
+its distinct shingle hashes broadcast; the 100 TB training side streams
+once through a JVM-side shingle expression and a broadcast LEFT SEMI
+join per shingle. No Python, no shuffle of the training side; the only
+aggregation is the per-doc hit count (partial-aggregated).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from .dedup import shingle_hash_array
+
+
+def benchmark_shingles(benchmark: DataFrame, text_col: str = "text",
+                       shingle_n: int = 8) -> DataFrame:
+    """Distinct shingle hashes of the benchmark set: one column ``sh``.
+    Materialize/broadcast this once per eval suite."""
+    return (benchmark
+            .select(F.explode(shingle_hash_array(text_col, shingle_n))
+                    .alias("sh"))
+            .distinct())
+
+
+def ngram_contamination(docs: DataFrame, benchmark: DataFrame,
+                        shingle_n: int = 8, min_hits: int = 1,
+                        id_col: str = "doc_id",
+                        text_col: str = "text",
+                        bench_text_col: str = "text") -> DataFrame:
+    """Per-doc benchmark overlap: (id, n_shingles, n_hits, hit_ratio,
+    contaminated). A doc is contaminated when >= ``min_hits`` of its
+    word ``shingle_n``-grams appear anywhere in the benchmark set."""
+    bench = benchmark_shingles(benchmark, bench_text_col, shingle_n)
+    exploded = docs.select(
+        F.col(id_col),
+        F.explode_outer(shingle_hash_array(text_col, shingle_n))
+         .alias("sh"))
+    hit = F.when(F.col("bh").isNotNull(), 1).otherwise(0)
+    per_doc = (exploded
+               .join(F.broadcast(bench.withColumnRenamed("sh", "bh")),
+                     exploded["sh"] == F.col("bh"), "left")
+               .groupBy(id_col)
+               .agg(F.count("sh").alias("n_shingles"),
+                    F.sum(hit).alias("n_hits")))
+    return per_doc.select(
+        id_col, "n_shingles", "n_hits",
+        (F.col("n_hits") / F.greatest("n_shingles", F.lit(1)))
+            .alias("hit_ratio"),
+        (F.col("n_hits") >= min_hits).alias("contaminated"))
+
+
+def decontaminate(docs: DataFrame, benchmark: DataFrame,
+                  shingle_n: int = 8, min_hits: int = 1,
+                  id_col: str = "doc_id", text_col: str = "text",
+                  bench_text_col: str = "text") -> DataFrame:
+    """Drop contaminated docs; returns the surviving rows of ``docs``."""
+    flagged = ngram_contamination(docs, benchmark, shingle_n, min_hits,
+                                  id_col, text_col, bench_text_col)
+    clean = flagged.filter(~F.col("contaminated")).select(id_col)
+    return docs.join(clean, id_col, "left_semi")

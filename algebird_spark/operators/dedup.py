@@ -167,6 +167,20 @@ def lsh_candidate_pairs(df: DataFrame, id_col: str = "doc_id",
             .distinct())
 
 
+def shingle_hash_array(text_col, shingle_n: int):
+    """array<long> of distinct xxhash64'd word n-gram shingles — one
+    JVM-side expression (split + transform + slice + concat_ws), no
+    Python. The shared shingling used by Jaccard verification and
+    benchmark decontamination."""
+    col = F.col(text_col) if isinstance(text_col, str) else text_col
+    toks = F.split(F.lower(F.trim(col)), r"\s+")
+    return F.array_distinct(F.transform(
+        F.sequence(F.lit(0),
+                   F.greatest(F.size(toks) - shingle_n, F.lit(0))),
+        lambda i: F.xxhash64(F.concat_ws(
+            " ", F.slice(toks, i + 1, shingle_n)))))
+
+
 def jaccard_verify(df: DataFrame, pairs: DataFrame, id_col: str = "doc_id",
                    text_col: str = "text", shingle_n: int = 3,
                    threshold: float = 0.7) -> DataFrame:
@@ -174,15 +188,7 @@ def jaccard_verify(df: DataFrame, pairs: DataFrame, id_col: str = "doc_id",
     Returns (id_a, id_b, jaccard) filtered to >= threshold."""
     sh = df.select(
         F.col(id_col),
-        F.array_distinct(F.transform(
-            F.sequence(
-                F.lit(0),
-                F.greatest(F.size(F.split(F.lower(F.trim(F.col(text_col))), r"\s+"))
-                           - shingle_n, F.lit(0))),
-            lambda i: F.xxhash64(F.concat_ws(
-                " ", F.slice(F.split(F.lower(F.trim(F.col(text_col))), r"\s+"),
-                             i + 1, shingle_n)))
-        )).alias("sh"))
+        shingle_hash_array(text_col, shingle_n).alias("sh"))
     a = sh.alias("a")
     b = sh.alias("b")
     joined = (pairs.join(a, pairs.id_a == F.col(f"a.{id_col}"))

@@ -1343,3 +1343,31 @@ def q_cms_inner_product(spark, sf):
         (F.lit(approx.estimate) >= F.col("exact_inner")).alias("never_under"),
         (F.lit(approx.estimate) <= F.col("exact_inner") + F.lit(slack))
             .alias("within_eps"))
+
+
+def q_decontamination(spark, sf):
+    """Benchmark decontamination (8-gram overlap): eligible docs (md5
+    rule, >= 30 tokens) get a known benchmark phrase appended; the
+    operator must flag EXACTLY those docs against a 2-phrase benchmark
+    set (one planted, one absent). Counts are SQL-reproducible;
+    booleans assert no false positives / no misses."""
+    from .operators.contamination import ngram_contamination
+    phrase = "qv1 qv2 qv3 qv4 qv5 qv6 qv7 qv8"
+    docs = _t(spark, sf, "documents")
+    elig = ((F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
+             < F.lit("2"))
+            & (text.token_count(F.col("text")) >= 30))
+    view = docs.withColumn(
+        "text", F.when(elig, F.concat("text", F.lit(" " + phrase)))
+                 .otherwise(F.col("text")))
+    bench = spark.createDataFrame(
+        [(phrase,), ("zz9a zz9b zz9c zz9d zz9e zz9f zz9g zz9h",)],
+        "text string")
+    flagged = ngram_contamination(view, bench, shingle_n=8)
+    joined = flagged.join(docs.select("doc_id", elig.alias("planted")),
+                          "doc_id")
+    return joined.agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.col("contaminated").cast("long")).alias("n_contaminated"),
+        F.min((F.col("contaminated") == F.col("planted")).cast("int"))
+         .cast("boolean").alias("exact_flagging"))

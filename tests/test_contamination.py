@@ -1,0 +1,58 @@
+"""Benchmark decontamination: exact flagging, ratios, survivor set."""
+
+from pyspark.sql import functions as F
+
+from algebird_spark.operators.contamination import (decontaminate,
+                                                    ngram_contamination)
+
+
+def _docs(spark):
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog again and again"),
+        (1, "completely unrelated text about sketch algorithms and spark"),
+        (2, "prefix words then the quick brown fox jumps over the lazy "
+            "dog embedded inside"),
+        (3, "short doc"),
+        (4, ""),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_flags_exact_overlaps(spark):
+    docs = _docs(spark)
+    bench = spark.createDataFrame(
+        [("the quick brown fox jumps over the lazy dog",)], "text string")
+    out = {r["doc_id"]: r for r in
+           ngram_contamination(docs, bench, shingle_n=8).collect()}
+    assert out[0]["contaminated"] and out[2]["contaminated"]
+    assert not out[1]["contaminated"]
+    assert not out[3]["contaminated"] and not out[4]["contaminated"]
+    assert len(out) == 5  # short/empty docs still get a row
+    assert out[0]["n_hits"] >= 1 and 0 < out[0]["hit_ratio"] <= 1.0
+
+
+def test_min_hits_threshold(spark):
+    docs = _docs(spark)
+    bench = spark.createDataFrame(
+        [("the quick brown fox jumps over the lazy dog",)], "text string")
+    strict = {r["doc_id"]: r["contaminated"] for r in
+              ngram_contamination(docs, bench, shingle_n=8,
+                                  min_hits=3).collect()}
+    # doc 0 contains 2 qualifying 8-gram windows of the 9-token phrase
+    # within its 12 tokens; min_hits=3 must clear it
+    assert not strict[0]
+
+
+def test_decontaminate_survivors(spark):
+    docs = _docs(spark)
+    bench = spark.createDataFrame(
+        [("the quick brown fox jumps over the lazy dog",)], "text string")
+    kept = decontaminate(docs, bench, shingle_n=8)
+    assert {r["doc_id"] for r in kept.collect()} == {1, 3, 4}
+
+
+def test_empty_benchmark_flags_nothing(spark):
+    docs = _docs(spark)
+    bench = spark.createDataFrame([], "text string")
+    out = ngram_contamination(docs, bench, shingle_n=8)
+    assert out.filter("contaminated").count() == 0
