@@ -82,6 +82,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_windowed_hll": Q.q_streaming_windowed_hll,
         "sliding_window_counts": Q.q_sliding_window_counts,
         "streaming_dedup": Q.q_streaming_dedup,
+        "session_windows": Q.q_session_windows,
         # --- string-key sketches (CMSHasher[K] surface) -------------------
         "hll_string_distinct": Q.q_hll_string_distinct,
         "cms_string_keys": Q.q_cms_string_keys,
@@ -477,6 +478,19 @@ def oracle_sql() -> dict[str, str]:
                    (SELECT COUNT(*) FROM (
                       SELECT text FROM docs2 GROUP BY text HAVING COUNT(*) > 1))
                    AS n_dup_groups
+        """,
+        "session_windows": """
+            WITH o AS (
+              SELECT user_id,
+                     CASE WHEN LAG(ts) OVER w IS NULL
+                          OR EPOCH_US(ts) - EPOCH_US(LAG(ts) OVER w)
+                             >= 1800000000
+                          THEN 1 ELSE 0 END AS new_s
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+            SELECT user_id, SUM(new_s) AS n_sessions,
+                   COUNT(*) AS n_events
+            FROM o GROUP BY user_id
         """,
         "streaming_dedup": """
             WITH docs2 AS (

@@ -1371,3 +1371,17 @@ def q_decontamination(spark, sf):
         F.sum(F.col("contaminated").cast("long")).alias("n_contaminated"),
         F.min((F.col("contaminated") == F.col("planted")).cast("int"))
          .cast("boolean").alias("exact_flagging"))
+
+
+def q_session_windows(spark, sf):
+    """Sessionization: per-user session counts with a 30-minute
+    inactivity gap via Spark's native session_window (merging event-
+    time sessions — the Structured Streaming-compatible form). The
+    oracle recomputes sessions with the gaps-and-islands idiom
+    (lag + cumulative new-session markers). Exact integers only."""
+    ev = _t(spark, sf, "events")
+    sess = (ev.groupBy("user_id", F.session_window("ts", "30 minutes"))
+            .agg(F.count("*").alias("n")))
+    return (sess.groupBy("user_id")
+            .agg(F.count("*").alias("n_sessions"),
+                 F.sum("n").alias("n_events")))
