@@ -97,6 +97,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontamination": Q.q_decontamination,
         "doc_fingerprint": Q.q_doc_fingerprint,
         "simhash_near_dup": Q.q_simhash_near_dup,      # rows-only
+        "simhash_planted_recall": Q.q_simhash_planted_recall,
         "minhash_near_dup": Q.q_minhash_near_dup,      # rows-only
         "connected_components": Q.q_connected_components,
         "dedup_clusters": Q.q_dedup_clusters,
@@ -586,6 +587,11 @@ def oracle_sql() -> dict[str, str]:
               WHERE SUBSTR(MD5(CAST(doc_id AS VARCHAR)), 1, 1) < '2')
             SELECT MD5(text) AS fp, COUNT(*) AS n
             FROM docs2 GROUP BY MD5(text) HAVING COUNT(*) > 1
+        """,
+        "simhash_planted_recall": """
+            SELECT COUNT(*) AS n_planted, TRUE AS all_found
+            FROM documents
+            WHERE SUBSTR(MD5(CAST(doc_id AS VARCHAR)), 1, 1) < '2'
         """,
         "connected_components": """
             WITH RECURSIVE e AS (

@@ -1385,3 +1385,29 @@ def q_session_windows(spark, sf):
     return (sess.groupBy("user_id")
             .agg(F.count("*").alias("n_sessions"),
                  F.sum("n").alias("n_events")))
+
+
+def q_simhash_planted_recall(spark, sf):
+    """SimHash banding recall against PLANTED exact duplicates: an
+    identical token multiset gives an identical simhash (Hamming 0),
+    and the chunk-combination pigeonhole guarantees Hamming <=
+    max_hamming pairs are ALWAYS found — so recall on the planted set
+    must be exactly 100%, making the probabilistic operator
+    oracle-checkable (n_planted exact; all_found pinned TRUE)."""
+    docs = _t(spark, sf, "documents")
+    eligible = docs.filter(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
+        < F.lit("2"))
+    planted = eligible.withColumn("doc_id", F.col("doc_id") + F.lit(10**9))
+    view = docs.unionByName(planted)
+    found = dedup.near_dup_pairs_simhash(view, "doc_id", "text",
+                                         max_hamming=3)
+    expect = eligible.select(
+        F.col("doc_id").alias("id_a"),
+        (F.col("doc_id") + F.lit(10**9)).alias("id_b"))
+    n_found = expect.join(found, ["id_a", "id_b"], "left_semi") \
+        .agg(F.count("*").alias("__f"))
+    return (expect.agg(F.count("*").alias("n_planted"))
+            .crossJoin(n_found)
+            .select("n_planted",
+                    (F.col("__f") == F.col("n_planted")).alias("all_found")))
