@@ -155,30 +155,12 @@ def dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     one survivor (min id) per cluster. Returns the surviving rows.
     ``near``: 'minhash' (shingle-Jaccard >= threshold), 'simhash'
     (Hamming <= 3), or None for exact-only."""
-    from pyspark.sql import functions as F
+    from .operators.pipeline import dedup_pipeline
 
-    from .operators import dedup as _d
-    from .operators import text as _t
-    from .operators.graph import dedup_clusters
-
-    gated = df
-    if min_chars:
-        gated = gated.filter(F.length(text_col) >= min_chars)
-    if min_tokens:
-        gated = gated.filter(_t.token_count(F.col(text_col)) >= min_tokens)
-    kept = _d.dedup_exact(gated, text_col, id_col)
-    if near is None:
-        return kept
-    if near == "minhash":
-        pairs = _d.near_dup_pairs_minhash(kept, id_col, text_col,
-                                          threshold=threshold)
-    elif near == "simhash":
-        pairs = _d.near_dup_pairs_simhash(kept, id_col, text_col)
-    else:
-        raise ValueError(f"unknown near-dup mode {near!r}")
-    clusters = dedup_clusters(kept, pairs.select("id_a", "id_b"), id_col)
-    return kept.join(clusters.filter("keep").select(id_col),
-                     id_col, "left_semi")
+    stages = dedup_pipeline(df, text_col, id_col, near=near,
+                            threshold=threshold, min_chars=min_chars,
+                            min_tokens=min_tokens)
+    return stages["exact_kept"] if near is None else stages["survivors"]
 
 
 def ann_topk(vectors: DataFrame, queries: DataFrame, k: int = 10,
@@ -192,9 +174,11 @@ def ann_topk(vectors: DataFrame, queries: DataFrame, k: int = 10,
     if method == "exact":
         return _s.cosine_topk(vectors, queries, k, **kw)
     if method == "ivf":
-        cents = _s.train_ivf_centroids(vectors,
-                                       n_lists=kw.pop("n_lists", 16),
-                                       n_iter=kw.pop("n_iter", 5))
+        cents = _s.train_ivf_centroids(
+            vectors, n_lists=kw.pop("n_lists", 16),
+            n_iter=kw.pop("n_iter", 5),
+            vec_col=kw.get("vec_col", "embedding"),
+            id_col=kw.get("id_col", "vec_id"))
         return _s.ivf_topk(vectors, queries, k, cents,
                            nprobe=kw.pop("nprobe", 4), **kw)
     if method == "lsh":

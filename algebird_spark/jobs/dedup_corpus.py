@@ -54,62 +54,39 @@ def main(argv=None, spark=None):
                  .getOrCreate())
         spark.sparkContext.setLogLevel("WARN")
 
-    from pyspark.sql import functions as F
+    from algebird_spark.operators.pipeline import dedup_pipeline
 
-    from algebird_spark.operators import dedup, text
-    from algebird_spark.operators.graph import dedup_clusters
-
-    id_col, text_col = args.id_col, args.text_col
     t0 = time.time()
     docs = spark.read.parquet(args.input)
     n_input = docs.count()
 
-    gated = docs
-    if args.min_chars:
-        gated = gated.filter(F.length(text_col) >= args.min_chars)
-    if args.min_tokens:
-        gated = gated.filter(
-            text.token_count(F.col(text_col)) >= args.min_tokens)
-    gated = gated.persist()
-    n_gated = gated.count()
-
-    exact_kept = dedup.dedup_exact(gated, text_col, id_col).persist()
-    n_exact = exact_kept.count()
-
-    if args.near_dup == "minhash":
-        pairs = dedup.near_dup_pairs_minhash(
-            exact_kept, id_col, text_col, num_perm=args.num_perm,
-            bands=args.bands, threshold=args.threshold)
-    elif args.near_dup == "simhash":
-        pairs = dedup.near_dup_pairs_simhash(
-            exact_kept, id_col, text_col, max_hamming=args.max_hamming)
-    else:
-        pairs = None
-
-    if pairs is not None:
-        clusters = dedup_clusters(exact_kept,
-                                  pairs.select("id_a", "id_b"), id_col)
-        survivors = (exact_kept.join(
-            clusters.filter("keep").select(id_col), id_col, "left_semi"))
-    else:
-        clusters = exact_kept.select(
-            F.col(id_col), F.col(id_col).alias("component"),
-            F.lit(True).alias("keep"))
-        survivors = exact_kept
-    survivors = survivors.persist()
-    n_survivors = survivors.count()
-
-    if args.output:
-        survivors.write.mode("overwrite").parquet(args.output + "/survivors")
-        clusters.write.mode("overwrite").parquet(args.output + "/clusters")
+    near = None if args.near_dup == "none" else args.near_dup
+    stages = dedup_pipeline(docs, args.text_col, args.id_col, near=near,
+                            threshold=args.threshold,
+                            num_perm=args.num_perm, bands=args.bands,
+                            max_hamming=args.max_hamming,
+                            min_chars=args.min_chars,
+                            min_tokens=args.min_tokens)
+    gated = stages["gated"].persist()
+    survivors = stages["survivors"].persist()
+    try:
+        n_gated = gated.count()
+        n_exact = stages["exact_kept"].count()
+        n_survivors = survivors.count()
+        if args.output:
+            survivors.write.mode("overwrite") \
+                .parquet(args.output + "/survivors")
+            stages["clusters"].write.mode("overwrite") \
+                .parquet(args.output + "/clusters")
+    finally:
+        gated.unpersist()
+        survivors.unpersist()
 
     metrics = {"n_input": n_input, "n_after_quality": n_gated,
                "n_after_exact_dedup": n_exact, "n_survivors": n_survivors,
                "near_dup": args.near_dup,
                "seconds": round(time.time() - t0, 2)}
     print(json.dumps(metrics), file=sys.stderr)
-    gated.unpersist()
-    exact_kept.unpersist()
     if owns_session:
         spark.stop()
     return metrics

@@ -15,6 +15,18 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 from .dedup import shingle_hash_array
+from .text import token_count
+
+
+def _full_shingles(text_col: str, shingle_n: int):
+    """Shingles for contamination semantics: rows with fewer than
+    ``shingle_n`` tokens contribute NO shingles (shingle_hash_array's
+    short-row fallback — the whole text as one shingle — is right for
+    near-dup Jaccard but would flag every short/blank doc against a
+    short/blank benchmark row here)."""
+    return F.when(token_count(F.col(text_col)) >= shingle_n,
+                  shingle_hash_array(text_col, shingle_n)) \
+            .otherwise(F.array().cast("array<long>"))
 
 
 def benchmark_shingles(benchmark: DataFrame, text_col: str = "text",
@@ -22,7 +34,7 @@ def benchmark_shingles(benchmark: DataFrame, text_col: str = "text",
     """Distinct shingle hashes of the benchmark set: one column ``sh``.
     Materialize/broadcast this once per eval suite."""
     return (benchmark
-            .select(F.explode(shingle_hash_array(text_col, shingle_n))
+            .select(F.explode(_full_shingles(text_col, shingle_n))
                     .alias("sh"))
             .distinct())
 
@@ -38,7 +50,7 @@ def ngram_contamination(docs: DataFrame, benchmark: DataFrame,
     bench = benchmark_shingles(benchmark, bench_text_col, shingle_n)
     exploded = docs.select(
         F.col(id_col),
-        F.explode_outer(shingle_hash_array(text_col, shingle_n))
+        F.explode_outer(_full_shingles(text_col, shingle_n))
          .alias("sh"))
     hit = F.when(F.col("bh").isNotNull(), 1).otherwise(0)
     per_doc = (exploded

@@ -56,3 +56,16 @@ def test_empty_benchmark_flags_nothing(spark):
     bench = spark.createDataFrame([], "text string")
     out = ngram_contamination(docs, bench, shingle_n=8)
     assert out.filter("contaminated").count() == 0
+
+
+def test_short_and_blank_rows_never_cross_match(spark):
+    # a blank/short benchmark row must not flag blank/short docs:
+    # sub-shingle_n rows contribute no shingles on either side
+    docs = spark.createDataFrame(
+        [(0, ""), (1, "tiny"), (2, "a b c d e f g h i j")],
+        "doc_id long, text string")
+    bench = spark.createDataFrame([("",), ("tiny",), ("   ",)],
+                                  "text string")
+    out = ngram_contamination(docs, bench, shingle_n=8)
+    assert out.filter("contaminated").count() == 0
+    assert out.count() == 3
