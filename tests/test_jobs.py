@@ -64,3 +64,21 @@ def test_dedup_corpus_job_no_near_dup(spark, tmp_path):
     m = dedup_corpus.main(["--input", inp, "--near-dup", "none"],
                           spark=spark)
     assert m["n_input"] == 40 and m["n_survivors"] == 40
+
+
+@pytest.mark.skipif("SPARK_GRAFT_BIG_TESTS" not in __import__("os").environ,
+                    reason="spawns two real spark-submit JVMs (~60 s); "
+                           "set SPARK_GRAFT_BIG_TESTS=1")
+def test_spark_submit_deployment_shape():
+    """north_rule deployment: both jobs run via real `spark-submit
+    --py-files <zip>` (verified manually this round; scripted in
+    scripts/submit_e2e.sh)."""
+    import json
+    import subprocess
+    out = subprocess.run(["bash", "scripts/submit_e2e.sh"],
+                         capture_output=True, text=True, timeout=600,
+                         cwd="/root/repo")
+    assert out.returncode == 0, out.stderr[-2000:]
+    lines = [json.loads(l) for l in out.stdout.strip().splitlines()]
+    assert lines[0]["groups"] > 0
+    assert lines[1]["n_survivors"] > 0
