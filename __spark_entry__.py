@@ -61,6 +61,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exists_forall": Q.q_exists_forall,
         "max_min_by": Q.q_max_min_by,
         "deterministic_sample": Q.q_deterministic_sample,
+        "stratified_sample": Q.q_stratified_sample,
         "running_sum": Q.q_running_sum,
         "last_n_window": Q.q_last_n_window,
         "decayed_value": Q.q_decayed_value,
@@ -310,6 +311,18 @@ def oracle_sql() -> dict[str, str]:
         "deterministic_sample": """
             SELECT o_orderkey, o_custkey FROM orders
             WHERE SUBSTR(MD5(CAST(o_orderkey AS VARCHAR)), 1, 4) < '1999'
+        """,
+        "stratified_sample": """
+            SELECT source, COUNT(*) AS n_sampled,
+                   SUM(doc_id) AS id_sum
+            FROM documents
+            WHERE (source = 'src0' AND
+                   SUBSTR(MD5(CAST(doc_id AS VARCHAR)), 1, 4) < 'c000')
+               OR (source = 'src1' AND
+                   SUBSTR(MD5(CAST(doc_id AS VARCHAR)), 1, 4) < '4000')
+               OR (source = 'src2' AND
+                   SUBSTR(MD5(CAST(doc_id AS VARCHAR)), 1, 4) < '0ccc')
+            GROUP BY source
         """,
         "running_sum": """
             SELECT o_custkey, o_orderkey,

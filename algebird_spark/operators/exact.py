@@ -181,3 +181,19 @@ def reservoir_sample(df: DataFrame, key: str, count: int, seed: int = 42,
     w = Window.partitionBy(*keys).orderBy(F.xxhash64(F.col(key), F.lit(seed)))
     return (df.withColumn("__rs", F.row_number().over(w))
               .filter(F.col("__rs") <= count).drop("__rs"))
+
+
+def stratified_sample(df: DataFrame, strata_col: str,
+                      fractions: dict, key: str) -> DataFrame:
+    """Per-stratum deterministic Bernoulli sample — the training-mix
+    primitive ("keep 50% of books, 5% of web"). Same engine-portable
+    md5-prefix rule as deterministic_sample, with the threshold chosen
+    per stratum; strata absent from ``fractions`` are dropped. One
+    scan, no shuffle — the predicate pushes to the source."""
+    expr = None
+    prefix = F.substring(F.md5(F.col(key).cast("string")), 1, 4)
+    for stratum, prob in fractions.items():
+        thresh = format(int(prob * 0x10000), "04x")
+        cond = (F.col(strata_col) == stratum) & (prefix < thresh)
+        expr = cond if expr is None else (expr | cond)
+    return df.filter(expr if expr is not None else F.lit(False))

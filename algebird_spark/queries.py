@@ -1411,3 +1411,16 @@ def q_simhash_planted_recall(spark, sf):
             .crossJoin(n_found)
             .select("n_planted",
                     (F.col("__f") == F.col("n_planted")).alias("all_found")))
+
+
+def q_stratified_sample(spark, sf):
+    """Per-stratum deterministic sampling (the training-mix primitive:
+    different keep rates per source). The md5-prefix rule is
+    engine-portable, so the oracle reproduces the EXACT sampled
+    multiset — per-source counts and doc_id sums match value-for-value."""
+    docs = _t(spark, sf, "documents")
+    fractions = {"src0": 0.75, "src1": 0.25, "src2": 0.05}
+    out = exact.stratified_sample(docs, "source", fractions, "doc_id")
+    return (out.groupBy("source")
+            .agg(F.count("*").alias("n_sampled"),
+                 F.sum("doc_id").alias("id_sum")))
