@@ -92,6 +92,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": Q.q_dedup_exact,
         "dedup_keep_min_id": Q.q_dedup_keep_min_id,
         "minhash_lsh_recall": Q.q_minhash_lsh_recall,
+        "weighted_minhash_recall": Q.q_weighted_minhash_recall,
         "text_stats": Q.q_text_stats,
         "hashing_trick": Q.q_hashing_trick,
         "training_pipeline": Q.q_training_pipeline,
@@ -600,6 +601,15 @@ def oracle_sql() -> dict[str, str]:
               WHERE SUBSTR(MD5(CAST(doc_id AS VARCHAR)), 1, 1) < '2')
             SELECT MD5(text) AS fp, COUNT(*) AS n
             FROM docs2 GROUP BY MD5(text) HAVING COUNT(*) > 1
+        """,
+        "weighted_minhash_recall": """
+            SELECT COUNT(*) AS n_planted,
+                   TRUE AS recall_ok, TRUE AS frequency_aware
+            FROM documents
+            WHERE SUBSTR(MD5(CAST(doc_id AS VARCHAR)), 1, 1) < '2'
+              AND (CASE WHEN TRIM(text) = '' THEN 0
+                   ELSE len(regexp_split_to_array(TRIM(text), '\\s+')) END)
+                  >= 30
         """,
         "simhash_planted_recall": """
             SELECT COUNT(*) AS n_planted, TRUE AS all_found

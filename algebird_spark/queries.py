@@ -1424,3 +1424,40 @@ def q_stratified_sample(spark, sf):
     return (out.groupBy("source")
             .agg(F.count("*").alias("n_sampled"),
                  F.sum("doc_id").alias("id_sum")))
+
+
+def q_weighted_minhash_recall(spark, sf):
+    """Weighted (ICWS) MinHash recall on planted FREQUENCY near-dups:
+    each eligible doc gets a copy with its own first 10 tokens appended
+    — the token SET is unchanged (set-Jaccard 1) but frequencies shift,
+    so weighted Jaccard ~ L/(L+10) in [0.75, 1). The pipeline must
+    recover >= 90% of planted pairs, and every recovered pair's exact
+    weighted Jaccard must be < 1 (proving the estimator sees
+    frequencies, not just sets). n_planted is SQL-reproducible."""
+    from .operators.weighted_minhash import near_dup_pairs_weighted
+    docs = _t(spark, sf, "documents")
+    eligible = docs.filter(
+        (F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
+         < F.lit("2"))
+        & (text.token_count(F.col("text")) >= 30))
+    head10 = F.concat_ws(
+        " ", F.slice(F.split(F.lower(F.trim("text")), r"\s+"), 1, 10))
+    planted = (eligible
+               .withColumn("doc_id", F.col("doc_id") + F.lit(10**9))
+               .withColumn("text", F.concat(F.lower(F.trim("text")),
+                                            F.lit(" "), head10)))
+    view = docs.unionByName(planted)
+    found = near_dup_pairs_weighted(view, "doc_id", "text",
+                                    num_perm=64, bands=16, threshold=0.7)
+    expect = eligible.select(
+        F.col("doc_id").alias("id_a"),
+        (F.col("doc_id") + F.lit(10**9)).alias("id_b"))
+    hits = expect.join(found, ["id_a", "id_b"]) \
+        .agg(F.count("*").alias("__h"),
+             F.max("wjaccard").alias("__maxwj"))
+    return (expect.agg(F.count("*").alias("n_planted"))
+            .crossJoin(hits)
+            .select("n_planted",
+                    (F.col("__h") >= 0.9 * F.col("n_planted"))
+                     .alias("recall_ok"),
+                    (F.col("__maxwj") < 1.0).alias("frequency_aware")))
