@@ -61,16 +61,17 @@ def main(argv=None, spark=None):
     n_input = docs.count()
 
     near = None if args.near_dup == "none" else args.near_dup
+    # persist=True caches gated/exact_kept BEFORE the eager LSH +
+    # connected-components work inside the pipeline reuses them
     stages = dedup_pipeline(docs, args.text_col, args.id_col, near=near,
                             threshold=args.threshold,
                             num_perm=args.num_perm, bands=args.bands,
                             max_hamming=args.max_hamming,
                             min_chars=args.min_chars,
-                            min_tokens=args.min_tokens)
-    gated = stages["gated"].persist()
+                            min_tokens=args.min_tokens, persist=True)
     survivors = stages["survivors"].persist()
     try:
-        n_gated = gated.count()
+        n_gated = stages["gated"].count()
         n_exact = stages["exact_kept"].count()
         n_survivors = survivors.count()
         if args.output:
@@ -79,7 +80,8 @@ def main(argv=None, spark=None):
             stages["clusters"].write.mode("overwrite") \
                 .parquet(args.output + "/clusters")
     finally:
-        gated.unpersist()
+        stages["gated"].unpersist()
+        stages["exact_kept"].unpersist()
         survivors.unpersist()
 
     metrics = {"n_input": n_input, "n_after_quality": n_gated,

@@ -32,8 +32,10 @@ from .text import fingerprint, simhash64_df
 
 def exact_dup_groups(df: DataFrame, text_col: str = "text",
                      id_col: str = "doc_id") -> DataFrame:
-    """(fingerprint, n_dups, doc_ids) for every text occurring > once."""
-    return (df.select(F.col(id_col), fingerprint(F.col(text_col)).alias("fp"))
+    """(fingerprint, n_dups, doc_ids) for every text occurring > once.
+    NULL texts are not comparable — never reported as duplicates."""
+    return (df.filter(F.col(text_col).isNotNull())
+              .select(F.col(id_col), fingerprint(F.col(text_col)).alias("fp"))
               .groupBy("fp")
               .agg(F.count("*").alias("n_dups"),
                    F.sort_array(F.collect_list(id_col)).alias("doc_ids"))
@@ -42,14 +44,18 @@ def exact_dup_groups(df: DataFrame, text_col: str = "text",
 
 def dedup_exact(df: DataFrame, text_col: str = "text",
                 id_col: str = "doc_id") -> DataFrame:
-    """Keep one doc (min id) per distinct text."""
-    w_min = (df.select(F.col(id_col).alias("__keep"),
-                       fingerprint(F.col(text_col)).alias("fp"))
-               .groupBy("fp").agg(F.min("__keep").alias("__keep")))
-    return (df.withColumn("fp", fingerprint(F.col(text_col)))
-              .join(w_min, on="fp", how="inner")
-              .filter(F.col(id_col) == F.col("__keep"))
-              .drop("fp", "__keep"))
+    """Keep one doc (min id) per distinct text. NULL texts are not
+    comparable, so every NULL-text row survives as its own singleton
+    (an equi-join on a null fingerprint would silently drop them)."""
+    notnull = df.filter(F.col(text_col).isNotNull())
+    w_min = (notnull.select(F.col(id_col).alias("__keep"),
+                            fingerprint(F.col(text_col)).alias("fp"))
+             .groupBy("fp").agg(F.min("__keep").alias("__keep")))
+    kept = (notnull.withColumn("fp", fingerprint(F.col(text_col)))
+            .join(w_min, on="fp", how="inner")
+            .filter(F.col(id_col) == F.col("__keep"))
+            .drop("fp", "__keep"))
+    return kept.unionByName(df.filter(F.col(text_col).isNull()))
 
 
 # ---------------------------------------------------------------------------
@@ -208,10 +214,16 @@ def near_dup_pairs_minhash(df: DataFrame, id_col: str = "doc_id",
     -> exact-Jaccard verify. The signed table persists across the
     banded self-join so signatures compute once (at warehouse scale,
     write the signature table to storage instead)."""
-    signed = add_minhash_signature(df, text_col, num_perm, shingle_n) \
+    # empty/NULL-text docs all share one sentinel signature: they are
+    # not near-dups of anything (exact dedup owns identical-empty), and
+    # their shared LSH bucket would make the self-join quadratic in
+    # their count — exclude them up front
+    nonempty = df.filter(F.coalesce(F.trim(F.col(text_col)), F.lit("")) != "")
+    signed = add_minhash_signature(nonempty, text_col, num_perm, shingle_n) \
         .select(id_col, "minhash").persist()
     cands = lsh_candidate_pairs(signed, id_col, "minhash", bands)
-    return jaccard_verify(df, cands, id_col, text_col, shingle_n, threshold)
+    return jaccard_verify(nonempty, cands, id_col, text_col, shingle_n,
+                          threshold)
 
 
 # ---------------------------------------------------------------------------

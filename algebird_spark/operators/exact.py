@@ -193,7 +193,16 @@ def stratified_sample(df: DataFrame, strata_col: str,
     expr = None
     prefix = F.substring(F.md5(F.col(key).cast("string")), 1, 4)
     for stratum, prob in fractions.items():
-        thresh = format(int(prob * 0x10000), "04x")
-        cond = (F.col(strata_col) == stratum) & (prefix < thresh)
+        ti = int(prob * 0x10000)
+        if ti >= 0x10000:
+            # prob == 1.0: format() would yield the 5-char '10000',
+            # which is lexicographically SMALLER than 'ffff' — keep
+            # the whole stratum explicitly instead
+            cond = F.col(strata_col) == stratum
+        elif ti <= 0:
+            continue  # prob < 1/65536 keeps nothing
+        else:
+            cond = (F.col(strata_col) == stratum) \
+                & (prefix < format(ti, "04x"))
         expr = cond if expr is None else (expr | cond)
     return df.filter(expr if expr is not None else F.lit(False))

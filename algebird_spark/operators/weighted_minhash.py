@@ -172,8 +172,14 @@ def near_dup_pairs_weighted(df: DataFrame, id_col: str = "doc_id",
     exact weighted-Jaccard verify. Returns (id_a, id_b, wjaccard)."""
     from .dedup import lsh_candidate_pairs
 
-    signed = add_weighted_minhash_signature(df, text_col, num_perm, seed) \
+    # zero-token docs all share the all-zero signature: not near-dups
+    # of anything (exact dedup owns identical-empty) and their shared
+    # bucket would make the self-join quadratic — exclude up front
+    nonempty = df.filter(
+        F.coalesce(F.trim(F.col(text_col)), F.lit("")) != "")
+    signed = add_weighted_minhash_signature(nonempty, text_col, num_perm,
+                                            seed) \
         .select(id_col, "wminhash").persist()
     cands = lsh_candidate_pairs(signed, id_col, "wminhash", bands)
-    scored = weighted_jaccard_exact(cands, df, id_col, text_col)
+    scored = weighted_jaccard_exact(cands, nonempty, id_col, text_col)
     return scored.filter(F.col("wjaccard") >= threshold)

@@ -96,3 +96,28 @@ def test_api_ann_topk_methods_agree_on_clusters(spark):
                                      n_lists=8, nprobe=8,
                                      n_iter=2).collect()}
     assert ivf_all == exact  # exhaustive probe == brute force
+
+
+def test_stratified_sample_full_and_zero_fractions(spark):
+    from algebird_spark.operators.exact import stratified_sample
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    out = stratified_sample(docs, "source",
+                            {"src0": 1.0, "src1": 0.0}, "doc_id")
+    import pyspark.sql.functions as F
+    by = {r["source"]: r["n"] for r in
+          out.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    total_src0 = docs.filter("source = 'src0'").count()
+    assert by.get("src0") == total_src0  # prob 1.0 keeps everything
+    assert "src1" not in by
+
+
+def test_dedup_handles_null_and_empty_texts(spark):
+    from algebird_spark import api
+    docs = spark.createDataFrame(
+        [(1, "real document text here"), (2, None), (3, None),
+         (4, ""), (5, "")],
+        "doc_id long, text string")
+    kept = {r["doc_id"] for r in api.dedup(docs, near="minhash").collect()}
+    # nulls are not comparable (both kept); empty strings ARE equal
+    # texts (exact dedup keeps min id); no near-dup pass sees them
+    assert kept == {1, 2, 3, 4}

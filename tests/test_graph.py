@@ -85,3 +85,31 @@ def test_no_convergence_raises(spark):
     e = spark.createDataFrame([(0, 1)], "src long, dst long")
     with pytest.raises(RuntimeError):
         connected_components(e, max_iter=0)
+
+
+def test_pipeline_near_none_is_lazy_fingerprint_groups(spark):
+    from algebird_spark.operators.pipeline import dedup_pipeline
+    docs = spark.createDataFrame(
+        [(1, "same text"), (2, "same text"), (3, "other"), (4, None)],
+        "doc_id long, text string")
+    stages = dedup_pipeline(docs, near=None)
+    clusters = {r["doc_id"]: (r["component"], r["keep"])
+                for r in stages["clusters"].collect()}
+    # NULL text is its own singleton, never an "exact duplicate"
+    assert clusters == {1: (1, True), 2: (1, False),
+                        3: (3, True), 4: (4, True)}
+    kept = {r["doc_id"] for r in stages["survivors"].collect()}
+    assert kept == {1, 3, 4}
+
+
+def test_pipeline_exact_edges_feed_cc_with_near_mode(spark):
+    from algebird_spark.operators.pipeline import dedup_pipeline
+    docs = spark.createDataFrame(
+        [(1, "a b c d e f g h"), (2, "a b c d e f g h"),
+         (3, "z y x w v u t s")],
+        "doc_id long, text string")
+    stages = dedup_pipeline(docs, near="minhash", threshold=0.99)
+    clusters = {r["doc_id"]: r["component"]
+                for r in stages["clusters"].collect()}
+    assert clusters[2] == 1  # exact loser maps to its keeper
+    assert clusters[3] == 3
