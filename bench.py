@@ -87,14 +87,18 @@ def main():
         # block manager
         spark.catalog.clearCache()
         if warmup:
-            t0 = time.time()
-            n = qs[name](spark, sf_dir).count()
-            # best-of-2: this noisy-neighbor VM shows up to 10x swings
-            # between identical runs (BENCH/BASELINE.md protocol note);
-            # min over trials estimates capability, like the scaling
+            # best-of-3 (cold + 2 warm): this noisy-neighbor VM shows
+            # up to 10x swings between identical runs, different
+            # queries each time (BENCH/BASELINE.md protocol note); min
+            # over trials estimates capability, like the scaling
             # harness
-            times[name] = round(min(time.time() - t0, cold[name]), 3)
-            spark.catalog.clearCache()
+            best = cold[name]
+            for _ in range(2):
+                t0 = time.time()
+                n = qs[name](spark, sf_dir).count()
+                best = min(best, time.time() - t0)
+                spark.catalog.clearCache()
+            times[name] = round(best, 3)
         else:
             times[name] = cold[name]
         print(f"# {name}: {times[name]}s best / {cold[name]}s cold"
