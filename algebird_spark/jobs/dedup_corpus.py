@@ -1,6 +1,7 @@
-"""spark-submit entrypoint: end-to-end corpus deduplication pipeline —
+"""spark-submit entrypoint: end-to-end corpus hygiene pipeline —
 quality gate -> exact dedup -> (optional) MinHash-LSH near-dup ->
-connected-component clustering -> one survivor per cluster.
+connected-component clustering -> one survivor per cluster ->
+(optional) benchmark decontamination via ``--benchmark``.
 
 Usage (north_rule deployment shape):
   zip -r algebird_spark.zip algebird_spark
@@ -43,6 +44,11 @@ def main(argv=None, spark=None):
     ap.add_argument("--num-perm", type=int, default=64)
     ap.add_argument("--bands", type=int, default=16)
     ap.add_argument("--max-hamming", type=int, default=3)
+    ap.add_argument("--benchmark", default=None,
+                    help="parquet of eval/benchmark texts; survivors "
+                         "sharing an 8-gram with it are dropped "
+                         "(decontamination)")
+    ap.add_argument("--benchmark-text-col", default="text")
     args = ap.parse_args(argv)
 
     owns_session = spark is None
@@ -69,7 +75,15 @@ def main(argv=None, spark=None):
                             max_hamming=args.max_hamming,
                             min_chars=args.min_chars,
                             min_tokens=args.min_tokens, persist=True)
-    survivors = stages["survivors"].persist()
+    survivors = stages["survivors"]
+    if args.benchmark:
+        from algebird_spark.operators.contamination import decontaminate
+        bench = spark.read.parquet(args.benchmark)
+        survivors = decontaminate(survivors, bench,
+                                  id_col=args.id_col,
+                                  text_col=args.text_col,
+                                  bench_text_col=args.benchmark_text_col)
+    survivors = survivors.persist()
     try:
         n_gated = stages["gated"].count()
         n_exact = stages["exact_kept"].count()

@@ -82,3 +82,22 @@ def test_spark_submit_deployment_shape():
     lines = [json.loads(l) for l in out.stdout.strip().splitlines()]
     assert lines[0]["groups"] > 0
     assert lines[1]["n_survivors"] > 0
+
+
+def test_dedup_corpus_job_with_decontamination(spark, tmp_path):
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet") \
+        .limit(30)
+    phrase = "qq1 qq2 qq3 qq4 qq5 qq6 qq7 qq8"
+    tainted = (docs.limit(4)
+               .withColumn("doc_id", F.col("doc_id") + 5000)
+               .withColumn("text", F.concat("text", F.lit(" " + phrase))))
+    inp = str(tmp_path / "docs")
+    docs.unionByName(tainted).write.mode("overwrite").parquet(inp)
+    bpath = str(tmp_path / "bench")
+    spark.createDataFrame([(phrase,)], "text string") \
+        .write.mode("overwrite").parquet(bpath)
+    m = dedup_corpus.main(["--input", inp, "--near-dup", "none",
+                           "--benchmark", bpath], spark=spark)
+    assert m["n_input"] == 34
+    assert m["n_after_exact_dedup"] == 34
+    assert m["n_survivors"] == 30  # the 4 tainted docs dropped
