@@ -76,22 +76,38 @@ def main(argv=None, spark=None):
                             min_chars=args.min_chars,
                             min_tokens=args.min_tokens, persist=True)
     survivors = stages["survivors"]
-    if args.benchmark:
-        from algebird_spark.operators.contamination import decontaminate
-        bench = spark.read.parquet(args.benchmark)
-        survivors = decontaminate(survivors, bench,
-                                  id_col=args.id_col,
-                                  text_col=args.text_col,
-                                  bench_text_col=args.benchmark_text_col)
-    survivors = survivors.persist()
+    clusters = stages["clusters"]
+    n_decontaminated = 0
     try:
+        if args.benchmark:
+            from pyspark.sql import functions as F
+
+            from algebird_spark.operators.contamination import decontaminate
+            bench = spark.read.parquet(args.benchmark)
+            n_before = survivors.count()
+            survivors = decontaminate(
+                survivors, bench, id_col=args.id_col,
+                text_col=args.text_col,
+                bench_text_col=args.benchmark_text_col)
+            # keep the provenance table consistent: decontaminated
+            # docs flip to keep=false so clusters and survivors agree
+            clean = survivors.select(F.col(args.id_col))
+            flag = clean.withColumn("__clean", F.lit(True))
+            clusters = (clusters.join(flag, args.id_col, "left")
+                        .withColumn("keep",
+                                    F.col("keep")
+                                    & F.coalesce("__clean", F.lit(False)))
+                        .drop("__clean"))
+        survivors = survivors.persist()
         n_gated = stages["gated"].count()
         n_exact = stages["exact_kept"].count()
         n_survivors = survivors.count()
+        if args.benchmark:
+            n_decontaminated = n_before - n_survivors
         if args.output:
             survivors.write.mode("overwrite") \
                 .parquet(args.output + "/survivors")
-            stages["clusters"].write.mode("overwrite") \
+            clusters.write.mode("overwrite") \
                 .parquet(args.output + "/clusters")
     finally:
         stages["gated"].unpersist()
@@ -100,6 +116,7 @@ def main(argv=None, spark=None):
 
     metrics = {"n_input": n_input, "n_after_quality": n_gated,
                "n_after_exact_dedup": n_exact, "n_survivors": n_survivors,
+               "n_decontaminated": n_decontaminated,
                "near_dup": args.near_dup,
                "seconds": round(time.time() - t0, 2)}
     print(json.dumps(metrics), file=sys.stderr)

@@ -46,16 +46,30 @@ def dedup_exact(df: DataFrame, text_col: str = "text",
                 id_col: str = "doc_id") -> DataFrame:
     """Keep one doc (min id) per distinct text. NULL texts are not
     comparable, so every NULL-text row survives as its own singleton
-    (an equi-join on a null fingerprint would silently drop them)."""
+    (an equi-join on a null fingerprint would silently drop them).
+    Fingerprints are over the RAW text: whitespace-only variants
+    (' ' vs '  ') are distinct texts here and zero-token docs are out
+    of near-dup scope — gate them upstream with min_tokens if they
+    should not survive."""
     notnull = df.filter(F.col(text_col).isNotNull())
-    w_min = (notnull.select(F.col(id_col).alias("__keep"),
-                            fingerprint(F.col(text_col)).alias("fp"))
-             .groupBy("fp").agg(F.min("__keep").alias("__keep")))
-    kept = (notnull.withColumn("fp", fingerprint(F.col(text_col)))
-            .join(w_min, on="fp", how="inner")
-            .filter(F.col(id_col) == F.col("__keep"))
-            .drop("fp", "__keep"))
+    w_min = (notnull.select(F.col(id_col).alias("__dd_keep"),
+                            fingerprint(F.col(text_col)).alias("__dd_fp"))
+             .groupBy("__dd_fp").agg(F.min("__dd_keep").alias("__dd_keep")))
+    kept = (notnull.withColumn("__dd_fp", fingerprint(F.col(text_col)))
+            .join(w_min, on="__dd_fp", how="inner")
+            .filter(F.col(id_col) == F.col("__dd_keep"))
+            .select(*df.columns))
     return kept.unionByName(df.filter(F.col(text_col).isNull()))
+
+
+def has_tokens(text_col) -> "F.Column":
+    """Cheap JVM-side prefilter for 'doc has at least one token'.
+    Conservative: Spark's \\s regex misses some Unicode whitespace the
+    Python tokenizer splits on, so a rare whitespace-only doc can pass
+    — the signature kernels are authoritative (zero-token docs get a
+    NULL signature and never band)."""
+    col = F.col(text_col) if isinstance(text_col, str) else text_col
+    return F.coalesce(F.regexp_replace(col, r"\s+", ""), F.lit("")) != ""
 
 
 # ---------------------------------------------------------------------------
@@ -141,7 +155,14 @@ def add_minhash_signature(df: DataFrame, text_col: str = "text",
                 if len(starts_ne):
                     mins = np.minimum.reduceat(lane, starts_ne)
                     sigs[nonempty, i] = mins.astype(np.int64)
-            yield pd.Series([row.tolist() for row in sigs])
+            # zero-shingle docs (empty/whitespace-only under the
+            # PYTHON tokenizer, which splits more whitespace than
+            # Spark's trim sees) get NULL, not a shared zero signature
+            # — the banding filter drops them, so they can never form
+            # a quadratic sentinel bucket
+            ne_set = set(nonempty.tolist())
+            yield pd.Series([row.tolist() if i in ne_set else None
+                             for i, row in enumerate(sigs)])
 
     return df.withColumn(alias, sig(F.col(text_col)))
 
@@ -151,6 +172,10 @@ def lsh_candidate_pairs(df: DataFrame, id_col: str = "doc_id",
     """Docs sharing any LSH band bucket. Returns (id_a, id_b) with
     id_a < id_b, deduped. Band bucket = hash of the band's signature
     slice; the self-join key (band, bucket) is uniformly distributed."""
+    # docs without a signature (zero tokens under the kernel's
+    # tokenizer) never band — authoritative guard against the shared
+    # sentinel bucket, regardless of upstream filtering
+    df = df.filter(F.col(sig_col).isNotNull() & (F.size(sig_col) > 0))
     sig_len_expr = F.size(sig_col)
     rows = F.floor(sig_len_expr / bands).cast("int")
     banded = df.select(
@@ -214,11 +239,10 @@ def near_dup_pairs_minhash(df: DataFrame, id_col: str = "doc_id",
     -> exact-Jaccard verify. The signed table persists across the
     banded self-join so signatures compute once (at warehouse scale,
     write the signature table to storage instead)."""
-    # empty/NULL-text docs all share one sentinel signature: they are
-    # not near-dups of anything (exact dedup owns identical-empty), and
-    # their shared LSH bucket would make the self-join quadratic in
-    # their count — exclude them up front
-    nonempty = df.filter(F.coalesce(F.trim(F.col(text_col)), F.lit("")) != "")
+    # zero-token docs are not near-dups of anything (identical empties
+    # are exact dedup's job); prefilter here, NULL-signature guard in
+    # lsh_candidate_pairs is authoritative
+    nonempty = df.filter(has_tokens(text_col))
     signed = add_minhash_signature(nonempty, text_col, num_perm, shingle_n) \
         .select(id_col, "minhash").persist()
     cands = lsh_candidate_pairs(signed, id_col, "minhash", bands)

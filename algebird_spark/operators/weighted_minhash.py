@@ -131,7 +131,11 @@ def add_weighted_minhash_signature(df: DataFrame, text_col: str = "text",
                 continue
             uh, w, starts = _doc_token_weights(s.tolist(), seed)
             sigs = icws_signatures(uh, w, starts, num_perm, seed)
-            yield pd.Series([row.tolist() for row in sigs])
+            # zero-token docs -> NULL signature (see dedup.py: the
+            # banding filter drops them; no shared sentinel bucket)
+            n_tok = np.diff(starts)
+            yield pd.Series([row.tolist() if n_tok[i] > 0 else None
+                             for i, row in enumerate(sigs)])
 
     return df.withColumn(alias, sig(F.col(text_col)))
 
@@ -172,11 +176,10 @@ def near_dup_pairs_weighted(df: DataFrame, id_col: str = "doc_id",
     exact weighted-Jaccard verify. Returns (id_a, id_b, wjaccard)."""
     from .dedup import lsh_candidate_pairs
 
-    # zero-token docs all share the all-zero signature: not near-dups
-    # of anything (exact dedup owns identical-empty) and their shared
-    # bucket would make the self-join quadratic — exclude up front
-    nonempty = df.filter(
-        F.coalesce(F.trim(F.col(text_col)), F.lit("")) != "")
+    # zero-token docs: prefilter (cheap) + the NULL-signature guard in
+    # lsh_candidate_pairs (authoritative) — see dedup.has_tokens
+    from .dedup import has_tokens
+    nonempty = df.filter(has_tokens(text_col))
     signed = add_weighted_minhash_signature(nonempty, text_col, num_perm,
                                             seed) \
         .select(id_col, "wminhash").persist()

@@ -69,3 +69,20 @@ def test_short_and_blank_rows_never_cross_match(spark):
     out = ngram_contamination(docs, bench, shingle_n=8)
     assert out.filter("contaminated").count() == 0
     assert out.count() == 3
+
+
+def test_unicode_whitespace_docs_never_band(spark):
+    # tab/newline/NBSP-only texts slip past Spark's trim but tokenize
+    # to zero under Python .split(): they must get NULL signatures and
+    # never enter LSH banding (no shared sentinel bucket)
+    from algebird_spark.operators.dedup import (add_minhash_signature,
+                                                near_dup_pairs_minhash)
+    docs = spark.createDataFrame(
+        [(0, "\t"), (1, "\n"), (2, " "), (3, " "), (4, ""),
+         (5, "real words in a document here")],
+        "doc_id long, text string")
+    signed = add_minhash_signature(docs, "text")
+    nulls = {r["doc_id"] for r in
+             signed.filter("minhash IS NULL").collect()}
+    assert nulls == {0, 1, 2, 3, 4}
+    assert near_dup_pairs_minhash(docs).count() == 0

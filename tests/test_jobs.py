@@ -96,8 +96,17 @@ def test_dedup_corpus_job_with_decontamination(spark, tmp_path):
     bpath = str(tmp_path / "bench")
     spark.createDataFrame([(phrase,)], "text string") \
         .write.mode("overwrite").parquet(bpath)
+    out = str(tmp_path / "out")
     m = dedup_corpus.main(["--input", inp, "--near-dup", "none",
-                           "--benchmark", bpath], spark=spark)
+                           "--benchmark", bpath, "--output", out],
+                          spark=spark)
     assert m["n_input"] == 34
     assert m["n_after_exact_dedup"] == 34
     assert m["n_survivors"] == 30  # the 4 tainted docs dropped
+    assert m["n_decontaminated"] == 4
+    # the provenance table must agree with the survivor set
+    clusters = spark.read.parquet(out + "/clusters")
+    kept_ids = {r["doc_id"] for r in clusters.filter("keep").collect()}
+    surv_ids = {r["doc_id"] for r in
+                spark.read.parquet(out + "/survivors").collect()}
+    assert kept_ids == surv_ids
