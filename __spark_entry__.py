@@ -107,6 +107,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_topk_exhaustive": Q.q_ivf_topk_exhaustive,
         "ivf_recall": Q.q_ivf_recall,
         "embedding_lsh_recall": Q.q_embedding_lsh_recall,  # rows-only
+        "lsh_planted_recall": Q.q_lsh_planted_recall,
         "multimodal_features": Q.q_multimodal_features,    # rows-only
     }
 
@@ -668,6 +669,11 @@ def oracle_sql() -> dict[str, str]:
               FROM scored)
             SELECT q_id, vec_id, ROUND(cos, 4) AS cos, rank
             FROM ranked WHERE rank <= 5
+        """,
+        "lsh_planted_recall": """
+            SELECT COUNT(*) AS n_planted, TRUE AS recall_ok
+            FROM embeddings
+            WHERE SUBSTR(MD5(CAST(vec_id AS VARCHAR)), 1, 1) < '4'
         """,
         "ivf_recall": """
             SELECT (SELECT COUNT(*) FROM

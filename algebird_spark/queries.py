@@ -1461,3 +1461,39 @@ def q_weighted_minhash_recall(spark, sf):
                     (F.col("__h") >= 0.9 * F.col("n_planted"))
                      .alias("recall_ok"),
                     (F.col("__maxwj") < 1.0).alias("frequency_aware")))
+
+
+def q_lsh_planted_recall(spark, sf):
+    """Multi-table hyperplane-LSH recall on PLANTED near-identical
+    vectors: md5-eligible vectors get a copy with deterministic +-1%
+    per-dimension multiplicative jitter (cos ~ 0.99997 — far above the
+    corpus's ~0.4 NN cosine), and the ANN top-1 for each planted query
+    must be its original. At 4 planes x 8 tables + 1-bit multiprobe the
+    per-pair miss probability is ~1e-8, so recall_ok is stable.
+    n_planted is SQL-reproducible."""
+    emb = _t(spark, sf, "embeddings")
+    dim = len(emb.select("embedding").first()[0])
+    eligible = emb.filter(
+        F.substring(F.md5(F.col("vec_id").cast("string")), 1, 1)
+        < F.lit("4"))
+    jitter = F.transform(
+        "embedding",
+        lambda x, i: x * (1.0 + (F.xxhash64(F.col("vec_id"), i)
+                                 % 1000 - 500).cast("double") / 50000.0))
+    planted = (eligible
+               .withColumn("vec_id", F.col("vec_id") + F.lit(10**6))
+               .withColumn("embedding", jitter.cast("array<float>")))
+    view = emb.unionByName(planted.select(*emb.columns))
+    queries = planted.select(F.col("vec_id").alias("q_id"),
+                             F.col("embedding").alias("q_vec"))
+    found = similarity.lsh_multitable_topk(view, queries, k=1, dim=dim,
+                                           n_planes=4, n_tables=8,
+                                           multiprobe=True)
+    hits = found.filter(
+        F.col("vec_id") == F.col("q_id") - F.lit(10**6))
+    n_hit = hits.agg(F.count("*").alias("__h"))
+    return (eligible.agg(F.count("*").alias("n_planted"))
+            .crossJoin(n_hit)
+            .select("n_planted",
+                    (F.col("__h") >= 0.95 * F.col("n_planted"))
+                     .alias("recall_ok")))
