@@ -78,12 +78,16 @@ def main(argv=None, spark=None):
     survivors = stages["survivors"]
     clusters = stages["clusters"]
     n_decontaminated = 0
+    pre_decon = None
     try:
         if args.benchmark:
             from pyspark.sql import functions as F
 
             from algebird_spark.operators.contamination import decontaminate
             bench = spark.read.parquet(args.benchmark)
+            # one materialization serves both the pre-decontamination
+            # count and the decontaminate pass
+            pre_decon = survivors = survivors.persist()
             n_before = survivors.count()
             survivors = decontaminate(
                 survivors, bench, id_col=args.id_col,
@@ -112,6 +116,8 @@ def main(argv=None, spark=None):
     finally:
         stages["gated"].unpersist()
         stages["exact_kept"].unpersist()
+        if pre_decon is not None:
+            pre_decon.unpersist()
         survivors.unpersist()
 
     metrics = {"n_input": n_input, "n_after_quality": n_gated,

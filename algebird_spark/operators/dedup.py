@@ -69,7 +69,9 @@ def has_tokens(text_col) -> "F.Column":
     — the signature kernels are authoritative (zero-token docs get a
     NULL signature and never band)."""
     col = F.col(text_col) if isinstance(text_col, str) else text_col
-    return F.coalesce(F.regexp_replace(col, r"\s+", ""), F.lit("")) != ""
+    # existence test short-circuits at the first non-whitespace char
+    # (regexp_replace would copy + scan the whole doc); NULL -> false
+    return col.rlike(r"\S")
 
 
 # ---------------------------------------------------------------------------

@@ -89,3 +89,19 @@ def test_exact_wjaccard_udf(spark):
     pairs = spark.createDataFrame([(0, 1)], "id_a long, id_b long")
     r = weighted_jaccard_exact(pairs, docs).collect()[0]
     assert abs(r["wjaccard"] - 2 / 4) < 1e-12
+
+
+def test_unicode_whitespace_docs_never_band_weighted(spark):
+    # parallel to the set-MinHash regression: tab/newline/NBSP-only
+    # texts must get NULL weighted signatures and never enter banding
+    from algebird_spark.operators.weighted_minhash import \
+        add_weighted_minhash_signature
+    docs = spark.createDataFrame(
+        [(0, "\t"), (1, "\n"), (2, " "), (3, ""),
+         (4, "real words in a document here")],
+        "doc_id long, text string")
+    signed = add_weighted_minhash_signature(docs)
+    nulls = {r["doc_id"] for r in
+             signed.filter("wminhash IS NULL").collect()}
+    assert nulls == {0, 1, 2, 3}
+    assert near_dup_pairs_weighted(docs).count() == 0
