@@ -84,6 +84,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sliding_window_counts": Q.q_sliding_window_counts,
         "streaming_dedup": Q.q_streaming_dedup,
         "session_windows": Q.q_session_windows,
+        "outlier_detection": Q.q_outlier_detection,
         # --- string-key sketches (CMSHasher[K] surface) -------------------
         "hll_string_distinct": Q.q_hll_string_distinct,
         "cms_string_keys": Q.q_cms_string_keys,
@@ -494,6 +495,16 @@ def oracle_sql() -> dict[str, str]:
                    (SELECT COUNT(*) FROM (
                       SELECT text FROM docs2 GROUP BY text HAVING COUNT(*) > 1))
                    AS n_dup_groups
+        """,
+        "outlier_detection": """
+            WITH s AS (SELECT event_type, AVG(value) AS mu,
+                              STDDEV_POP(value) AS sd
+                       FROM events GROUP BY event_type)
+            SELECT e.event_type, COUNT(*) AS n_events,
+                   SUM(CASE WHEN ABS((e.value - s.mu)/s.sd) > 3
+                       THEN 1 ELSE 0 END) AS n_outliers
+            FROM events e JOIN s USING (event_type)
+            GROUP BY e.event_type
         """,
         "session_windows": """
             WITH o AS (

@@ -1499,3 +1499,20 @@ def q_lsh_planted_recall(spark, sf):
             .select("n_planted",
                     (F.col("__h") >= 0.95 * F.col("n_planted"))
                      .alias("recall_ok")))
+
+
+def q_outlier_detection(spark, sf):
+    """Moments applied: per-event-type z-score anomaly flags. The
+    population mean/stddev come from one aggregate pass (the Moments
+    monoid surface), broadcast back over the stream; outliers are
+    |z| > 3. Counts are exact integers — fully SQL-reproduced."""
+    ev = _t(spark, sf, "events")
+    stats = ev.groupBy("event_type").agg(
+        F.avg("value").alias("__mu"),
+        F.stddev_pop("value").alias("__sd"))
+    flagged = (ev.join(F.broadcast(stats), "event_type")
+               .withColumn("__z", (F.col("value") - F.col("__mu"))
+                           / F.col("__sd")))
+    return (flagged.groupBy("event_type")
+            .agg(F.count("*").alias("n_events"),
+                 F.sum((F.abs("__z") > 3).cast("long")).alias("n_outliers")))
