@@ -85,6 +85,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_dedup": Q.q_streaming_dedup,
         "session_windows": Q.q_session_windows,
         "outlier_detection": Q.q_outlier_detection,
+        "trending_topk": Q.q_trending_topk,
         # --- string-key sketches (CMSHasher[K] surface) -------------------
         "hll_string_distinct": Q.q_hll_string_distinct,
         "cms_string_keys": Q.q_cms_string_keys,
@@ -495,6 +496,20 @@ def oracle_sql() -> dict[str, str]:
                    (SELECT COUNT(*) FROM (
                       SELECT text FROM docs2 GROUP BY text HAVING COUNT(*) > 1))
                    AS n_dup_groups
+        """,
+        "trending_topk": """
+            WITH t AS (SELECT event_type, EPOCH_US(ts)/1000000.0 AS sec,
+                              MAX(EPOCH_US(ts)/1000000.0) OVER () AS gmax
+                       FROM events),
+            d AS (SELECT event_type,
+                         SUM(POW(2.0, (sec - gmax)/86400.0)) AS dv
+                  FROM t GROUP BY event_type),
+            r AS (SELECT event_type, dv,
+                         ROW_NUMBER() OVER (ORDER BY dv DESC, event_type)
+                           AS rank
+                  FROM d)
+            SELECT event_type, ROUND(dv, 2) AS decayed_count, rank
+            FROM r WHERE rank <= 3
         """,
         "outlier_detection": """
             WITH s AS (SELECT event_type, AVG(value) AS mu,

@@ -1516,3 +1516,25 @@ def q_outlier_detection(spark, sf):
     return (flagged.groupBy("event_type")
             .agg(F.count("*").alias("n_events"),
                  F.sum((F.abs("__z") > 3).cast("long")).alias("n_outliers")))
+
+
+def q_trending_topk(spark, sf):
+    """Trending top-3 event types: exponentially decayed event counts
+    (half-life 1 day, decayed to the GLOBAL newest timestamp so types
+    compare at a common 'now') ranked descending — DecayedValue
+    composed with sortedTake. Rank gaps in the fixture are >= 0.5, so
+    cross-engine float noise (~1e-9) cannot flip the ordering."""
+    from pyspark.sql import Window
+    ev = _t(spark, sf, "events")
+    sec = F.col("ts").cast("timestamp").cast("double")
+    gmax = ev.agg(F.max(sec).alias("__gmax"))
+    dec = (ev.crossJoin(F.broadcast(gmax))
+           .groupBy("event_type")
+           .agg(F.sum(F.pow(F.lit(2.0),
+                            (sec - F.col("__gmax")) / 86400.0))
+                .alias("__dv")))
+    w = Window.orderBy(F.col("__dv").desc(), F.col("event_type"))
+    return (dec.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= 3)
+            .select("event_type", F.round("__dv", 2).alias("decayed_count"),
+                    "rank"))
