@@ -110,6 +110,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_recall": Q.q_ivf_recall,
         "embedding_lsh_recall": Q.q_embedding_lsh_recall,  # rows-only
         "lsh_planted_recall": Q.q_lsh_planted_recall,
+        "ivf_planted_recall": Q.q_ivf_planted_recall,
         "multimodal_features": Q.q_multimodal_features,    # rows-only
     }
 
@@ -318,7 +319,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "stratified_sample": """
             SELECT source, COUNT(*) AS n_sampled,
-                   SUM(doc_id) AS id_sum
+                   CAST(SUM(doc_id) AS BIGINT) AS id_sum
             FROM documents
             WHERE (source = 'src0' AND
                    SUBSTR(MD5(CAST(doc_id AS VARCHAR)), 1, 4) < 'c000')
@@ -516,8 +517,8 @@ def oracle_sql() -> dict[str, str]:
                               STDDEV_POP(value) AS sd
                        FROM events GROUP BY event_type)
             SELECT e.event_type, COUNT(*) AS n_events,
-                   SUM(CASE WHEN ABS((e.value - s.mu)/s.sd) > 3
-                       THEN 1 ELSE 0 END) AS n_outliers
+                   CAST(SUM(CASE WHEN ABS((e.value - s.mu)/s.sd) > 3
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
             FROM events e JOIN s USING (event_type)
             GROUP BY e.event_type
         """,
@@ -530,7 +531,7 @@ def oracle_sql() -> dict[str, str]:
                           THEN 1 ELSE 0 END AS new_s
               FROM events
               WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
-            SELECT user_id, SUM(new_s) AS n_sessions,
+            SELECT user_id, CAST(SUM(new_s) AS BIGINT) AS n_sessions,
                    COUNT(*) AS n_events
             FROM o GROUP BY user_id
         """,
@@ -553,8 +554,8 @@ def oracle_sql() -> dict[str, str]:
               FROM documents
               WHERE SUBSTR(MD5(CAST(doc_id AS VARCHAR)), 1, 1) < '2')
             SELECT COUNT(*) AS n_kept,
-                   SUM(CASE WHEN mid >= 1000000000 THEN 1 ELSE 0 END)
-                     AS planted_kept
+                   CAST(SUM(CASE WHEN mid >= 1000000000 THEN 1 ELSE 0 END)
+                     AS BIGINT) AS planted_kept
             FROM (SELECT MIN(doc_id) AS mid FROM docs2 GROUP BY text)
         """,
         "minhash_lsh_recall": """
@@ -566,13 +567,13 @@ def oracle_sql() -> dict[str, str]:
         """,
         "decontamination": """
             SELECT COUNT(*) AS n_docs,
-                   SUM(CASE WHEN
+                   CAST(SUM(CASE WHEN
                          SUBSTR(MD5(CAST(doc_id AS VARCHAR)), 1, 1) < '2'
                          AND (CASE WHEN TRIM(text) = '' THEN 0
                               ELSE len(regexp_split_to_array(TRIM(text),
                                                              '\\s+')) END)
                              >= 30
-                       THEN 1 ELSE 0 END) AS n_contaminated,
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_contaminated,
                    TRUE AS exact_flagging
             FROM documents
         """,
@@ -595,16 +596,16 @@ def oracle_sql() -> dict[str, str]:
                     >= 20),
             keep AS (SELECT MIN(doc_id) AS doc_id FROM filt GROUP BY text)
             SELECT lang, COUNT(*) AS n_kept,
-                   SUM(tokcnt) AS total_tokens,
-                   SUM(n_chars) AS total_chars
+                   CAST(SUM(tokcnt) AS BIGINT) AS total_tokens,
+                   CAST(SUM(n_chars) AS BIGINT) AS total_chars
             FROM filt JOIN keep USING (doc_id)
             GROUP BY lang
         """,
         "hashing_trick": """
             SELECT source,
-                   SUM(CASE WHEN TRIM(text) = '' THEN 0
+                   CAST(SUM(CASE WHEN TRIM(text) = '' THEN 0
                        ELSE len(regexp_split_to_array(TRIM(text), '\\s+'))
-                       END) AS n_tokens,
+                       END) AS BIGINT) AS n_tokens,
                    4096 AS dim,
                    TRUE AS monoid_ok
             FROM documents GROUP BY source
@@ -697,6 +698,11 @@ def oracle_sql() -> dict[str, str]:
             FROM ranked WHERE rank <= 5
         """,
         "lsh_planted_recall": """
+            SELECT COUNT(*) AS n_planted, TRUE AS recall_ok
+            FROM embeddings
+            WHERE SUBSTR(MD5(CAST(vec_id AS VARCHAR)), 1, 1) < '4'
+        """,
+        "ivf_planted_recall": """
             SELECT COUNT(*) AS n_planted, TRUE AS recall_ok
             FROM embeddings
             WHERE SUBSTR(MD5(CAST(vec_id AS VARCHAR)), 1, 1) < '4'

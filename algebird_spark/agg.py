@@ -92,9 +92,22 @@ def _factorize_rows(kf: pd.DataFrame, keys: Sequence[str]):
         codes, uniques = pd.factorize(kf[keys[0]], use_na_sentinel=False)
         return codes, [(u,) for u in uniques]
     per = [pd.factorize(kf[k], use_na_sentinel=False) for k in keys]
-    # mixed-radix combine of per-column codes (per-batch unique counts
-    # are tiny, so the product never approaches 2^63), then one
-    # factorize over the combined int codes (null-free by construction)
+    # Guard the mixed-radix code space: with many high-cardinality key
+    # columns the product of per-batch unique counts can exceed 2^63
+    # and wrap, aliasing distinct key tuples into one group. Python-int
+    # arithmetic detects it exactly; fall back to a MultiIndex
+    # factorize over the per-column codes (no combined code at all).
+    radix = 1
+    for _, uniques in per:
+        radix *= max(len(uniques), 1)
+    if radix >= 2 ** 62:
+        mi = pd.MultiIndex.from_arrays([codes for codes, _ in per])
+        row_codes, mi_uniques = mi.factorize()
+        out = [tuple(per[i][1][code_tup[i]] for i in range(len(per)))
+               for code_tup in mi_uniques]
+        return row_codes, out
+    # mixed-radix combine of per-column codes, then one factorize over
+    # the combined int codes (null-free by construction)
     combined = np.zeros(len(kf), dtype=np.int64)
     for codes, uniques in per:
         combined *= max(len(uniques), 1)

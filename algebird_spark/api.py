@@ -149,17 +149,20 @@ def jaccard_similarity(df: DataFrame, col: str, by: Sequence[str],
 
 def dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
           near: str | None = "minhash", threshold: float = 0.7,
-          min_chars: int = 0, min_tokens: int = 0) -> DataFrame:
+          min_chars: int = 0, min_tokens: int = 0,
+          approx_rows: int | None = None) -> DataFrame:
     """One-call corpus dedup: optional quality gate -> exact dedup ->
     (optional) near-dup pairs -> connected-component clustering ->
     one survivor (min id) per cluster. Returns the surviving rows.
     ``near``: 'minhash' (shingle-Jaccard >= threshold), 'simhash'
-    (Hamming <= 3), or None for exact-only."""
+    (Hamming <= 3), or None for exact-only. ``approx_rows``: cheap
+    corpus-size hint (catalog statistic) that sizes simhash banding —
+    pass it at >= 2M docs."""
     from .operators.pipeline import dedup_pipeline
 
     stages = dedup_pipeline(df, text_col, id_col, near=near,
                             threshold=threshold, min_chars=min_chars,
-                            min_tokens=min_tokens)
+                            min_tokens=min_tokens, approx_rows=approx_rows)
     return stages["exact_kept"] if near is None else stages["survivors"]
 
 

@@ -355,8 +355,11 @@ def murmur128_any(values, seed: int = DEFAULT_SEED
     if isinstance(values, pa.Array):
         return murmur128_bytes(*_arrow_bytes_parts(values), seed)
     arr = np.asarray(values)
-    if arr.dtype == np.int32 or arr.dtype == np.uint32:
-        return murmur128_int32(arr.astype(np.int32, copy=False), seed)
+    # ALL integer dtypes hash as their int64 value (uint64 via bit view)
+    # so the same key is dtype-stable: a Bloom filter built from an
+    # int32 column and probed with int64 keys must hit the same slots
+    # (no-false-negative guarantee). The per-width murmur128_int32
+    # kernel remains available for the explicit Hash128[Int] surface.
     if arr.dtype == np.uint64:
         return murmur128_int64(arr.view(np.int64), seed)
     if np.issubdtype(arr.dtype, np.integer) or arr.dtype == np.bool_:

@@ -74,7 +74,8 @@ def main(argv=None, spark=None):
                             num_perm=args.num_perm, bands=args.bands,
                             max_hamming=args.max_hamming,
                             min_chars=args.min_chars,
-                            min_tokens=args.min_tokens, persist=True)
+                            min_tokens=args.min_tokens, persist=True,
+                            approx_rows=n_input)
     survivors = stages["survivors"]
     clusters = stages["clusters"]
     n_decontaminated = 0

@@ -27,6 +27,43 @@ from .text import fingerprint, simhash64_df
 
 
 # ---------------------------------------------------------------------------
+# operator-scoped persist lifetime
+# ---------------------------------------------------------------------------
+
+_OPERATOR_CACHES: dict[str, list[DataFrame]] = {}
+
+
+def _cache_scoped(op: str, df: DataFrame) -> DataFrame:
+    """``persist()`` whose lifetime is scoped to the operator: invoking
+    the same operator again releases the previous invocation's blocks
+    first, so repeated calls in a long session (bench loops, pipeline
+    retries) never accumulate block-manager storage. ``unpersist`` is
+    correctness-neutral — a still-referenced earlier result simply
+    recomputes. Callers wanting deterministic cleanup call
+    :func:`release_caches` after materializing the result."""
+    for prev in _OPERATOR_CACHES.pop(op, []):
+        try:
+            prev.unpersist()
+        except Exception:
+            pass  # session already stopped
+    cached = df.persist()
+    _OPERATOR_CACHES[op] = [cached]
+    return cached
+
+
+def release_caches(op: str | None = None) -> None:
+    """Explicitly unpersist intermediates cached by the near-dup
+    operators (all of them, or one operator's by name)."""
+    ops = [op] if op is not None else list(_OPERATOR_CACHES)
+    for o in ops:
+        for prev in _OPERATOR_CACHES.pop(o, []):
+            try:
+                prev.unpersist()
+            except Exception:
+                pass
+
+
+# ---------------------------------------------------------------------------
 # exact dedup
 # ---------------------------------------------------------------------------
 
@@ -245,8 +282,10 @@ def near_dup_pairs_minhash(df: DataFrame, id_col: str = "doc_id",
     # are exact dedup's job); prefilter here, NULL-signature guard in
     # lsh_candidate_pairs is authoritative
     nonempty = df.filter(has_tokens(text_col))
-    signed = add_minhash_signature(nonempty, text_col, num_perm, shingle_n) \
-        .select(id_col, "minhash").persist()
+    signed = _cache_scoped(
+        "minhash",
+        add_minhash_signature(nonempty, text_col, num_perm, shingle_n)
+        .select(id_col, "minhash"))
     cands = lsh_candidate_pairs(signed, id_col, "minhash", bands)
     return jaccard_verify(nonempty, cands, id_col, text_col, shingle_n,
                           threshold)
@@ -259,7 +298,8 @@ def near_dup_pairs_minhash(df: DataFrame, id_col: str = "doc_id",
 def near_dup_pairs_simhash(df: DataFrame, id_col: str = "doc_id",
                            text_col: str = "text", max_hamming: int = 3,
                            chunks: int | None = None,
-                           max_bucket: int | None = None) -> DataFrame:
+                           max_bucket: int | None = None,
+                           approx_rows: int | None = None) -> DataFrame:
     """SimHash near-dup pairs via chunk-combination banding.
 
     The 64-bit simhash splits into ``chunks`` equal pieces; if two
@@ -277,8 +317,15 @@ def near_dup_pairs_simhash(df: DataFrame, id_col: str = "doc_id",
     chunks=8 (h=3) each doc emits C(8,5)=56 keys of ~46 bits (combo id
     + 40 payload bits): 56x the shuffle rows, but expected bucket size
     N/2^40 — the join stays linear far past 10^12 docs. Default
-    (chunks=None) adapts: 4 below 2M docs (key space 2^16 x 4 keeps
-    buckets ~30 rows there and the plan compact), 8 above.
+    (chunks=None) adapts on the ``approx_rows`` hint: 4 below 2M docs
+    (key space 2^16 x 4 keeps buckets ~30 rows there and the plan
+    compact), 8 at or above. ``approx_rows`` is a CHEAP caller-side
+    hint (catalog row-count statistic, Iceberg snapshot summary,
+    yesterday's count) — the operator itself NEVER runs a Spark
+    action: a ``df.count()`` here would be a full extra scan of the
+    input before any useful work. With no hint and no explicit
+    ``chunks`` the compact 4-chunk scheme is used; at >= 2M docs pass
+    ``approx_rows`` or ``chunks=8`` explicitly.
 
     ``max_bucket``: optional skew guard — buckets larger than this are
     dropped from candidate generation (bounded work at the cost of
@@ -288,7 +335,7 @@ def near_dup_pairs_simhash(df: DataFrame, id_col: str = "doc_id",
     Returns (id_a, id_b, hamming)."""
     from itertools import combinations
     if chunks is None:
-        chunks = 4 if df.count() < 2_000_000 else 8
+        chunks = 8 if (approx_rows or 0) >= 2_000_000 else 4
     if 64 % chunks or chunks <= max_hamming:
         raise ValueError("chunks must divide 64 and exceed max_hamming")
     w = 64 // chunks
@@ -296,8 +343,9 @@ def near_dup_pairs_simhash(df: DataFrame, id_col: str = "doc_id",
     combos = list(combinations(range(chunks), combo_size))
     # one row per doc; persist so the self-join doesn't recompute the
     # 64-way majority-vote aggregation twice (at warehouse scale, write
-    # the fingerprint table to storage instead)
-    sh = simhash64_df(df, id_col, text_col).persist()
+    # the fingerprint table to storage instead); operator-scoped cache
+    # so repeated invocations don't leak block-manager storage
+    sh = _cache_scoped("simhash", simhash64_df(df, id_col, text_col))
     pieces = F.array(*[
         F.shiftrightunsigned(F.col("simhash"), w * j)
          .bitwiseAND(F.lit((1 << w) - 1)).cast("long")

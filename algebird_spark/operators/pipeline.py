@@ -24,7 +24,8 @@ def dedup_pipeline(df: DataFrame, text_col: str = "text",
                    threshold: float = 0.7, num_perm: int = 64,
                    bands: int = 16, max_hamming: int = 3,
                    min_chars: int = 0, min_tokens: int = 0,
-                   persist: bool = False) -> dict[str, DataFrame]:
+                   persist: bool = False,
+                   approx_rows: int | None = None) -> dict[str, DataFrame]:
     """Returns the pipeline's stage DataFrames:
 
     - ``gated``: rows passing the quality gate
@@ -84,7 +85,8 @@ def dedup_pipeline(df: DataFrame, text_col: str = "text",
                                           threshold=threshold)
     elif near == "simhash":
         pairs = _d.near_dup_pairs_simhash(exact_kept, id_col, text_col,
-                                          max_hamming=max_hamming)
+                                          max_hamming=max_hamming,
+                                          approx_rows=approx_rows)
     else:
         raise ValueError(f"unknown near-dup mode {near!r}")
 

@@ -178,11 +178,14 @@ def near_dup_pairs_weighted(df: DataFrame, id_col: str = "doc_id",
 
     # zero-token docs: prefilter (cheap) + the NULL-signature guard in
     # lsh_candidate_pairs (authoritative) — see dedup.has_tokens
-    from .dedup import has_tokens
+    from .dedup import _cache_scoped, has_tokens
     nonempty = df.filter(has_tokens(text_col))
-    signed = add_weighted_minhash_signature(nonempty, text_col, num_perm,
-                                            seed) \
-        .select(id_col, "wminhash").persist()
+    # operator-scoped cache: repeated calls release the previous
+    # invocation's blocks (see dedup._cache_scoped / release_caches)
+    signed = _cache_scoped(
+        "weighted_minhash",
+        add_weighted_minhash_signature(nonempty, text_col, num_perm, seed)
+        .select(id_col, "wminhash"))
     cands = lsh_candidate_pairs(signed, id_col, "wminhash", bands)
     scored = weighted_jaccard_exact(cands, nonempty, id_col, text_col)
     return scored.filter(F.col("wjaccard") >= threshold)

@@ -799,27 +799,33 @@ def q_scoped_topn(spark, sf):
 def q_sketchmap_sums(spark, sf):
     """SketchMap: approximate Map[suppkey -> sum(quantity)] built
     distributed (multi-column harness); estimates never underestimate
-    and overestimate <= eps * total-mass."""
+    and overestimate <= eps * total-mass. Validation runs IN-PLAN like
+    q_cms_point_queries: the final state (one small blob — the only
+    thing the driver holds) ships into a vectorized pandas UDF scoring
+    the exact distributed groupBy sums; bound verdicts fold with
+    bool_and. No per-key collect — stays runnable at sf10+."""
     from .agg import sketch_by_key_multi
     from .sketches import SketchMap
-    import numpy as np
     li = _t(spark, sf, "lineitem")
     states = sketch_by_key_multi(
         li, [], ["l_suppkey", "l_quantity"],
         lambda: SketchMap(eps=0.0005, delta=1e-4, heavy_hitters_count=5))
     sk = from_bytes(bytes(states.collect()[0][STATE_COL]))
-    exact = li.groupBy("l_suppkey").agg(F.sum("l_quantity").alias("q")).collect()
-    keys = np.array([r["l_suppkey"] for r in exact], dtype=np.int64)
-    truth = np.array([r["q"] for r in exact])
-    est = sk.values(keys)
-    never_under = bool((est >= truth - 1e-6).all())
-    within_eps = bool((est <= truth + sk.eps * sk.total + 1e-6).all())
-    return spark.createDataFrame(
-        [Row(n_keys=int(len(keys)), never_under=never_under,
-             within_eps=within_eps)],
-        StructType([StructField("n_keys", LongType(), False),
-                    StructField("never_under", BooleanType(), False),
-                    StructField("within_eps", BooleanType(), False)]))
+    sk_bytes, eps_mass = sk.to_bytes(), sk.eps * sk.total
+
+    @F.pandas_udf("double")
+    def sm_est(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        local = from_bytes(sk_bytes)  # decode once per task
+        for s in it:
+            yield pd.Series(local.values(s.to_numpy(dtype="int64")))
+
+    probed = (li.groupBy("l_suppkey").agg(F.sum("l_quantity").alias("q"))
+              .withColumn("est", sm_est(F.col("l_suppkey"))))
+    return probed.agg(
+        F.count("*").alias("n_keys"),
+        F.bool_and(F.col("est") >= F.col("q") - 1e-6).alias("never_under"),
+        F.bool_and(F.col("est") <= F.col("q") + eps_mass + 1e-6)
+         .alias("within_eps"))
 
 
 def q_merge_lookup(spark, sf):
@@ -1210,7 +1216,13 @@ def q_ivf_recall(spark, sf):
     ~25% of the data scored per query): top-5 recall vs exact,
     computed in-plan. The pipeline is deterministic (seeded init,
     fixture data), measured recall 0.88-1.0 across SFs; the oracle
-    pins n_queries exactly and recall >= 0.7."""
+    pins n_queries exactly and recall >= 0.8. (0.9+ at 4/16 is not
+    reachable on this fixture: the synthetic embeddings are isotropic
+    Gaussians whose true-NN cosines sit at the ~0.3 noise floor, so a
+    neighbor's list is nearly independent of the query direction —
+    measured, the missed neighbors' lists rank 5-11 in ANY probe
+    order. q_ivf_planted_recall gates the realistic near-duplicate
+    regime at 0.95 instead.)"""
     emb = _t(spark, sf, "embeddings")
     queries = (emb.orderBy("vec_id").limit(5)
                .select(F.col("vec_id").alias("q_id"),
@@ -1226,7 +1238,43 @@ def q_ivf_recall(spark, sf):
         .crossJoin(hits.agg(F.count("*").alias("__h"))) \
         .crossJoin(exact.agg(F.count("*").alias("__t"))) \
         .select("n_queries",
-                (F.col("__h") >= 0.7 * F.col("__t")).alias("recall_ok"))
+                (F.col("__h") >= 0.8 * F.col("__t")).alias("recall_ok"))
+
+
+def q_ivf_planted_recall(spark, sf):
+    """IVF-Flat recall in the regime that matters for corpus dedup:
+    PLANTED near-identical vectors (deterministic +-1% multiplicative
+    jitter, cos ~0.9999 vs the corpus's ~0.3 NN noise floor). Original
+    and copy quantize to the same (or a margin-adjacent) inverted
+    list, so at nprobe=4/16 with boundary-spill assignment
+    (spill_margin=0.05) the top-1 for every planted query must be its
+    original — gated at 0.95. n_planted is SQL-reproducible."""
+    emb = _t(spark, sf, "embeddings")
+    eligible = emb.filter(
+        F.substring(F.md5(F.col("vec_id").cast("string")), 1, 1)
+        < F.lit("4"))
+    jitter = F.transform(
+        "embedding",
+        lambda x, i: x * (1.0 + (F.pmod(F.xxhash64(F.col("vec_id"), i),
+                                        F.lit(1000)) - 500)
+                          .cast("double") / 50000.0))
+    planted = (eligible
+               .withColumn("vec_id", F.col("vec_id") + F.lit(10**9))
+               .withColumn("embedding", jitter.cast("array<float>")))
+    view = emb.unionByName(planted.select(*emb.columns))
+    queries = planted.select(F.col("vec_id").alias("q_id"),
+                             F.col("embedding").alias("q_vec"))
+    cents = similarity.train_ivf_centroids(view, n_lists=16, n_iter=5)
+    found = similarity.ivf_topk(view, queries, k=1, centroids=cents,
+                                nprobe=4, spill_margin=0.05)
+    hits = found.filter(
+        F.col("vec_id") == F.col("q_id") - F.lit(10**9))
+    n_hit = hits.agg(F.count("*").alias("__h"))
+    return (eligible.agg(F.count("*").alias("n_planted"))
+            .crossJoin(n_hit)
+            .select("n_planted",
+                    (F.col("__h") >= 0.95 * F.col("n_planted"))
+                     .alias("recall_ok")))
 
 
 def q_streaming_dedup(spark, sf):

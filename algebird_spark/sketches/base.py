@@ -29,7 +29,11 @@ from dataclasses import dataclass
 from typing import Any, Callable, ClassVar
 
 MAGIC = b"ASK1"
-VERSION = 1
+# v2 (round 3): integer murmur dispatch became dtype-stable (all ints
+# hash as int64), changing hash values for int32-keyed HLL/Bloom/
+# MinHash states. Bump so states persisted under v1 fail loudly at
+# decode instead of merging into silently-wrong estimates.
+VERSION = 2
 
 # kind-byte registry (stable across versions; append only)
 KIND_HLL = 1

@@ -62,8 +62,14 @@ class CMS(Sketch):
 
     # ------------------------------------------------------------------
     def _params(self) -> dict:
+        # hash_family tags the row-hash generation (round 2 moved from a
+        # 31-bit key fold to a full-64-bit two-limb multilinear family).
+        # States persisted under a different family decode but estimate
+        # wrongly, so the tag makes merge_check and checkpoint manifests
+        # mismatch LOUDLY instead.
         return {"eps": self.eps, "delta": self.delta, "seed": self.seed,
-                "hh_pct": self.hh_pct, "hh_n": self.hh_n}
+                "hh_pct": self.hh_pct, "hh_n": self.hh_n,
+                "hash_family": "multilinear64_v2"}
 
     @property
     def is_sparse(self) -> bool:

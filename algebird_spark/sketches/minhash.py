@@ -48,7 +48,12 @@ class MinHash(Sketch):
         self.sig = np.full(num_lanes, np.iinfo(np.uint64).max, dtype=np.uint64)
 
     def _params(self) -> dict:
-        return {"num_lanes": self.num_lanes, "seed": self.seed}
+        # hash_family: round 2 replaced uint64-wraparound (a*h+b)%p with
+        # the exact Mersenne-61 mulmod; tag it so states persisted under
+        # the old lane hash fail merge_check instead of merging silently
+        # into wrong similarities.
+        return {"num_lanes": self.num_lanes, "seed": self.seed,
+                "hash_family": "mersenne61_v2"}
 
     def update_batch(self, values) -> None:
         values = np.asarray(values)

@@ -215,6 +215,41 @@ class DecayingCMS(Sketch):
             est *= 2.0 ** ((self.ts - at_ts) / self.half_life)
         return est
 
+    # -- extended algebra surface (reference: core/DecayingCMS.scala
+    #    scale :330-343, innerProduct :345-392, l2Norm :394-400) -------
+
+    def scale(self, factor: float) -> "DecayingCMS":
+        """Return a copy with every cell scaled by a non-negative
+        factor (scaling by x is the same as having seen x-weighted
+        copies of every observation; negative factors are rejected
+        like the reference's require(x >= 0))."""
+        if factor < 0:
+            raise ValueError(f"scale factor must be >= 0, got {factor}")
+        out = DecayingCMS(self.eps, self.delta, self.half_life, self.seed)
+        out.ts = self.ts if factor > 0 else -math.inf
+        out.table = self.table * factor if factor > 0 \
+            else np.zeros_like(self.table)
+        return out
+
+    def inner_product(self, other: "DecayingCMS",
+                      at_ts: float | None = None) -> float:
+        """Estimated decayed inner product sum_k f_k * g_k of the two
+        decayed frequency vectors, both normalized to a common
+        timestamp (the row-wise minimum of per-row dot products —
+        same one-sided error shape as CMS innerProduct)."""
+        self.merge_check(other)
+        if self.ts == -math.inf or other.ts == -math.inf:
+            return 0.0
+        t = max(self.ts, other.ts, at_ts if at_ts is not None else -math.inf)
+        a = self.table * 2.0 ** ((self.ts - t) / self.half_life)
+        b = other.table * 2.0 ** ((other.ts - t) / self.half_life)
+        return float((a * b).sum(axis=1).min())
+
+    def l2_norm(self, at_ts: float | None = None) -> float:
+        """Estimated L2 norm of the decayed frequency vector:
+        sqrt(innerProduct(self, self))."""
+        return math.sqrt(self.inner_product(self, at_ts=at_ts))
+
     def present(self) -> dict:
         return {"ts": self.ts}
 

@@ -81,6 +81,21 @@ def main():
         if len(a) != len(b):
             status.append(f"ROWS {len(a)} vs {len(b)}")
         if not status:
+            # The driver's value hash is dtype-strict: DuckDB returning e.g.
+            # HUGEINT->float64 where Spark returns int64 hash-mismatches even
+            # when values are numerically equal. Flag dtype skew as FAIL so
+            # this local gate predicts the driver exactly.
+            dtype_bad = [c for c in a.columns
+                         if np.issubdtype(a[c].dtype, np.number)
+                         and np.issubdtype(b[c].dtype, np.number)
+                         and (np.issubdtype(a[c].dtype, np.integer)
+                              != np.issubdtype(b[c].dtype, np.integer))]
+            if dtype_bad:
+                status.append(
+                    "DTYPE mismatch (int vs float) in "
+                    + str([(c, str(a[c].dtype), str(b[c].dtype))
+                           for c in dtype_bad]))
+        if not status:
             if a.equals(b):
                 status = ["OK"]
             else:

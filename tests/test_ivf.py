@@ -85,3 +85,53 @@ def test_empty_vectors_raise(spark):
     df = spark.createDataFrame([], "vec_id long, embedding array<float>")
     with pytest.raises(ValueError):
         train_ivf_centroids(df, n_lists=4)
+
+
+def test_spill_assignment_no_duplicate_pairs_and_superset(vec_df):
+    """spill_margin indexes boundary vectors in two lists: the
+    candidate set is a superset of the unspilled one, pairs stay
+    unique after the dedup, and exhaustive probing is still exact."""
+    c = train_ivf_centroids(vec_df, n_lists=8, n_iter=3)
+    q = _queries(vec_df, 3)
+    plain = ivf_topk(vec_df, q, k=1000, centroids=c, nprobe=2)
+    spill = ivf_topk(vec_df, q, k=1000, centroids=c, nprobe=2,
+                     spill_margin=1.0)
+    p = {(r["q_id"], r["vec_id"]) for r in plain.collect()}
+    s = {(r["q_id"], r["vec_id"]) for r in spill.collect()}
+    assert p <= s and len(s) > len(p)
+    dups = (spill.groupBy("q_id", "vec_id").count()
+            .filter(F.col("count") > 1).count())
+    assert dups == 0
+    # the assignment UDF really emits two lists for boundary vectors
+    from algebird_spark.operators.similarity import _spill_assign_udf
+    n2 = (vec_df.select(_spill_assign_udf(c, 1.0)(F.col("embedding"))
+                        .alias("ls"))
+          .filter(F.size("ls") == 2).count())
+    assert n2 > 0
+    # exhaustive + spill == brute force, like the plain path
+    exact = {(r["q_id"], r["rank"]): r["vec_id"]
+             for r in cosine_topk(vec_df, q, k=5).collect()}
+    got = {(r["q_id"], r["rank"]): r["vec_id"]
+           for r in ivf_topk(vec_df, q, k=5, centroids=c, nprobe=8,
+                             spill_margin=0.2).collect()}
+    assert got == exact
+
+
+def test_residual_probe_ordering_distinct_and_exhaustive(vec_df):
+    """Residual-deflated probe selection returns nprobe DISTINCT lists
+    and degrades to the full set at nprobe == n_lists (so the
+    exhaustive oracle identity holds either way)."""
+    from algebird_spark.operators.similarity import _probe_udf
+    c = train_ivf_centroids(vec_df, n_lists=8, n_iter=2)
+    probes = (vec_df.limit(10)
+              .select(_probe_udf(c, 4, residual_order=True)
+                      (F.col("embedding")).alias("p")).collect())
+    for r in probes:
+        assert len(r["p"]) == 4 and len(set(r["p"])) == 4
+    q = _queries(vec_df, 3)
+    exact = {(r["q_id"], r["rank"]): r["vec_id"]
+             for r in cosine_topk(vec_df, q, k=5).collect()}
+    got = {(r["q_id"], r["rank"]): r["vec_id"]
+           for r in ivf_topk(vec_df, q, k=5, centroids=c, nprobe=8,
+                             residual_probes=True).collect()}
+    assert got == exact

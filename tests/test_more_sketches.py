@@ -195,3 +195,42 @@ def test_decaying_cms_halflife_and_merge():
     b.update_batch(np.array([1], dtype=np.int64), np.array([0.0]), np.array([1.0]))
     b.update_batch(np.array([1], dtype=np.int64), np.array([20.0]), np.array([1.0]))
     assert abs(a.decayed_frequency(1) - b.decayed_frequency(1)) < 1e-12
+
+
+def test_decaying_cms_scale_inner_product_l2(spark=None):
+    """Extended DecayingCMS algebra (core/DecayingCMS.scala:330-400):
+    scale is weight-linear, innerProduct matches the exact decayed dot
+    product on a sparse key set, l2Norm == sqrt(self innerProduct)."""
+    import pytest
+    from algebird_spark.sketches import DecayingCMS
+    hl = 10.0
+    a = DecayingCMS(eps=0.001, delta=1e-3, half_life=hl)
+    keys = np.array([1, 2, 3], dtype=np.int64)
+    a.update_batch(keys, timestamps=np.zeros(3),
+                   weights=np.array([2.0, 4.0, 6.0]))
+    # scale: every decayed frequency doubles; factor 0 empties; <0 raises
+    s = a.scale(2.0)
+    for k, w in zip(keys, [2.0, 4.0, 6.0]):
+        assert abs(s.decayed_frequency(int(k)) - 2 * w) < 1e-9
+    z = a.scale(0.0)
+    assert z.ts == float("-inf") and z.table.sum() == 0.0
+    with pytest.raises(ValueError):
+        a.scale(-1.0)
+
+    # innerProduct: disjoint-ish sparse keys, wide table -> near exact.
+    b = DecayingCMS(eps=0.001, delta=1e-3, half_life=hl)
+    b.update_batch(keys, timestamps=np.full(3, hl),  # one half-life later
+                   weights=np.array([1.0, 1.0, 1.0]))
+    # decayed to t=hl: a's weights halve -> dot = 1*1 + 2*1 + 3*1 = 6
+    ip = a.inner_product(b)
+    assert abs(ip - 6.0) < 1e-6
+    # symmetric, and normalizing further out decays quadratically
+    assert abs(ip - b.inner_product(a)) < 1e-12
+    ip2 = a.inner_product(b, at_ts=2 * hl)
+    assert abs(ip2 - 6.0 / 4.0) < 1e-6
+
+    # l2Norm at the sketch's own ts: ||(2,4,6)|| = sqrt(56)
+    assert abs(a.l2_norm() - np.sqrt(56.0)) < 1e-6
+    # empty sketch: zero norm, zero products
+    e = DecayingCMS(eps=0.001, delta=1e-3, half_life=hl)
+    assert e.l2_norm() == 0.0 and e.inner_product(a) == 0.0
