@@ -76,6 +76,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scoped_topn": Q.q_scoped_topn,
         "sketchmap_sums": Q.q_sketchmap_sums,
         "decaying_cms": Q.q_decaying_cms,
+        "decaying_cms_inner": Q.q_decaying_cms_inner,
         "decayed_vector": Q.q_decayed_vector,
         "merge_lookup": Q.q_merge_lookup,
         "set_diff": Q.q_set_diff,
@@ -430,6 +431,15 @@ def oracle_sql() -> dict[str, str]:
             SELECT COUNT(DISTINCT user_id) AS n_keys,
                    TRUE AS never_under, TRUE AS within_eps
             FROM events
+        """,
+        "decaying_cms_inner": """
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+                   TRUE AS inner_ok, TRUE AS l2_ok
+            FROM (SELECT user_id FROM events GROUP BY user_id
+                  HAVING SUM(CASE WHEN event_id % 2 = 0
+                             THEN 1 ELSE 0 END) > 0
+                     AND SUM(CASE WHEN event_id % 2 = 1
+                             THEN 1 ELSE 0 END) > 0)
         """,
         "merge_lookup": """
             SELECT s_nationkey, ROUND(SUM(l_quantity), 2) AS total_qty

@@ -903,6 +903,54 @@ def q_decaying_cms(spark, sf):
                    + eps * F.col("__mass") + 1e-6).alias("within_eps"))
 
 
+def q_decaying_cms_inner(spark, sf):
+    """DecayingCMS extended algebra (DecayingCMS.scala:330-400): the
+    decayed inner product of two sketches (events split by even/odd
+    event_id, unit weights, decayed user-count vectors) never
+    underestimates the exact decayed dot product and overestimates by
+    <= eps * massA * massB; l2Norm^2 obeys the same one-sided bound
+    against the exact squared norm. Exact vectors stay distributed;
+    only the two small sketch states reach the driver."""
+    from .agg import sketch_by_key_multi
+    from .sketches.sketchmap import DecayingCMS
+    half = 7 * 86400.0
+    eps, delta = 0.005, 1e-4
+    ev = (_t(spark, sf, "events")
+          .withColumn("sec", F.col("ts").cast("timestamp").cast("double"))
+          .withColumn("one", F.lit(1.0)))
+    t_max = float(ev.agg(F.max("sec")).collect()[0][0])
+    halves = [ev.filter(F.col("event_id") % 2 == i) for i in (0, 1)]
+    sks = []
+    for h in halves:
+        states = sketch_by_key_multi(
+            h, [], ["user_id", "sec", "one"],
+            lambda: DecayingCMS(eps=eps, delta=delta, half_life=half))
+        sks.append(from_bytes(bytes(states.collect()[0][STATE_COL])))
+    ip = sks[0].inner_product(sks[1], at_ts=t_max)
+    l2a_sq = sks[0].l2_norm(at_ts=t_max) ** 2
+
+    decayed = F.sum(F.pow(F.lit(2.0),
+                          (F.col("sec") - F.lit(t_max)) / half))
+    da, db = [h.groupBy("user_id").agg(decayed.alias(c))
+              for h, c in zip(halves, ("fa", "fb"))]
+    exact = (da.join(db, "user_id", "inner")
+             .agg(F.count("*").alias("n_users"),
+                  F.sum(F.col("fa") * F.col("fb")).alias("__dot")))
+    norms = (da.agg(F.sum("fa").alias("__ma"),
+                    F.sum(F.col("fa") * F.col("fa")).alias("__na")))
+    mb = db.agg(F.sum("fb").alias("__mb"))
+    return (exact.crossJoin(norms).crossJoin(mb).select(
+        "n_users",
+        ((F.lit(ip) >= F.col("__dot") - 1e-6)
+         & (F.lit(ip) <= F.col("__dot")
+            + eps * F.col("__ma") * F.col("__mb") + 1e-6))
+        .alias("inner_ok"),
+        ((F.lit(l2a_sq) >= F.col("__na") - 1e-6)
+         & (F.lit(l2a_sq) <= F.col("__na")
+            + eps * F.col("__ma") * F.col("__ma") + 1e-6))
+        .alias("l2_ok")))
+
+
 # ===========================================================================
 # string-key sketch queries (CMSHasher[K] surface — vectorized murmur path)
 # ===========================================================================
