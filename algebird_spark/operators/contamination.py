@@ -14,19 +14,19 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-from .dedup import shingle_hash_array
-from .text import token_count
+from .dedup import shingle_hashes_udf
 
 
 def _full_shingles(text_col: str, shingle_n: int):
     """Shingles for contamination semantics: rows with fewer than
-    ``shingle_n`` tokens contribute NO shingles (shingle_hash_array's
-    short-row fallback — the whole text as one shingle — is right for
-    near-dup Jaccard but would flag every short/blank doc against a
-    short/blank benchmark row here)."""
-    return F.when(token_count(F.col(text_col)) >= shingle_n,
-                  shingle_hash_array(text_col, shingle_n)) \
-            .otherwise(F.array().cast("array<long>"))
+    ``shingle_n`` tokens contribute NO shingles (the near-dup
+    short-row fallback — the whole text as one shingle — would flag
+    every short/blank doc against a short/blank benchmark row here).
+    Batch-vectorized kernel UDF: one murmur call per Arrow batch, so
+    the 100 TB corpus side hashes each byte once — the previous
+    higher-order-function expression evaluated an interpreted lambda
+    per shingle (~90k shingles/s/core)."""
+    return shingle_hashes_udf(shingle_n, full_only=True)(F.col(text_col))
 
 
 def benchmark_shingles(benchmark: DataFrame, text_col: str = "text",

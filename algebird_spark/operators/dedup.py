@@ -157,7 +157,44 @@ def _shingle_hashes_batch(texts, shingle_n: int, seed: int):
         acc ^= (tk << rot) | (tk >> (np.uint64(64) - rot)) if k else tk
         rot = np.uint64((int(rot) + 17) % 64)
     acc = _vfmix64(acc)
-    return acc, sh_starts
+    return acc, sh_starts, lens
+
+
+def shingle_hashes_udf(shingle_n: int, seed: int = 12345678,
+                       full_only: bool = False):
+    """pandas UDF: array<long> of DISTINCT word n-gram shingle hashes
+    per doc, via the same batch-vectorized kernel the MinHash
+    signatures use (ONE murmur call per Arrow batch for every token of
+    every doc). Replaces the interpreted higher-order-function
+    expression, which evaluated a lambda + array slice per shingle —
+    measured ~90k shingles/s/core vs effectively hash-bound here; at
+    100 TB each input byte must hash once, not per-shingle.
+
+    ``full_only=True``: docs with fewer than ``shingle_n`` tokens emit
+    NO shingles (contamination semantics — a short doc must not flag
+    against a short benchmark row). Default: short docs emit their
+    full token sequence as one shingle (near-dup Jaccard semantics,
+    same as the signature kernel)."""
+
+    @F.pandas_udf("array<long>")
+    def sh(texts: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        for s in texts:
+            if len(s) == 0:
+                yield pd.Series([], dtype=object)
+                continue
+            hv, starts, lens = _shingle_hashes_batch(s.tolist(),
+                                                     shingle_n, seed)
+            hv_i = hv.view(np.int64)
+            out = []
+            for i in range(len(starts) - 1):
+                if full_only and lens[i] < shingle_n:
+                    out.append([])
+                    continue
+                seg = hv_i[starts[i]:starts[i + 1]]
+                out.append(np.unique(seg).tolist())
+            yield pd.Series(out)
+
+    return sh
 
 
 def add_minhash_signature(df: DataFrame, text_col: str = "text",
@@ -183,7 +220,8 @@ def add_minhash_signature(df: DataFrame, text_col: str = "text",
             if len(s) == 0:
                 yield pd.Series([], dtype=object)
                 continue
-            hv, sh_starts = _shingle_hashes_batch(s.tolist(), shingle_n, seed)
+            hv, sh_starts, _ = _shingle_hashes_batch(s.tolist(), shingle_n,
+                                                     seed)
             hv &= p61
             n_docs = len(sh_starts) - 1
             sigs = np.zeros((n_docs, num_perm), dtype=np.int64)
@@ -237,28 +275,25 @@ def lsh_candidate_pairs(df: DataFrame, id_col: str = "doc_id",
             .distinct())
 
 
-def shingle_hash_array(text_col, shingle_n: int):
-    """array<long> of distinct xxhash64'd word n-gram shingles — one
-    JVM-side expression (split + transform + slice + concat_ws), no
-    Python. The shared shingling used by Jaccard verification and
-    benchmark decontamination."""
-    col = F.col(text_col) if isinstance(text_col, str) else text_col
-    toks = F.split(F.lower(F.trim(col)), r"\s+")
-    return F.array_distinct(F.transform(
-        F.sequence(F.lit(0),
-                   F.greatest(F.size(toks) - shingle_n, F.lit(0))),
-        lambda i: F.xxhash64(F.concat_ws(
-            " ", F.slice(toks, i + 1, shingle_n)))))
-
-
 def jaccard_verify(df: DataFrame, pairs: DataFrame, id_col: str = "doc_id",
                    text_col: str = "text", shingle_n: int = 3,
                    threshold: float = 0.7) -> DataFrame:
     """Exact word-shingle Jaccard on candidate pairs only.
-    Returns (id_a, id_b, jaccard) filtered to >= threshold."""
-    sh = df.select(
-        F.col(id_col),
-        shingle_hash_array(text_col, shingle_n).alias("sh"))
+    Returns (id_a, id_b, jaccard) filtered to >= threshold.
+
+    Shingles are computed ONLY for docs that appear in a candidate
+    pair (left-semi prefilter): at 100 TB the candidate set is orders
+    of magnitude smaller than the corpus, and shingling the full table
+    twice (both join sides project the expression) was the dominant
+    cost of the verify stage."""
+    # no distinct: left-semi join tolerates duplicate keys, and the
+    # dedup would cost an extra shuffle
+    cand_ids = (pairs.select(F.col("id_a").alias(id_col))
+                .unionByName(pairs.select(F.col("id_b").alias(id_col))))
+    sh = (df.join(cand_ids, id_col, "left_semi")
+          .select(F.col(id_col),
+                  shingle_hashes_udf(shingle_n)(F.col(text_col))
+                  .alias("sh")))
     a = sh.alias("a")
     b = sh.alias("b")
     joined = (pairs.join(a, pairs.id_a == F.col(f"a.{id_col}"))
@@ -286,7 +321,12 @@ def near_dup_pairs_minhash(df: DataFrame, id_col: str = "doc_id",
         "minhash",
         add_minhash_signature(nonempty, text_col, num_perm, shingle_n)
         .select(id_col, "minhash"))
-    cands = lsh_candidate_pairs(signed, id_col, "minhash", bands)
+    # verify references the candidate set three times (both join sides
+    # + the shingle prefilter); cache it so the banded self-join runs
+    # once (operator-scoped lifetime, released on the next call)
+    cands = _cache_scoped(
+        "minhash_cands",
+        lsh_candidate_pairs(signed, id_col, "minhash", bands))
     return jaccard_verify(nonempty, cands, id_col, text_col, shingle_n,
                           threshold)
 
