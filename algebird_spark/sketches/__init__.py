@@ -2,7 +2,7 @@ from .base import (Approximate, ApproximateBoolean,
                    IncompatibleSketchError, Sketch, from_bytes,
                    merge_all)
 from .bloom import BloomFilter, optimal_num_hashes, optimal_width
-from .cms import CMS
+from .cms import CMS, cms_params_for_groups
 from .composite import MultiSketch
 from .hll import HLL, bits_for_error
 from .kll import KLL, kll_rank_error
@@ -18,7 +18,8 @@ __all__ = [
     "Approximate", "ApproximateBoolean", "IncompatibleSketchError",
     "Sketch", "from_bytes", "merge_all",
     "BloomFilter", "optimal_num_hashes", "optimal_width",
-    "CMS", "MultiSketch", "HLL", "bits_for_error", "KLL", "kll_rank_error",
+    "CMS",
+    "cms_params_for_groups", "MultiSketch", "HLL", "bits_for_error", "KLL", "kll_rank_error",
     "MinHash", "pick_bands_rows", "TDigest",
     "Moments", "SetSize", "QTree", "SpaceSaver",
     "DecayedValue", "ExpHist", "HLLSeries", "SketchMap", "DecayingCMS",

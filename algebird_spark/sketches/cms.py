@@ -35,6 +35,34 @@ from .base import KIND_CMS, Approximate, IncompatibleSketchError, Sketch, regist
 DEFAULT_CMS_SEED = 1
 
 
+def cms_params_for_groups(n_groups: int, memory_budget_bytes: int,
+                          delta: float = 1e-6) -> dict:
+    """eps/delta preset for a per-key CMS build with ``n_groups``
+    expected groups under a total dense-table memory budget (SCALE.md
+    §3/§8: the default eps=1e-3 table is ~300 KB — right for tens of
+    groups, catastrophic at 10^6).
+
+    Solves width = budget / (groups * depth * 8) and returns
+    ``{"eps": e/width, "delta": delta}`` ready to splat into ``CMS``.
+    The error bound follows: estimates overestimate by <= eps * N_g
+    (N_g = the GROUP's mass, not the global total — each group owns
+    its own table). Width is floored at 32 cells (eps <= ~0.085); if
+    the budget cannot fund that at the requested depth, delta is
+    relaxed (shallower table) before width shrinks further, since
+    heavy-hitter workloads degrade more gracefully in delta than in
+    eps."""
+    if n_groups <= 0 or memory_budget_bytes <= 0:
+        raise ValueError("n_groups and memory_budget_bytes must be > 0")
+    depth = int(math.ceil(math.log(1.0 / delta)))
+    min_width = 32
+    width = memory_budget_bytes // (n_groups * depth * 8)
+    while width < min_width and depth > 1:
+        depth -= 1
+        width = memory_budget_bytes // (n_groups * depth * 8)
+    width = max(int(width), min_width)
+    return {"eps": math.e / width, "delta": math.exp(-depth)}
+
+
 class CMS(Sketch):
     KIND = KIND_CMS
 

@@ -157,3 +157,34 @@ def test_topn_cms_semantics_and_documented_bias():
     assert hh[1] >= 5000                    # never underestimates
     with pytest.raises(ValueError):
         CMS(heavy_hitters_pct=0.01, heavy_hitters_n=5)
+
+
+def test_cms_params_for_groups_budget_and_bounds():
+    """Preset sizing (SCALE.md §3/§8): the dense tables for n_groups
+    sketches fit the byte budget, the eps bound still holds on real
+    updates, and impossible budgets degrade delta before width."""
+    import math
+    from algebird_spark.sketches import cms_params_for_groups
+
+    p = cms_params_for_groups(10**6, 8 * 2**30, delta=1e-6)
+    c = CMS(**p)
+    assert c.depth * c.width * 8 * 10**6 <= 8 * 2**30
+    assert c.delta <= 1e-6 + 1e-12
+    # a group's estimates still obey the one-sided eps bound
+    rng = np.random.default_rng(7)
+    vals = rng.integers(0, 500, size=20_000)
+    c.update_batch(vals)
+    ks, cnt = np.unique(vals, return_counts=True)
+    est = c.frequencies(ks)
+    assert (est >= cnt).all()
+    assert (est <= cnt + p["eps"] * len(vals) * 1.0 + 1e-9).all()
+
+    # tiny budget: depth relaxes (delta grows) before width drops below 32
+    q = cms_params_for_groups(10**6, 10**6 * 32 * 8, delta=1e-6)
+    cq = CMS(**q)
+    assert cq.width >= 32 and cq.depth >= 1
+    assert cq.depth * cq.width * 8 <= 32 * 8 * 14  # bounded table
+
+    import pytest
+    with pytest.raises(ValueError):
+        cms_params_for_groups(0, 100)
