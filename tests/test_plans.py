@@ -144,28 +144,52 @@ def test_simhash_banding_parity_and_cap(spark):
         near_dup_pairs_simhash(docs, chunks=3)
 
 
-def test_simhash_packed_counters_match_unpacked(spark):
-    """The 3-per-long packed majority counters must reproduce the
-    unpacked 64-sum formulation bit-for-bit."""
-    from algebird_spark.operators.text import simhash64_df
+def test_simhash_kernel_matches_naive_reference(spark):
+    """The batch-vectorized simhash kernel (one murmur call per batch,
+    unpackbits majority) must reproduce a naive per-doc Python loop
+    bit-for-bit, including the 64K-token chunk seam; the plan must
+    contain NO Exchange (the fingerprint is row-local)."""
+    import io
+    from contextlib import redirect_stdout
+
+    import numpy as np
+    from algebird_spark.functions.hashing import murmur64_any
+    from algebird_spark.operators.text import (_simhash64_batch,
+                                               simhash64_df)
+
     docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
-    toks = docs.select(
-        "doc_id",
-        F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("t"))
-    h = F.xxhash64("t")
-    aggs = [F.count("*").alias("n")] + [
-        F.sum(F.shiftright(h, b).bitwiseAND(F.lit(1)).cast("long")).alias(f"b{b}")
-        for b in range(64)]
-    per = toks.groupBy("doc_id").agg(*aggs)
-    sim = F.lit(0).cast("long")
-    for b in range(64):
-        sim = sim.bitwiseOR(
-            F.when(F.col(f"b{b}") * 2 > F.col("n"),
-                   F.shiftleft(F.lit(1).cast("long"), b))
-             .otherwise(F.lit(0).cast("long")))
-    ref = {r[0]: r[1] for r in per.select("doc_id", sim.alias("s")).collect()}
+    rows = docs.select("doc_id", "text").collect()
+
+    def naive(text):
+        toks = (text or "").lower().split()
+        if not toks:
+            return None
+        counts = np.zeros(64, dtype=np.int64)
+        for t in toks:
+            h = int(murmur64_any(np.array([t], dtype=object), 20240601)[0])
+            for b in range(64):
+                counts[b] += (h >> b) & 1
+        sim = 0
+        for b in range(64):
+            if counts[b] * 2 > len(toks):
+                sim |= 1 << b
+        return sim - (1 << 64) if sim >= 1 << 63 else sim
+
+    ref = {r["doc_id"]: naive(r["text"]) for r in rows[:50]}
     got = {r[0]: r[1] for r in simhash64_df(docs, "doc_id").collect()}
-    assert got == ref
+    for k, v in ref.items():
+        assert got[k] == v, (k, got[k], v)
+    # chunk seam: one batch whose token span crosses the 64K boundary
+    big = ["tok%d word%d" % (i, i % 97) * 300 for i in range(400)]
+    assert _simhash64_batch(big) == [_simhash64_batch([t])[0] for t in big]
+    # NULL/empty/whitespace docs -> NULL fingerprint
+    assert _simhash64_batch([None, "", "   ", "one token"])[:3] \
+        == [None, None, None]
+    # zero-shuffle plan
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        simhash64_df(docs, "doc_id").explain("formatted")
+    assert "Exchange" not in buf.getvalue().split("\n\n")[0]
 
 
 def test_ivf_topk_broadcasts_probes_no_scan_shuffle(spark):
