@@ -1,0 +1,77 @@
+"""Shingle-hash kernel: parity with a naive per-doc reference, the
+short-doc fallback, contamination (full_only) semantics, and
+hash-space-independent Jaccard equality."""
+
+import numpy as np
+import pytest
+from pyspark.sql import Row, functions as F
+
+from algebird_spark.operators.dedup import (_shingle_hashes_batch,
+                                            shingle_hashes_udf)
+
+
+def _naive_shingles(text, n):
+    toks = (text or "").lower().split()
+    if not toks:
+        return []
+    if len(toks) < n:
+        return [tuple(toks)]
+    return [tuple(toks[i:i + n]) for i in range(len(toks) - n + 1)]
+
+
+def test_kernel_counts_and_distinctness_match_naive():
+    texts = [
+        "the quick brown fox jumps over the lazy dog",
+        "a b a b a b a b",            # heavy duplicate shingles
+        "one two",                     # shorter than n -> one shingle
+        "single",
+        "",
+        None,
+        "x " * 500,                    # one distinct shingle, many copies
+    ]
+    n = 3
+    hv, starts, lens = _shingle_hashes_batch(texts, n, 99)
+    assert len(starts) == len(texts) + 1
+    for i, t in enumerate(texts):
+        naive = _naive_shingles(t, n)
+        seg = hv[starts[i]:starts[i + 1]]
+        assert len(seg) == len(naive)
+        # equal raw shingles must hash equal; distinct counts match
+        assert len(np.unique(seg)) == len(set(naive)), (i, t)
+    assert lens.tolist() == [len((t or "").split()) for t in texts]
+
+
+def test_kernel_jaccard_equals_naive_jaccard():
+    """Hashing is a bijection w.h.p., so hashed-set Jaccard == raw
+    word-shingle Jaccard."""
+    a = "alpha beta gamma delta epsilon zeta eta theta"
+    b = "alpha beta gamma delta epsilon zeta eta iota"
+    n = 3
+    hv, starts, _ = _shingle_hashes_batch([a, b], n, 7)
+    sa = set(hv[starts[0]:starts[1]].tolist())
+    sb = set(hv[starts[1]:starts[2]].tolist())
+    got = len(sa & sb) / len(sa | sb)
+    na, nb = set(_naive_shingles(a, n)), set(_naive_shingles(b, n))
+    want = len(na & nb) / len(na | nb)
+    assert got == pytest.approx(want)
+
+
+def test_udf_distinct_and_full_only(spark):
+    df = spark.createDataFrame([
+        Row(doc_id=1, text="w1 w2 w3 w4 w5 w6 w7 w8 w9 w10"),
+        Row(doc_id=2, text="short row"),          # < 8 tokens
+        Row(doc_id=3, text=None),
+        Row(doc_id=4, text="dup dup dup dup dup dup dup dup dup"),
+    ])
+    near = {r["doc_id"]: r["sh"] for r in df.select(
+        "doc_id", shingle_hashes_udf(8)(F.col("text")).alias("sh")).collect()}
+    assert len(near[1]) == 3          # 10 - 8 + 1
+    assert len(near[2]) == 1          # short-doc fallback: one shingle
+    assert near[3] == []              # null text -> no tokens
+    assert len(near[4]) == 1          # 9 identical tokens -> 1 distinct 8-gram
+    full = {r["doc_id"]: r["sh"] for r in df.select(
+        "doc_id", shingle_hashes_udf(8, full_only=True)(F.col("text"))
+        .alias("sh")).collect()}
+    assert len(full[1]) == 3
+    assert full[2] == [] and full[3] == []   # short rows emit nothing
+    assert len(full[4]) == 1
