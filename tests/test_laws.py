@@ -140,3 +140,59 @@ def test_serialization_roundtrip_all(a):
         sa = build(f, [a])
         rt = from_bytes(sa.to_bytes())
         assert rt.to_bytes() == sa.to_bytes(), name
+
+
+@settings(max_examples=25, deadline=None)
+@given(a=arrays)
+def test_integer_dtype_stability_law(a):
+    """Round-3 invariant: the same integer VALUES produce byte-identical
+    states regardless of physical dtype (int32 vs int64) — the Bloom
+    no-false-negative fix, promoted to a law for every exact-merge
+    sketch."""
+    a32 = a.astype(np.int32)  # arrays strategy bounds values to int32
+    for name, f in EXACT_FACTORIES:
+        s64 = build(f, [a])
+        s32 = build(f, [a32])
+        assert bytes(s64.to_bytes()) == bytes(s32.to_bytes()), name
+
+
+_ts = st.lists(
+    st.tuples(st.integers(0, 5000),                      # key
+              st.floats(0.0, 1e5, allow_nan=False),      # timestamp
+              st.floats(0.0, 100.0, allow_nan=False)),   # weight
+    min_size=0, max_size=120)
+
+
+@settings(max_examples=25, deadline=None)
+@given(a=_ts, b=_ts, c=_ts)
+def test_decaying_cms_merge_laws(a, b, c):
+    """DecayingCMS merge is associative and commutative up to float
+    tolerance on the decayed frequencies (exact byte equality is not
+    contractual: the rescale order changes rounding)."""
+    from algebird_spark.sketches import DecayingCMS
+
+    def mk(rows):
+        sk = DecayingCMS(eps=0.01, delta=1e-3, half_life=3600.0)
+        if rows:
+            ks, ts, ws = zip(*rows)
+            sk.update_batch(np.array(ks, dtype=np.int64),
+                            timestamps=np.array(ts),
+                            weights=np.array(ws))
+        return sk
+
+    keys = np.unique(np.array([k for r in (a + b + c) for k in [r[0]]],
+                              dtype=np.int64))
+    if keys.size == 0:
+        return
+    t_ref = 2e5
+
+    def freqs(sk):
+        return sk.decayed_frequencies(keys, at_ts=t_ref)
+
+    ab_c = mk(a).merge_in_place(mk(b)).merge_in_place(mk(c))
+    a_bc = mk(c).merge_in_place(mk(b)).merge_in_place(mk(a))
+    np.testing.assert_allclose(freqs(ab_c), freqs(a_bc),
+                               rtol=1e-9, atol=1e-9)
+    ba = mk(b).merge_in_place(mk(a))
+    ab = mk(a).merge_in_place(mk(b))
+    np.testing.assert_allclose(freqs(ab), freqs(ba), rtol=1e-9, atol=1e-9)
