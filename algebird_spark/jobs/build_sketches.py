@@ -47,6 +47,11 @@ def main(argv=None, spark=None):
     ap.add_argument("--keys", default="source")
     ap.add_argument("--sketches", default="hll,cms,kll,tdigest,bloom")
     ap.add_argument("--checkpoint", default=None)
+    ap.add_argument("--snapshot-id", default=None,
+                    help="table snapshot/version id (Iceberg snapshot_id, "
+                         "Delta version) used as the checkpoint input "
+                         "fingerprint — O(1), no file walk or count scan; "
+                         "omit to fall back to the file-level fingerprint")
     ap.add_argument("--output", default=None)
     ap.add_argument("--fanout", type=int, default=0)
     ap.add_argument("--premerge", type=int, default=None,
@@ -87,7 +92,8 @@ def main(argv=None, spark=None):
     if args.checkpoint:
         states = build_or_resume(spark, df, keys, args.value_col, factory,
                                  args.checkpoint, fanout=args.fanout,
-                                 premerge=args.premerge)
+                                 premerge=args.premerge,
+                                 snapshot_id=args.snapshot_id)
     else:
         states = sketch_by_key(df, keys, args.value_col, factory,
                                fanout=args.fanout, premerge=args.premerge)
