@@ -190,3 +190,14 @@ def ann_topk(vectors: DataFrame, queries: DataFrame, k: int = 10,
                 kw.get("vec_col", "embedding")).first()[0])
         return _s.lsh_multitable_topk(vectors, queries, k, **kw)
     raise ValueError(f"unknown ANN method {method!r}")
+
+
+def release_dedup_caches(op: str | None = None) -> None:
+    """Unpersist the near-dup operators' internal caches (signature
+    and candidate tables). Each operator releases its previous
+    invocation's blocks automatically on the next call; batch jobs
+    that finish with a dedup stage call this for deterministic
+    cleanup. ``op``: one of 'minhash', 'minhash_cands', 'simhash',
+    'weighted_minhash', or None for all."""
+    from .operators.dedup import release_caches
+    release_caches(op)
