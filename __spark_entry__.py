@@ -81,6 +81,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "merge_lookup": Q.q_merge_lookup,
         "set_diff": Q.q_set_diff,
         "streaming_hll": Q.q_streaming_hll,
+        "streaming_decayed_state": Q.q_streaming_decayed_state,
         "streaming_windowed_hll": Q.q_streaming_windowed_hll,
         "sliding_window_counts": Q.q_sliding_window_counts,
         "streaming_dedup": Q.q_streaming_dedup,
@@ -468,6 +469,11 @@ def oracle_sql() -> dict[str, str]:
         "streaming_hll": """
             SELECT event_type, COUNT(DISTINCT user_id) AS exact_users,
                    TRUE AS stream_hll_ok
+            FROM events GROUP BY event_type
+        """,
+        "streaming_decayed_state": """
+            SELECT event_type, COUNT(DISTINCT user_id) AS n_users,
+                   TRUE AS never_under, TRUE AS within_eps
             FROM events GROUP BY event_type
         """,
         "streaming_windowed_hll": """

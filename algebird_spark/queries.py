@@ -19,6 +19,7 @@ from __future__ import annotations
 import math
 from typing import Iterator
 
+import numpy as np
 import pandas as pd
 
 from pyspark.sql import DataFrame, Row, SparkSession
@@ -1176,6 +1177,71 @@ def q_streaming_hll(spark, sf):
             StructField("event_type", StringType(), False),
             StructField("exact_users", LongType(), False),
             StructField("stream_hll_ok", BooleanType(), False)]))
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def q_streaming_decayed_state(spark, sf):
+    """Streaming DecayingCMS (live trending surface): drive events
+    through a real stream via sketch_state_stream_by_key (the
+    serialized-state hand-off), decode each event_type's final state,
+    and verify the decayed per-user frequency bounds against the exact
+    decay expression computed in Spark — never under, over by
+    <= eps * decayed mass. Stream == batch by monoid commutativity."""
+    import shutil
+    import tempfile
+    import uuid
+    from .sketches.sketchmap import DecayingCMS
+    from .streaming.stateful import sketch_state_stream_by_key
+    half = 7 * 86400.0
+    eps = 0.005
+    d = tempfile.mkdtemp(prefix="stream_events_")
+    try:
+        shutil.copy(f"{sf}/events.parquet", f"{d}/part-0.parquet")
+        batch = spark.read.parquet(d)
+        prep = lambda df: (df.withColumn(  # noqa: E731
+            "sec", F.col("ts").cast("timestamp").cast("double"))
+            .withColumn("w", F.lit(1.0)))
+        sdf = spark.readStream.schema(batch.schema).parquet(d)
+        out = sketch_state_stream_by_key(
+            prep(sdf), ["event_type"], ["user_id", "sec", "w"],
+            lambda: DecayingCMS(eps=eps, delta=1e-4, half_life=half))
+        qname = f"q_stream_{uuid.uuid4().hex[:8]}"
+        q = (out.writeStream.outputMode("update").format("memory")
+             .queryName(qname).start())
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        states = {r["event_type"]: from_bytes(bytes(r["state"]))
+                  for r in spark.sql(
+                      f"SELECT * FROM {qname}").collect()}
+        pb = prep(batch)
+        t_max = float(pb.agg(F.max("sec")).collect()[0][0])
+        exact = (pb.groupBy("event_type", "user_id")
+                 .agg(F.sum(F.pow(F.lit(2.0),
+                                  (F.col("sec") - F.lit(t_max)) / half))
+                      .alias("f")).collect())
+        per_type: dict = {}
+        for r in exact:
+            per_type.setdefault(r["event_type"], []).append(
+                (r["user_id"], r["f"]))
+        rows = []
+        for t in sorted(per_type):
+            sk = states[t]
+            users = np.array([u for u, _ in per_type[t]], dtype=np.int64)
+            truth = np.array([f for _, f in per_type[t]])
+            est = sk.decayed_frequencies(users, at_ts=t_max)
+            mass = float(truth.sum())
+            rows.append(Row(
+                event_type=t, n_users=int(len(users)),
+                never_under=bool((est >= truth - 1e-6).all()),
+                within_eps=bool((est <= truth + eps * mass + 1e-6).all())))
+        return spark.createDataFrame(rows, StructType([
+            StructField("event_type", StringType(), False),
+            StructField("n_users", LongType(), False),
+            StructField("never_under", BooleanType(), False),
+            StructField("within_eps", BooleanType(), False)]))
     finally:
         shutil.rmtree(d, ignore_errors=True)
 

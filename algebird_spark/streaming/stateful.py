@@ -119,3 +119,52 @@ def sliding_counts(sdf: DataFrame, ts_col: str, window: str, slide: str,
                .agg(F.count("*").alias("n"))
                .select(F.col("window.start").alias("window_start"),
                        F.col("window.end").alias("window_end"), *keys, "n"))
+
+
+def sketch_state_stream_by_key(sdf: DataFrame, keys: Sequence[str],
+                               update_cols: Sequence[str],
+                               factory: SketchFactory) -> DataFrame:
+    """Streaming analog of ``agg.sketch_by_key_multi``: one sketch per
+    key group, updated each micro-batch with
+    ``update_batch(col0, col1, ...)`` (positional — e.g. DecayingCMS
+    takes (values, timestamps, weights)), emitting the SERIALIZED
+    state alongside the running value count.
+
+    Emitting the state rather than a fixed estimate is the mergeable
+    hand-off between a live stream and everything else: probe it with
+    ``from_bytes`` (decayed frequencies, heavy hitters), or merge it
+    into a nightly batch build — the same monoid that makes partition
+    states combinable makes stream and batch states combinable.
+
+    Output per micro-batch: keys..., state binary, n_values long."""
+    keys = list(keys)
+    update_cols = list(update_cols)
+    out_schema = StructType(
+        [sdf.schema[k] for k in keys]
+        + [StructField("state", BinaryType(), False),
+           StructField("n_values", LongType(), False)])
+    state_schema = StructType([
+        StructField("blob", BinaryType(), True),
+        StructField("n", LongType(), True)])
+
+    def update(key, pdfs: Iterable[pd.DataFrame], state: GroupState):
+        if state.exists:
+            blob, n = state.get
+            sk = from_bytes(bytes(blob))
+        else:
+            sk, n = factory(), 0
+        for pdf in pdfs:
+            if len(pdf) == 0:
+                continue
+            args = [pdf[c].to_numpy() for c in update_cols]
+            sk.update_batch(*args)
+            n += len(pdf)
+        state.update((sk.to_bytes(), n))
+        row = {k: v for k, v in zip(keys, key)}
+        row["state"] = sk.to_bytes()
+        row["n_values"] = n
+        yield pd.DataFrame([row])
+
+    return sdf.groupBy(*keys).applyInPandasWithState(
+        update, out_schema, state_schema, "update",
+        GroupStateTimeout.NoTimeout)

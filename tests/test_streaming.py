@@ -86,3 +86,45 @@ def test_windowed_sketch_stream(spark, events_stream):
                      & (F.col("event_type") == r["event_type"]))
              .agg(F.count_distinct("user_id")).collect()[0][0])
     assert abs(r["estimate"] - exact) / max(exact, 1) <= 3.5 * 1.04 / np.sqrt(2**12)
+
+
+def test_decaying_cms_state_stream_matches_batch(spark, events_stream):
+    """Streaming DecayingCMS (live trending): the state emitted by the
+    stream must estimate the same decayed per-user frequencies as a
+    batch-built sketch over the identical rows — monoid commutativity
+    makes stream == batch regardless of micro-batching."""
+    from algebird_spark.sketches import from_bytes
+    from algebird_spark.sketches.sketchmap import DecayingCMS
+    from algebird_spark.streaming.stateful import sketch_state_stream_by_key
+
+    batch, sdf = events_stream
+    half = 3600.0
+    factory = lambda: DecayingCMS(eps=0.01, delta=1e-3, half_life=half)  # noqa: E731
+    prep = lambda df: (df.withColumn("sec", F.col("ts").cast("timestamp")  # noqa: E731
+                                     .cast("double"))
+                       .withColumn("w", F.lit(1.0)))
+    out = sketch_state_stream_by_key(prep(sdf), ["event_type"],
+                                     ["user_id", "sec", "w"], factory)
+    q = (out.writeStream.outputMode("update").format("memory")
+         .queryName("dcms_stream").start())
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    rows = spark.sql(
+        "SELECT * FROM dcms_stream").toPandas().groupby("event_type").last()
+    pb = prep(batch).toPandas()
+    users = np.sort(pb["user_id"].unique())
+    t_ref = float(pb["sec"].max())
+    for etype, r in rows.iterrows():
+        got = from_bytes(bytes(r["state"]))
+        ref = factory()
+        sub = pb[pb["event_type"] == etype]
+        ref.update_batch(sub["user_id"].to_numpy(),
+                         timestamps=sub["sec"].to_numpy(),
+                         weights=sub["w"].to_numpy())
+        np.testing.assert_allclose(
+            got.decayed_frequencies(users, at_ts=t_ref),
+            ref.decayed_frequencies(users, at_ts=t_ref),
+            rtol=1e-9, atol=1e-9)
+        assert r["n_values"] == len(sub)
