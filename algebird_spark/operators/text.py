@@ -118,13 +118,27 @@ def _simhash64_batch(texts, seed: int = 20240601):
         th = murmur64_any(pa.array(flat, type=pa.string()), seed)
         starts = np.zeros(len(lens) + 1, dtype=np.int64)
         np.cumsum(lens, out=starts[1:])
-        bits = np.unpackbits(th.astype("<u8").view(np.uint8)
-                             .reshape(-1, 8),
-                             axis=1, bitorder="little")  # (tokens, 64)
         ne = np.flatnonzero(lens > 0)
         counts = np.empty((len(ne), 64), dtype=np.int64)
-        for i, d in enumerate(ne):
-            counts[i] = bits[starts[d]:starts[d + 1]].sum(axis=0)
+        # unpack the bit matrix in bounded slices (64 B/token; 256K
+        # tokens -> 16 MB) so a batch of max-length docs cannot
+        # allocate hundreds of MB per worker; per-doc counts are
+        # contiguous slice sums within each slice
+        lo = 0
+        while lo < len(ne):
+            hi = lo + 1
+            tok0 = starts[ne[lo]]
+            while hi < len(ne) and starts[ne[hi] + 1] - tok0 <= 262_144:
+                hi += 1
+            seg = th[tok0:starts[ne[hi - 1] + 1]]
+            bits = np.unpackbits(seg.astype("<u8").view(np.uint8)
+                                 .reshape(-1, 8),
+                                 axis=1, bitorder="little")  # (tokens, 64)
+            for i in range(lo, hi):
+                d = ne[i]
+                counts[i] = bits[starts[d] - tok0:
+                                 starts[d + 1] - tok0].sum(axis=0)
+            lo = hi
         maj = (counts * 2 > lens[ne][:, None]).astype(np.uint8)
         packed = np.packbits(maj, axis=1, bitorder="little") \
             .view("<u8").reshape(-1)

@@ -179,8 +179,10 @@ def test_simhash_kernel_matches_naive_reference(spark):
     got = {r[0]: r[1] for r in simhash64_df(docs, "doc_id").collect()}
     for k, v in ref.items():
         assert got[k] == v, (k, got[k], v)
-    # chunk seam: one batch whose token span crosses the 64K boundary
-    big = ["tok%d word%d" % (i, i % 97) * 300 for i in range(400)]
+    # chunk seam: one batch whose token span crosses the 256K-token
+    # unpack budget, plus a single doc larger than the whole budget
+    big = ["tok%d word%d " % (i, i % 97) * 300 for i in range(500)]
+    big.append("huge token " * 150_000)
     assert _simhash64_batch(big) == [_simhash64_batch([t])[0] for t in big]
     # NULL/empty/whitespace docs -> NULL fingerprint
     assert _simhash64_batch([None, "", "   ", "one token"])[:3] \
