@@ -171,8 +171,9 @@ def ann_topk(vectors: DataFrame, queries: DataFrame, k: int = 10,
     """Top-k cosine neighbors per query row ((q_id, q_vec) columns).
     method: 'exact' (brute force — the small-scale oracle), 'ivf'
     (spherical-k-means inverted lists; kw: n_lists=16, nprobe=4,
-    n_iter=5), or 'lsh' (multi-table hyperplane LSH; kw: n_planes,
-    n_tables, dim)."""
+    n_iter=5, spill_margin=0.0 boundary-spill assignment,
+    residual_probes=False), or 'lsh' (multi-table hyperplane LSH;
+    kw: n_planes, n_tables, dim)."""
     from .operators import similarity as _s
     if method == "exact":
         return _s.cosine_topk(vectors, queries, k, **kw)
