@@ -82,6 +82,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "set_diff": Q.q_set_diff,
         "streaming_hll": Q.q_streaming_hll,
         "streaming_decayed_state": Q.q_streaming_decayed_state,
+        "duplicate_passages": Q.q_duplicate_passages,
         "streaming_windowed_hll": Q.q_streaming_windowed_hll,
         "sliding_window_counts": Q.q_sliding_window_counts,
         "streaming_dedup": Q.q_streaming_dedup,
@@ -475,6 +476,16 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type, COUNT(DISTINCT user_id) AS n_users,
                    TRUE AS never_under, TRUE AS within_eps
             FROM events GROUP BY event_type
+        """,
+        "duplicate_passages": """
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_planted,
+                   TRUE AS all_planted_flagged,
+                   TRUE AS span_counts_exact
+            FROM documents
+            WHERE SUBSTR(MD5(CAST(doc_id AS VARCHAR)), 1, 1) < '2'
+              AND (CASE WHEN TRIM(text) = '' THEN 0
+                   ELSE len(regexp_split_to_array(TRIM(text), '\\s+'))
+                   END) >= 1
         """,
         "streaming_windowed_hll": """
             SELECT CAST(FLOOR(EPOCH_US(ts) / 1e6 / 604800) * 604800 AS DOUBLE)

@@ -75,3 +75,51 @@ def decontaminate(docs: DataFrame, benchmark: DataFrame,
                                   id_col, text_col, bench_text_col)
     clean = flagged.filter(~F.col("contaminated")).select(id_col)
     return docs.join(clean, id_col, "left_semi")
+
+
+def frequent_spans(docs: DataFrame, span_n: int = 30, min_docs: int = 2,
+                   id_col: str = "doc_id",
+                   text_col: str = "text") -> DataFrame:
+    """Cross-document duplicate passages: word ``span_n``-gram spans
+    that occur in >= ``min_docs`` DISTINCT documents. Returns
+    (span, n_docs) with span as the rolling hash.
+
+    This is the sketch-friendly formulation of training-data substring
+    dedup (boilerplate headers, license blocks, templated pages that
+    doc-level near-dup misses): span strings never materialize — the
+    batch shingle kernel emits per-doc DISTINCT span hashes (so a doc
+    repeating its own boilerplate counts once), one explode + groupBy
+    count gives document frequency. At 100 TB swap the exact count for
+    a TopPctCMS heavy-hitters pass over the same span-hash stream; the
+    scan shape is identical."""
+    spans = docs.select(
+        F.col(id_col),
+        F.explode(shingle_hashes_udf(span_n, full_only=True)
+                  (F.col(text_col))).alias("span"))
+    return (spans.groupBy("span")
+            .agg(F.count("*").alias("n_docs"))  # per-doc distinct already
+            .filter(F.col("n_docs") >= min_docs))
+
+
+def flag_duplicated_passages(docs: DataFrame, span_n: int = 30,
+                             min_docs: int = 2, id_col: str = "doc_id",
+                             text_col: str = "text") -> DataFrame:
+    """Per-doc duplicate-passage flags: (id, n_spans, n_frequent,
+    has_duplicate_passage). A doc is flagged when any of its spans is
+    shared by >= ``min_docs`` docs (itself included). The frequent-span
+    table is small by construction (only repeated content survives the
+    filter), so the flagging join broadcasts at any corpus size where
+    boilerplate is a small fraction of unique content."""
+    freq = frequent_spans(docs, span_n, min_docs, id_col, text_col)
+    spans = docs.select(
+        F.col(id_col),
+        F.explode_outer(shingle_hashes_udf(span_n, full_only=True)
+                        (F.col(text_col))).alias("span"))
+    hit = F.when(F.col("n_docs").isNotNull(), 1).otherwise(0)
+    per_doc = (spans.join(F.broadcast(freq), "span", "left")
+               .groupBy(id_col)
+               .agg(F.count("span").alias("n_spans"),
+                    F.sum(hit).alias("n_frequent")))
+    return per_doc.select(
+        id_col, "n_spans", "n_frequent",
+        (F.col("n_frequent") > 0).alias("has_duplicate_passage"))

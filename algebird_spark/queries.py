@@ -1181,6 +1181,50 @@ def q_streaming_hll(spark, sf):
         shutil.rmtree(d, ignore_errors=True)
 
 
+def q_duplicate_passages(spark, sf):
+    """Cross-document duplicate-passage detection (the sketch-shaped
+    counterpart of training-data substring dedup): a 35-sentinel-token
+    passage is appended to every md5-eligible doc; frequent_spans must
+    report each of the passage's 6 interior 30-gram spans in EXACTLY
+    n_planted docs, and flag_duplicated_passages must flag every
+    planted doc. n_planted is SQL-reproducible."""
+    from .operators.contamination import (flag_duplicated_passages,
+                                          frequent_spans)
+    from .operators.dedup import _shingle_hashes_batch
+    docs = _t(spark, sf, "documents")
+    passage = " ".join(f"zq{i}x" for i in range(35))
+    eligible = docs.filter(
+        (F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
+         < F.lit("2"))
+        & (text.token_count(F.col("text")) >= 1))
+    planted = (eligible
+               .withColumn("doc_id", F.col("doc_id") + F.lit(10**9))
+               .withColumn("text", F.concat(F.col("text"),
+                                            F.lit(" " + passage))))
+    view = docs.unionByName(planted)
+    hv, _st, _ = _shingle_hashes_batch([passage], 30, 12345678)
+    pspans = [int(x) for x in np.unique(hv.view(np.int64))]
+    flags = flag_duplicated_passages(view, span_n=30, min_docs=3)
+    flagged_planted = (flags
+                       .join(planted.select("doc_id"), "doc_id",
+                             "left_semi")
+                       .filter("has_duplicate_passage"))
+    pf = frequent_spans(view, span_n=30, min_docs=3) \
+        .filter(F.col("span").isin(pspans))
+    return (planted.agg(F.count("*").alias("n_planted"))
+            .crossJoin(flagged_planted.agg(F.count("*").alias("__f")))
+            .crossJoin(pf.agg(F.count("*").alias("__s"),
+                              F.min("n_docs").alias("__lo"),
+                              F.max("n_docs").alias("__hi")))
+            .select("n_planted",
+                    (F.col("__f") == F.col("n_planted"))
+                    .alias("all_planted_flagged"),
+                    ((F.col("__s") == len(pspans))
+                     & (F.col("__lo") == F.col("n_planted"))
+                     & (F.col("__hi") == F.col("n_planted")))
+                    .alias("span_counts_exact")))
+
+
 def q_streaming_decayed_state(spark, sf):
     """Streaming DecayingCMS (live trending surface): drive events
     through a real stream via sketch_state_stream_by_key (the

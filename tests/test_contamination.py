@@ -86,3 +86,37 @@ def test_unicode_whitespace_docs_never_band(spark):
              signed.filter("minhash IS NULL").collect()}
     assert nulls == {0, 1, 2, 3, 4}
     assert near_dup_pairs_minhash(docs).count() == 0
+
+
+def test_frequent_spans_and_passage_flags(spark):
+    """Duplicate-passage detection: a shared 12-token block across
+    three docs is found with the exact doc frequency; a doc repeating
+    its OWN block is not flagged (per-doc distinct spans); unique docs
+    are unflagged."""
+    from pyspark.sql import Row
+    from algebird_spark.operators.contamination import (
+        flag_duplicated_passages, frequent_spans)
+
+    block = " ".join(f"b{i}" for i in range(12))
+    rows = [
+        Row(doc_id=1, text=f"alpha beta {block} gamma"),
+        Row(doc_id=2, text=f"{block} delta epsilon"),
+        Row(doc_id=3, text=f"zeta {block}"),
+        # repeats its own block twice but shares nothing cross-doc
+        Row(doc_id=4, text=" ".join(f"x{i}" for i in range(12)) + " "
+            + " ".join(f"x{i}" for i in range(12))),
+        Row(doc_id=5, text=" ".join(f"u{i}" for i in range(20))),
+        Row(doc_id=6, text="short"),
+    ]
+    docs = spark.createDataFrame(rows)
+    freq = frequent_spans(docs, span_n=12, min_docs=3)
+    got = {r["span"]: r["n_docs"] for r in freq.collect()}
+    assert len(got) == 1 and set(got.values()) == {3}
+    flags = {r["doc_id"]: r for r in
+             flag_duplicated_passages(docs, span_n=12, min_docs=3)
+             .collect()}
+    assert all(flags[i]["has_duplicate_passage"] for i in (1, 2, 3))
+    assert not flags[4]["has_duplicate_passage"]
+    assert not flags[5]["has_duplicate_passage"]
+    assert flags[6]["n_spans"] == 0  # < span_n tokens -> no spans
+    assert not flags[6]["has_duplicate_passage"]
