@@ -78,8 +78,9 @@ def decontaminate(docs: DataFrame, benchmark: DataFrame,
 
 
 def frequent_spans(docs: DataFrame, span_n: int = 30, min_docs: int = 2,
-                   id_col: str = "doc_id",
-                   text_col: str = "text") -> DataFrame:
+                   id_col: str = "doc_id", text_col: str = "text",
+                   use_sketch: bool = False,
+                   hh_pct: float = 1e-6) -> DataFrame:
     """Cross-document duplicate passages: word ``span_n``-gram spans
     that occur in >= ``min_docs`` DISTINCT documents. Returns
     (span, n_docs) with span as the rolling hash.
@@ -89,13 +90,32 @@ def frequent_spans(docs: DataFrame, span_n: int = 30, min_docs: int = 2,
     doc-level near-dup misses): span strings never materialize — the
     batch shingle kernel emits per-doc DISTINCT span hashes (so a doc
     repeating its own boilerplate counts once), one explode + groupBy
-    count gives document frequency. At 100 TB swap the exact count for
-    a TopPctCMS heavy-hitters pass over the same span-hash stream; the
-    scan shape is identical."""
+    count gives document frequency.
+
+    ``use_sketch=True`` is the 100 TB path: the same span-hash stream
+    feeds a TopPctCMS global build instead of an exact groupBy — NO
+    shuffle of span rows at all (partition-combined sketch states
+    merge instead), at the cost of CMS one-sided count error and the
+    ``hh_pct`` floor (a span must hold >= hh_pct of all span
+    occurrences to surface; boilerplate does by definition). n_docs is
+    then the CMS estimate: never under the true document frequency,
+    over by <= eps * total spans."""
+    spans_col = shingle_hashes_udf(span_n, full_only=True)(F.col(text_col))
+    if use_sketch:
+        from ..agg import sketch_global
+        from ..sketches import CMS
+        span_stream = docs.select(spans_col.alias("__spans"))
+        sk = sketch_global(span_stream, "__spans",
+                           lambda: CMS(eps=1e-4, delta=1e-6,
+                                       heavy_hitters_pct=hh_pct))
+        spark = docs.sparkSession
+        rows = [(int(span), int(est)) for span, est
+                in sk.heavy_hitters().items() if est >= min_docs]
+        return spark.createDataFrame(rows or [],
+                                     "span long, n_docs long")
     spans = docs.select(
         F.col(id_col),
-        F.explode(shingle_hashes_udf(span_n, full_only=True)
-                  (F.col(text_col))).alias("span"))
+        F.explode(spans_col).alias("span"))
     return (spans.groupBy("span")
             .agg(F.count("*").alias("n_docs"))  # per-doc distinct already
             .filter(F.col("n_docs") >= min_docs))

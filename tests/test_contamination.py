@@ -120,3 +120,25 @@ def test_frequent_spans_and_passage_flags(spark):
     assert not flags[5]["has_duplicate_passage"]
     assert flags[6]["n_spans"] == 0  # < span_n tokens -> no spans
     assert not flags[6]["has_duplicate_passage"]
+
+
+def test_frequent_spans_sketch_path_matches_exact(spark):
+    """use_sketch=True (the no-shuffle TopPctCMS path) finds the same
+    frequent spans as the exact groupBy at fixture scale (CMS error is
+    << 1 count here, and the never-under bound guarantees no misses)."""
+    from pyspark.sql import Row
+    from algebird_spark.operators.contamination import frequent_spans
+
+    block = " ".join(f"b{i}" for i in range(12))
+    rows = [Row(doc_id=i, text=f"pre{i} {block} post{i}")
+            for i in range(1, 5)]
+    rows += [Row(doc_id=9, text=" ".join(f"u{i}" for i in range(20)))]
+    docs = spark.createDataFrame(rows)
+    exact = {r["span"]: r["n_docs"]
+             for r in frequent_spans(docs, span_n=12, min_docs=3).collect()}
+    sk = {r["span"]: r["n_docs"]
+          for r in frequent_spans(docs, span_n=12, min_docs=3,
+                                  use_sketch=True).collect()}
+    assert set(sk) == set(exact)
+    for s, n in exact.items():
+        assert sk[s] >= n  # CMS never underestimates
