@@ -275,3 +275,34 @@ def test_repeated_calls_release_previous_cache(spark):
     assert d._OPERATOR_CACHES["simhash"][0] is not first
     d.release_caches()
     assert "simhash" not in d._OPERATOR_CACHES
+
+
+def test_two_successive_incremental_appends(spark, tmp_path):
+    """Each append-only growth adds its own staging dir; the manifest
+    accumulates state_dirs and the merged result equals a full rebuild
+    after BOTH appends."""
+    src = str(tmp_path / "src")
+    ck = str(tmp_path / "ck")
+    spark.createDataFrame([Row(k="a", v=i) for i in range(300)]) \
+        .coalesce(1).write.parquet(src)
+    build_or_resume(spark, spark.read.parquet(src), ["k"], "v",
+                    lambda: HLL(p=12), ck)
+    for r, lo in ((1, 300), (2, 600)):
+        spark.createDataFrame([Row(k="a", v=lo + i) for i in range(300)]) \
+            .coalesce(1).write.mode("append").parquet(src)
+        build_or_resume(spark, spark.read.parquet(src), ["k"], "v",
+                        lambda: HLL(p=12), ck)
+        manifest = json.load(open(os.path.join(ck, MANIFEST)))
+        assert manifest["stage"].startswith("incremental_append")
+        assert len(manifest["state_dirs"]) == 1 + r
+    s = build_or_resume(spark, spark.read.parquet(src), ["k"], "v",
+                        lambda: HLL(p=12), ck)  # serve path, 3 dirs
+    est = {r[0]: from_bytes(bytes(r[STATE_COL])).estimate()
+           for r in s.collect()}
+    full = build_or_resume(spark, spark.read.parquet(src), ["k"], "v",
+                           lambda: HLL(p=12), str(tmp_path / "ck_full"))
+    est_full = {r[0]: from_bytes(bytes(r[STATE_COL])).estimate()
+                for r in full.collect()}
+    assert est == est_full
+    manifest = json.load(open(os.path.join(ck, MANIFEST)))
+    assert manifest["metrics"]["values_processed"] == 900
