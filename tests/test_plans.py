@@ -267,3 +267,21 @@ def test_bucketed_cojoin_no_exchange(spark, tmp_path):
         assert joined.count() == exact
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_duplicate_passage_flags_broadcast_join(spark):
+    """The frequent-span table must reach the flagging join as a
+    broadcast — the corpus side streams once, never shuffling on the
+    span key."""
+    import io
+    from contextlib import redirect_stdout
+    from algebird_spark.operators.contamination import \
+        flag_duplicated_passages
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    out = flag_duplicated_passages(docs, span_n=12, min_docs=2)
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        out.explain("formatted")
+    plan = buf.getvalue()
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
