@@ -285,7 +285,9 @@ def jaccard_verify(df: DataFrame, pairs: DataFrame, id_col: str = "doc_id",
     pair (left-semi prefilter): at 100 TB the candidate set is orders
     of magnitude smaller than the corpus, and shingling the full table
     twice (both join sides project the expression) was the dominant
-    cost of the verify stage."""
+    cost of the verify stage. ``pairs`` is referenced three times
+    (both join sides + the prefilter) — persist it before calling, as
+    near_dup_pairs_minhash does."""
     # no distinct: left-semi join tolerates duplicate keys, and the
     # dedup would cost an extra shuffle
     cand_ids = (pairs.select(F.col("id_a").alias(id_col))
