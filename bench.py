@@ -40,7 +40,24 @@ HEADLINE = [
 ]
 
 
+def mem_probe_ms() -> float:
+    """Bandwidth/allocation health probe: time to widen a 17 MB uint8
+    array to int32 (69 MB of fresh pages). Healthy box: ~25-60 ms.
+    This VM's memory subsystem degrades by orders of magnitude under
+    noisy-neighbor pressure (measured 5,600 ms for this same probe),
+    which slows the allocation-heavy sketch kernels 3-6x while leaving
+    JVM-side queries untouched — recording the probe alongside the
+    timings makes a contaminated sample diagnosable instead of looking
+    like an engine regression."""
+    import numpy as np
+    a = np.random.randint(0, 255, size=(270_704, 64), dtype=np.uint8)
+    t0 = time.time()
+    a.astype(np.int32)
+    return round((time.time() - t0) * 1000, 1)
+
+
 def main():
+    probe_start = mem_probe_ms()
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     sf = sf_dir.rstrip("/").split("sf")[-1]
@@ -154,6 +171,7 @@ def main():
 
     total = round(sum(times.values()), 3)
     print(json.dumps({
+        "mem_probe_ms": {"start": probe_start, "end": mem_probe_ms()},
         "metric": "headline queries total + one-pass multisketch build",
         "value": total,
         "unit": "sec",
