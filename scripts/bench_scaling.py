@@ -23,7 +23,9 @@ import time
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 WORKER = r"""
-import sys, time, json
+import os, sys, time, json
+os.environ.setdefault("MALLOC_MMAP_THRESHOLD_", "1073741824")
+os.environ.setdefault("MALLOC_TRIM_THRESHOLD_", "-1")
 cores = int(sys.argv[1]); rows = int(sys.argv[2])
 from pyspark.sql import SparkSession
 spark = (SparkSession.builder.master(f"local[{cores}]")
