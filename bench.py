@@ -62,13 +62,6 @@ def main():
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     sf = sf_dir.rstrip("/").split("sf")[-1]
 
-    # glibc arena reuse for the numpy kernels: without this, every
-    # large temporary is mmap'd and returned to the OS, and on this
-    # VM's pressured memory subsystem each re-fault costs 2-3x
-    # (measured 15-17 ms vs 5-10 ms per 69 MB allocation). Set
-    # BEFORE the JVM spawns so python workers inherit it.
-    os.environ.setdefault("MALLOC_MMAP_THRESHOLD_", "1073741824")
-    os.environ.setdefault("MALLOC_TRIM_THRESHOLD_", "-1")
     from pyspark.sql import SparkSession
     spark = (SparkSession.builder.master(f"local[{cpus}]")
              .appName("algebird_spark_bench")

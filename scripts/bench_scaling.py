@@ -23,9 +23,7 @@ import time
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 WORKER = r"""
-import os, sys, time, json
-os.environ.setdefault("MALLOC_MMAP_THRESHOLD_", "1073741824")
-os.environ.setdefault("MALLOC_TRIM_THRESHOLD_", "-1")
+import sys, time, json
 cores = int(sys.argv[1]); rows = int(sys.argv[2])
 from pyspark.sql import SparkSession
 spark = (SparkSession.builder.master(f"local[{cores}]")
