@@ -121,3 +121,17 @@ def test_dedup_handles_null_and_empty_texts(spark):
     # nulls are not comparable (both kept); empty strings ARE equal
     # texts (exact dedup keeps min id); no near-dup pass sees them
     assert kept == {1, 2, 3, 4}
+
+
+def test_release_dedup_caches_api(spark):
+    from pyspark.sql import Row
+    from algebird_spark import api
+    from algebird_spark.operators import dedup as d
+    df = spark.createDataFrame(
+        [Row(doc_id=i, text=f"api cache test doc {i} alpha beta")
+         for i in range(20)])
+    d.near_dup_pairs_simhash(df, approx_rows=20).count()
+    assert "simhash" in d._OPERATOR_CACHES
+    api.release_dedup_caches("simhash")
+    assert "simhash" not in d._OPERATOR_CACHES
+    api.release_dedup_caches()  # no-op on empty registry
