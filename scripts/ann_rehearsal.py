@@ -1,0 +1,105 @@
+"""ANN rehearsal at 200k vectors (run EXCLUSIVELY).
+
+The fixture embeddings table holds 500 rows — enough for oracles,
+useless for scale behavior. This generates a deterministic 200k x 64
+clustered embedding table (256 seeded cluster directions + per-vector
+noise, so the coarse quantizer has real structure), then measures:
+
+  * exact brute-force top-10 (the truth + the baseline cost),
+  * IVF-Flat (64 lists, nprobe 8) build + probe + recall,
+  * multi-table hyperplane LSH (8 planes x 4 tables + multiprobe).
+
+Appends one JSON line per stage to BENCH/ann_rehearsal.json.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+RESULTS = []
+
+
+def emit(stage: str, **kw):
+    rec = {"stage": stage, **kw}
+    RESULTS.append(rec)
+    print(json.dumps(rec), flush=True)
+
+
+def main():
+    import numpy as np
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    n_vec, dim, n_clusters = 200_000, 64, 256
+
+    from pyspark.sql import SparkSession, functions as F
+    spark = (SparkSession.builder.master(f"local[{cpus}]")
+             .appName("algebird_spark_ann_rehearsal")
+             .config("spark.sql.shuffle.partitions", str(cpus))
+             .config("spark.sql.adaptive.enabled", "true")
+             .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
+             .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+             .config("spark.driver.memory", "16g")
+             .config("spark.ui.enabled", "false")
+             .getOrCreate())
+    spark.sparkContext.setLogLevel("ERROR")
+    from algebird_spark.operators import similarity as S
+
+    path = "/root/repo/.data/ann_vectors_200k"
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        t0 = time.time()
+        rng = np.random.default_rng(4242)
+        centers = rng.standard_normal((n_clusters, dim))
+        centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+        ids = np.arange(n_vec)
+        v = centers[ids % n_clusters] + 0.45 * rng.standard_normal(
+            (n_vec, dim))
+        v = (v / np.linalg.norm(v, axis=1, keepdims=True)).astype(np.float32)
+        import pandas as pd
+        pdf = pd.DataFrame({"vec_id": ids,
+                            "embedding": [row.tolist() for row in v]})
+        spark.createDataFrame(pdf).repartition(cpus) \
+            .write.mode("overwrite").parquet(path)
+        emit("gen", wall_s=round(time.time() - t0, 1), rows=n_vec, dim=dim)
+    vec = spark.read.parquet(path)
+
+    queries = (vec.orderBy("vec_id").limit(100)
+               .select(F.col("vec_id").alias("q_id"),
+                       F.col("embedding").alias("q_vec")))
+
+    t0 = time.time()
+    exact = S.cosine_topk(vec, queries, k=10)
+    truth = {(r["q_id"], r["vec_id"]) for r in exact.collect()}
+    emit("exact_bruteforce", wall_s=round(time.time() - t0, 1),
+         pairs=len(truth))
+
+    t0 = time.time()
+    cents = S.train_ivf_centroids(vec.sample(0.2, seed=7), n_lists=64,
+                                  n_iter=5)
+    train_s = time.time() - t0
+    t0 = time.time()
+    got = {(r["q_id"], r["vec_id"]) for r in
+           S.ivf_topk(vec, queries, k=10, centroids=cents,
+                      nprobe=8).collect()}
+    emit("ivf", train_s=round(train_s, 1), probe_s=round(time.time() - t0, 1),
+         nprobe=8, n_lists=64,
+         recall=round(len(truth & got) / len(truth), 3))
+
+    t0 = time.time()
+    got = {(r["q_id"], r["vec_id"]) for r in
+           S.lsh_multitable_topk(vec, queries, k=10, dim=dim, n_planes=8,
+                                 n_tables=4, multiprobe=True).collect()}
+    emit("lsh_multitable", wall_s=round(time.time() - t0, 1),
+         planes=8, tables=4,
+         recall=round(len(truth & got) / len(truth), 3))
+
+    with open("/root/repo/BENCH/ann_rehearsal.json", "w") as f:
+        json.dump(RESULTS, f, indent=1)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
