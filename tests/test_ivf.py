@@ -135,3 +135,20 @@ def test_residual_probe_ordering_distinct_and_exhaustive(vec_df):
            for r in ivf_topk(vec_df, q, k=5, centroids=c, nprobe=8,
                              residual_probes=True).collect()}
     assert got == exact
+
+
+def test_cosine_topk_kernel_matches_expression(vec_df):
+    """The BLAS-scored exact path must return the same top-k sets as
+    the expression path (float rounding can only flip exact ties, and
+    the fixture's scores are distinct)."""
+    from algebird_spark.operators.similarity import cosine_topk_kernel
+    q = _queries(vec_df, 4)
+    expr = {(r["q_id"], r["vec_id"]) for r in
+            cosine_topk(vec_df, q, k=5).collect()}
+    kern = {(r["q_id"], r["vec_id"]) for r in
+            cosine_topk_kernel(vec_df, q, k=5).collect()}
+    assert kern == expr
+    # empty query set degrades gracefully
+    from pyspark.sql import functions as FF
+    empty = q.filter(FF.lit(False))
+    assert cosine_topk_kernel(vec_df, empty, k=5).count() == 0
