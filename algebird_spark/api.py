@@ -169,7 +169,9 @@ def dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
 def ann_topk(vectors: DataFrame, queries: DataFrame, k: int = 10,
              method: str = "ivf", **kw) -> DataFrame:
     """Top-k cosine neighbors per query row ((q_id, q_vec) columns).
-    method: 'exact' (brute force — the small-scale oracle), 'ivf'
+    method: 'exact' (brute force — the small-scale oracle),
+    'exact_kernel' (BLAS-scored brute force, ~10x faster, same
+    results), 'ivf'
     (spherical-k-means inverted lists; kw: n_lists=16, nprobe=4,
     n_iter=5, spill_margin=0.0 boundary-spill assignment,
     residual_probes=False), or 'lsh' (multi-table hyperplane LSH;
@@ -177,6 +179,8 @@ def ann_topk(vectors: DataFrame, queries: DataFrame, k: int = 10,
     from .operators import similarity as _s
     if method == "exact":
         return _s.cosine_topk(vectors, queries, k, **kw)
+    if method == "exact_kernel":
+        return _s.cosine_topk_kernel(vectors, queries, k, **kw)
     if method == "ivf":
         cents = _s.train_ivf_centroids(
             vectors, n_lists=kw.pop("n_lists", 16),
