@@ -157,8 +157,20 @@ def main():
              keepers=n_clusters, wall_s=round(wall, 1),
              docs_per_sec=int(n_docs / wall))
 
-    with open("/root/repo/BENCH/scale_rehearsal.json", "w") as f:
-        json.dump(RESULTS, f, indent=1)
+    # merge into the existing record by stage key (a partial re-run of
+    # one stage must not clobber the other stages' results)
+    out_path = "/root/repo/BENCH/scale_rehearsal.json"
+    try:
+        existing = json.load(open(out_path))
+    except (OSError, json.JSONDecodeError):
+        existing = []
+    def keyof(r):
+        return (r.get("stage"), r.get("premerge", None))
+    merged = {keyof(r): r for r in existing}
+    for r in RESULTS:
+        merged[keyof(r)] = r
+    with open(out_path, "w") as f:
+        json.dump(list(merged.values()), f, indent=1)
     spark.stop()
 
 
