@@ -1,0 +1,73 @@
+"""Guards on the driver-contract catalog in __spark_entry__.py.
+
+The driver's correctness gate hashes only the FIRST 50 ``queries()``
+entries (VERDICT r3 "What's wrong" #1), so ordering is load-bearing:
+the window must hold the highest-value hard-signal queries and every
+entry in it must carry an oracle. These tests keep future edits from
+silently pushing a training-data/ANN/streaming query past the window.
+"""
+
+from __future__ import annotations
+
+import __spark_entry__ as entry
+
+DRIVER_WINDOW = 50
+
+# Queries that must receive the driver's hard rows+schema+hash signal:
+# every training-data / dedup / ANN / string-key / streaming op, per
+# VERDICT r3 next-round item #1.
+MUST_BE_IN_WINDOW = {
+    # string-key sketches
+    "hll_string_distinct", "cms_string_keys", "spacesaver_string_topk",
+    # training-data pipeline
+    "dedup_exact", "dedup_keep_min_id", "doc_fingerprint",
+    "minhash_lsh_recall", "weighted_minhash_recall",
+    "simhash_planted_recall", "connected_components", "dedup_clusters",
+    "duplicate_passages", "decontamination", "text_stats",
+    "hashing_trick", "training_pipeline",
+    # ANN
+    "embedding_topk", "ivf_topk_exhaustive", "ivf_recall",
+    "ivf_planted_recall", "lsh_planted_recall",
+    # streaming
+    "streaming_hll", "streaming_decayed_state", "streaming_windowed_hll",
+    "sliding_window_counts", "streaming_dedup", "session_windows",
+    "outlier_detection", "trending_topk",
+}
+
+# Queries whose semantics are declared non-SQL-expressible; the driver
+# records a rows-only check for them, so they must NOT consume window
+# slots that could carry a value-hashed query.
+ROWS_ONLY = {
+    "simhash_near_dup", "minhash_near_dup",
+    "embedding_lsh_recall", "multimodal_features",
+}
+
+
+def test_window_holds_all_hard_signal_queries():
+    window = list(entry.queries())[:DRIVER_WINDOW]
+    missing = MUST_BE_IN_WINDOW - set(window)
+    assert not missing, f"pushed out of the driver window: {sorted(missing)}"
+
+
+def test_every_window_entry_is_oracled():
+    window = list(entry.queries())[:DRIVER_WINDOW]
+    oracles = entry.oracle_sql()
+    unoracled = [n for n in window if n not in oracles]
+    assert not unoracled, f"window entries without an oracle: {unoracled}"
+
+
+def test_rows_only_entries_sit_in_tail():
+    window = list(entry.queries())[:DRIVER_WINDOW]
+    misplaced = ROWS_ONLY & set(window)
+    assert not misplaced, f"rows-only entries wasting window slots: {sorted(misplaced)}"
+
+
+def test_oracles_reference_real_queries():
+    q = entry.queries()
+    stray = [n for n in entry.oracle_sql() if n not in q]
+    assert not stray, f"oracle_sql keys without a queries() entry: {stray}"
+
+
+def test_all_query_callables_importable():
+    for name, fn in entry.queries().items():
+        assert callable(fn), name
