@@ -123,20 +123,33 @@ def frequent_spans(docs: DataFrame, span_n: int = 30, min_docs: int = 2,
 
 def flag_duplicated_passages(docs: DataFrame, span_n: int = 30,
                              min_docs: int = 2, id_col: str = "doc_id",
-                             text_col: str = "text") -> DataFrame:
+                             text_col: str = "text",
+                             broadcast_freq: bool | None = None) -> DataFrame:
     """Per-doc duplicate-passage flags: (id, n_spans, n_frequent,
     has_duplicate_passage). A doc is flagged when any of its spans is
-    shared by >= ``min_docs`` docs (itself included). The frequent-span
-    table is small by construction (only repeated content survives the
-    filter), so the flagging join broadcasts at any corpus size where
-    boilerplate is a small fraction of unique content."""
+    shared by >= ``min_docs`` docs (itself included).
+
+    ``broadcast_freq``: join-strategy hint for the frequent-span
+    table. On a mostly-unique corpus that table is small (only
+    repeated content survives the filter) and broadcasting it keeps
+    the 100 TB span side shuffle-free — but on a HEAVILY duplicated
+    corpus (exactly the workload dedup targets) it is unbounded, and
+    an unconditional ``F.broadcast`` would OOM the driver with no
+    fallback (ADVICE r3). Default ``None`` hints nothing and lets
+    AQE pick broadcast vs shuffle from the table's measured runtime
+    size; pass ``True``/``False`` to force when the corpus shape is
+    known."""
     freq = frequent_spans(docs, span_n, min_docs, id_col, text_col)
+    if broadcast_freq is True:
+        freq = F.broadcast(freq)
+    elif broadcast_freq is False:
+        freq = freq.hint("shuffle_hash")
     spans = docs.select(
         F.col(id_col),
         F.explode_outer(shingle_hashes_udf(span_n, full_only=True)
                         (F.col(text_col))).alias("span"))
     hit = F.when(F.col("n_docs").isNotNull(), 1).otherwise(0)
-    per_doc = (spans.join(F.broadcast(freq), "span", "left")
+    per_doc = (spans.join(freq, "span", "left")
                .groupBy(id_col)
                .agg(F.count("span").alias("n_spans"),
                     F.sum(hit).alias("n_frequent")))

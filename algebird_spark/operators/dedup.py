@@ -15,6 +15,7 @@ n-gram Jaccard verification. Scale design:
 
 from __future__ import annotations
 
+import threading
 from typing import Iterator
 
 import numpy as np
@@ -31,6 +32,7 @@ from .text import fingerprint, simhash64_df
 # ---------------------------------------------------------------------------
 
 _OPERATOR_CACHES: dict[str, list[DataFrame]] = {}
+_CACHE_LOCK = threading.Lock()
 
 
 def _cache_scoped(op: str, df: DataFrame) -> DataFrame:
@@ -40,27 +42,39 @@ def _cache_scoped(op: str, df: DataFrame) -> DataFrame:
     retries) never accumulate block-manager storage. ``unpersist`` is
     correctness-neutral — a still-referenced earlier result simply
     recomputes. Callers wanting deterministic cleanup call
-    :func:`release_caches` after materializing the result."""
-    for prev in _OPERATOR_CACHES.pop(op, []):
+    :func:`release_caches` after materializing the result.
+
+    SINGLE-FLIGHT PER OPERATOR (ADVICE r3): the registry is
+    process-global, so a second invocation of the same operator evicts
+    the first invocation's blocks even if its lazy result has not
+    materialized yet — the first result then silently recomputes.
+    Interleave different operators freely, but materialize one
+    invocation of a given operator before starting the next; registry
+    mutation itself is lock-guarded so concurrent calls can't corrupt
+    the dict or double-unpersist."""
+    cached = df.persist()
+    with _CACHE_LOCK:
+        prevs = _OPERATOR_CACHES.pop(op, [])
+        _OPERATOR_CACHES[op] = [cached]
+    for prev in prevs:
         try:
             prev.unpersist()
         except Exception:
             pass  # session already stopped
-    cached = df.persist()
-    _OPERATOR_CACHES[op] = [cached]
     return cached
 
 
 def release_caches(op: str | None = None) -> None:
     """Explicitly unpersist intermediates cached by the near-dup
     operators (all of them, or one operator's by name)."""
-    ops = [op] if op is not None else list(_OPERATOR_CACHES)
-    for o in ops:
-        for prev in _OPERATOR_CACHES.pop(o, []):
-            try:
-                prev.unpersist()
-            except Exception:
-                pass
+    with _CACHE_LOCK:
+        ops = [op] if op is not None else list(_OPERATOR_CACHES)
+        prevs = [p for o in ops for p in _OPERATOR_CACHES.pop(o, [])]
+    for prev in prevs:
+        try:
+            prev.unpersist()
+        except Exception:
+            pass
 
 
 # ---------------------------------------------------------------------------
@@ -143,6 +157,15 @@ def _shingle_hashes_batch(texts, shingle_n: int, seed: int):
     np.cumsum(n_sh, out=sh_starts[1:])
     total = int(sh_starts[-1])
     acc = np.zeros(total, dtype=np.uint64)
+    # docs shorter than n emit ONE clamp-padded shingle (the loop below
+    # repeats their last token); seed that shingle with a hash of the
+    # REAL token count so 'a b' and 'a b b' — identical after clamping
+    # at n=3 — stay distinct (ADVICE r3: the padded-prefix collision
+    # made jaccard_verify report 1.0 for non-identical short docs)
+    short = np.flatnonzero((lens > 0) & (lens < shingle_n))
+    if len(short):
+        acc[sh_starts[short]] = _vfmix64(
+            lens[short].astype(np.uint64) ^ np.uint64(0x9E3779B97F4A7C15))
     # gather index of shingle j of doc d = tok_starts[d] + j; build once
     base = np.repeat(tok_starts[:-1], n_sh)
     within = np.arange(total, dtype=np.int64) - np.repeat(sh_starts[:-1], n_sh)
@@ -150,7 +173,8 @@ def _shingle_hashes_batch(texts, shingle_n: int, seed: int):
     rot = np.uint64(0)
     for k in range(shingle_n):
         # token k of each shingle; clamp for docs shorter than n (their
-        # single shingle reuses the last token — still deterministic)
+        # single shingle reuses the last token; the length seed above
+        # keeps clamp-padded sequences distinct from real repeats)
         idx = np.minimum(idx0 + k,
                          np.repeat(tok_starts[1:], n_sh) - 1)
         tk = th[idx]

@@ -108,7 +108,10 @@ def main():
         spark.catalog.clearCache()
         # single run per config: at ~60-160 s/run the VM's timing noise
         # is proportionally small (unlike the 1-2 s headline queries)
-        for premerge in (None, cpus, 8):
+        # (premerge below cpus is gone: premerge_local clamps targets
+        # to cluster parallelism, so a sub-parallelism config would
+        # re-measure the cpus run under a misleading label — ADVICE r3)
+        for premerge in (None, cpus, 2 * cpus):
             t0 = time.time()
             out = merge_sketches(
                 sketch_partitions(tok, "tokens", factory, ["source"]),
@@ -116,6 +119,7 @@ def main():
             n_groups = out.count()
             best = time.time() - t0
             spark.catalog.clearCache()
+            effective = None if premerge is None else max(premerge, cpus)
             if premerge is not None:
                 pm_states = sketch_partitions(tok, "tokens", factory,
                                               ["source"])
@@ -130,6 +134,7 @@ def main():
                 extra = {"shuffle_rows": int(shape["rows"]),
                          "shuffle_mb": round(shape["bytes"] / 1e6, 1)}
             emit("multisketch", premerge=premerge,
+                 premerge_effective=effective,
                  wall_s=round(best, 1), groups=n_groups,
                  tokens_per_sec=int(n_tokens / best), **extra)
 

@@ -152,3 +152,64 @@ def test_cosine_topk_kernel_matches_expression(vec_df):
     from pyspark.sql import functions as FF
     empty = q.filter(FF.lit(False))
     assert cosine_topk_kernel(vec_df, empty, k=5).count() == 0
+
+
+def test_kernel_tie_break_and_zero_norm_match_expression(spark):
+    """ADVICE r3: exact score ties at the k boundary must resolve to
+    the LOWEST id in the kernel path (matching the window's (cos desc,
+    id asc)), and zero-norm vectors (NaN cosine) must be excluded by
+    BOTH paths rather than ranked first by Spark's NaN-is-greatest."""
+    from algebird_spark.operators.similarity import cosine_topk_kernel
+    # ids 10..17 all share the same embedding as the query -> cos == 1.0
+    # exactly; k=3 must pick ids 10, 11, 12 in both paths. id 99 is a
+    # zero vector.
+    tied = [1.0, 0.0, 0.0, 0.0]
+    other = [0.0, 1.0, 0.0, 0.0]
+    rows = [(i, tied) for i in range(10, 18)] + [(50, other), (99, [0.0] * 4)]
+    df = (spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+          .repartition(4))
+    q = spark.createDataFrame([(1000, tied)],
+                              "q_id long, q_vec array<float>")
+    expr = [(r["vec_id"], r["rank"]) for r in
+            cosine_topk(df, q, k=3).orderBy("rank").collect()]
+    kern = [(r["vec_id"], r["rank"]) for r in
+            cosine_topk_kernel(df, q, k=3).orderBy("rank").collect()]
+    assert expr == [(10, 1), (11, 2), (12, 3)]
+    assert kern == expr
+    # zero-norm vector never appears even at k large enough
+    expr_all = {r["vec_id"] for r in cosine_topk(df, q, k=20).collect()}
+    kern_all = {r["vec_id"] for r in
+                cosine_topk_kernel(df, q, k=20).collect()}
+    assert 99 not in expr_all and 99 not in kern_all
+    assert expr_all == kern_all
+
+
+def test_lloyd_partials_match_numpy_reference(vec_df):
+    """The partial-sum Lloyd round must reproduce plain full-data
+    spherical k-means (same deterministic init, same iterations)."""
+    got = train_ivf_centroids(vec_df, n_lists=8, n_iter=3)
+    rows = (vec_df.orderBy("vec_id")
+            .select("vec_id", "embedding").collect())
+    m = np.vstack([np.asarray(r["embedding"], dtype=np.float64)
+                   for r in rows])
+    c = m[:8] / np.linalg.norm(m[:8], axis=1, keepdims=True)
+    for _ in range(3):
+        assign = (m @ c.T).argmax(axis=1)
+        nxt = c.copy()
+        for l in range(8):
+            sel = m[assign == l]
+            if len(sel):
+                nxt[l] = sel.mean(axis=0)
+        norms = np.linalg.norm(nxt, axis=1, keepdims=True)
+        c = nxt / np.where(norms == 0, 1.0, norms)
+    assert np.allclose(got, c, atol=1e-9)
+
+
+def test_lloyd_round_plan_has_no_explode(vec_df):
+    """VERDICT r3 weak #2: the training round must not posexplode
+    per-vector rows — sufficient statistics only."""
+    from algebird_spark.operators.similarity import _lloyd_partials_df
+    c = np.eye(8, 16)
+    plan = _lloyd_partials_df(vec_df, c)._sc._jvm and \
+        _lloyd_partials_df(vec_df, c)._jdf.queryExecution().executedPlan().toString()
+    assert "Generate" not in plan and "posexplode" not in plan

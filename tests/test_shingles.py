@@ -75,3 +75,32 @@ def test_udf_distinct_and_full_only(spark):
     assert len(full[1]) == 3
     assert full[2] == [] and full[3] == []   # short rows emit nothing
     assert len(full[4]) == 1
+
+
+def test_short_doc_clamp_does_not_collide_with_padded_repeat():
+    """ADVICE r3 (medium): the short-doc clamp repeats the last token,
+    so 'a b' and 'a b b' hashed identically at n=3 and jaccard_verify
+    reported 1.0 for non-identical docs. The length seed must keep
+    every clamp-padded prefix distinct from its real-repeat sibling."""
+    n = 3
+    texts = ["a b", "a b b", "a", "a a", "a a a", "a b b b"]
+    hv, starts, _ = _shingle_hashes_batch(texts, n, 99)
+    sets = [set(hv[starts[i]:starts[i + 1]].tolist())
+            for i in range(len(texts))]
+    # 'a b' (clamped to a,b,b) vs real 'a b b'
+    assert sets[0] != sets[1]
+    # 'a' (clamped to a,a,a) vs 'a a' (clamped) vs real 'a a a'
+    assert sets[2] != sets[3] and sets[2] != sets[4] and sets[3] != sets[4]
+    # full-length docs unaffected: 'a b b' still equals itself and
+    # distinct docs stay distinct
+    hv2, starts2, _ = _shingle_hashes_batch(["a b b"], n, 99)
+    assert set(hv2[starts2[0]:starts2[1]].tolist()) == sets[1]
+    assert sets[1] != sets[5]
+
+
+def test_short_doc_identical_texts_still_collide():
+    """The seed is a function of length only — identical short docs
+    must still hash identically (that's what dedup needs)."""
+    hv, starts, _ = _shingle_hashes_batch(["x y", "x y"], 3, 42)
+    assert (set(hv[starts[0]:starts[1]].tolist())
+            == set(hv[starts[1]:starts[2]].tolist()))
