@@ -170,8 +170,24 @@ def main():
               f" ({n} rows)", file=sys.stderr)
 
     total = round(sum(times.values()), 3)
+    probe_end = mem_probe_ms()
+    # Self-gating contamination flag (VERDICT r3 "What's wrong" #4): a
+    # healthy box reads this probe at ~25-60 ms; under noisy-neighbor
+    # memory pressure it degrades 10-100x and the allocation-heavy
+    # sketch kernels slow 3-6x while JVM queries stay flat, so a
+    # record taken then is NOT a performance signal. Threshold 150 ms
+    # sits well above healthy jitter and well below the contaminated
+    # readings observed (171-9500 ms). Protocol: BENCH/BASELINE.md.
+    contaminated = probe_start > 150 or probe_end > 150
+    if contaminated:
+        print("# WARNING: mem probe degraded "
+              f"(start {probe_start} ms / end {probe_end} ms, healthy "
+              "~25-60); record flagged contaminated=true — rerun "
+              "exclusively before treating timings as a signal",
+              file=sys.stderr)
     print(json.dumps({
-        "mem_probe_ms": {"start": probe_start, "end": mem_probe_ms()},
+        "mem_probe_ms": {"start": probe_start, "end": probe_end},
+        "contaminated": contaminated,
         "metric": "headline queries total + one-pass multisketch build",
         "value": total,
         "unit": "sec",
