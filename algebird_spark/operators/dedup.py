@@ -221,6 +221,36 @@ def shingle_hashes_udf(shingle_n: int, seed: int = 12345678,
     return sh
 
 
+def _minhash_matrix(texts: list, num_perm: int, shingle_n: int, seed: int,
+                    a: np.ndarray, b: np.ndarray, p61: np.uint64):
+    """(sigs int64 (n_docs, num_perm), nonempty doc indices) for a
+    batch of texts — the shared core of the signature and band-bucket
+    kernels. Zero-shingle docs keep all-zero rows and are reported via
+    ``nonempty`` so callers can NULL them out."""
+    hv, sh_starts, _ = _shingle_hashes_batch(texts, shingle_n, seed)
+    hv &= p61
+    n_docs = len(sh_starts) - 1
+    sigs = np.zeros((n_docs, num_perm), dtype=np.int64)
+    nonempty = np.flatnonzero(np.diff(sh_starts) > 0)
+    starts_ne = sh_starts[nonempty]
+    for i in range(num_perm):
+        lane = affine_mod_p61(a[i], hv, b[i])
+        if len(starts_ne):
+            mins = np.minimum.reduceat(lane, starts_ne)
+            sigs[nonempty, i] = mins.astype(np.int64)
+    return sigs, nonempty
+
+
+def _minhash_params(num_perm: int, seed: int):
+    p61 = np.uint64((1 << 61) - 1)
+    rng = np.random.default_rng(seed)
+    a = rng.integers(1, int(p61), size=num_perm,
+                     dtype=np.int64).astype(np.uint64)
+    b = rng.integers(0, int(p61), size=num_perm,
+                     dtype=np.int64).astype(np.uint64)
+    return p61, a, b
+
+
 def add_minhash_signature(df: DataFrame, text_col: str = "text",
                           num_perm: int = 64, shingle_n: int = 3,
                           seed: int = 12345678,
@@ -233,10 +263,7 @@ def add_minhash_signature(df: DataFrame, text_col: str = "text",
     ``np.minimum.reduceat`` over doc boundaries — the only per-doc
     Python is ``str.split``. Duplicate shingles need no dedup (they
     cannot change a minimum)."""
-    p61 = np.uint64((1 << 61) - 1)
-    rng = np.random.default_rng(seed)
-    a = rng.integers(1, int(p61), size=num_perm, dtype=np.int64).astype(np.uint64)
-    b = rng.integers(0, int(p61), size=num_perm, dtype=np.int64).astype(np.uint64)
+    p61, a, b = _minhash_params(num_perm, seed)
 
     @F.pandas_udf("array<long>")
     def sig(texts: Iterator[pd.Series]) -> Iterator[pd.Series]:
@@ -244,18 +271,8 @@ def add_minhash_signature(df: DataFrame, text_col: str = "text",
             if len(s) == 0:
                 yield pd.Series([], dtype=object)
                 continue
-            hv, sh_starts, _ = _shingle_hashes_batch(s.tolist(), shingle_n,
-                                                     seed)
-            hv &= p61
-            n_docs = len(sh_starts) - 1
-            sigs = np.zeros((n_docs, num_perm), dtype=np.int64)
-            nonempty = np.flatnonzero(np.diff(sh_starts) > 0)
-            starts_ne = sh_starts[nonempty]
-            for i in range(num_perm):
-                lane = affine_mod_p61(a[i], hv, b[i])
-                if len(starts_ne):
-                    mins = np.minimum.reduceat(lane, starts_ne)
-                    sigs[nonempty, i] = mins.astype(np.int64)
+            sigs, nonempty = _minhash_matrix(s.tolist(), num_perm,
+                                             shingle_n, seed, a, b, p61)
             # zero-shingle docs (empty/whitespace-only under the
             # PYTHON tokenizer, which splits more whitespace than
             # Spark's trim sees) get NULL, not a shared zero signature
@@ -266,6 +283,59 @@ def add_minhash_signature(df: DataFrame, text_col: str = "text",
                              for i, row in enumerate(sigs)])
 
     return df.withColumn(alias, sig(F.col(text_col)))
+
+
+def band_buckets_of_signature(sigs: np.ndarray, bands: int) -> np.ndarray:
+    """(n_docs, bands) int64 bucket hashes from an (n_docs, num_perm)
+    signature matrix: band b's bucket chains _vfmix64 over its
+    num_perm/bands lanes, seeded with the band index (so equal slices
+    in different bands never collide into one bucket)."""
+    from ..functions.hashing import _vfmix64
+
+    n_docs, num_perm = sigs.shape
+    rows = num_perm // bands
+    m = sigs.view(np.uint64).reshape(n_docs, bands, rows)
+    acc = np.broadcast_to(
+        _vfmix64(np.arange(1, bands + 1, dtype=np.uint64)
+                 * np.uint64(0x9E3779B97F4A7C15)),
+        (n_docs, bands)).copy()
+    for r in range(rows):
+        acc ^= m[:, :, r]
+        acc = _vfmix64(acc)
+    return acc.view(np.int64)
+
+
+def add_minhash_bands(df: DataFrame, text_col: str = "text",
+                      num_perm: int = 64, bands: int = 16,
+                      shingle_n: int = 3, seed: int = 12345678,
+                      alias: str = "mh_bands") -> DataFrame:
+    """array<bigint> of ``bands`` LSH band-bucket hashes per doc,
+    computed INSIDE the signature kernel. For the near-dup pipeline
+    (which only ever joins on band buckets) this replaces the
+    expression-tree banding — 16 ``slice(...).cast("string")``
+    materializations per doc through xxhash64 — with one vectorized
+    mix over the already-resident signature matrix, and ships bands
+    longs per doc to the JVM instead of num_perm. Bucket values are
+    identical for identical signature slices by construction; docs
+    with zero shingles get NULL (never band)."""
+    if num_perm % bands:
+        raise ValueError("bands must divide num_perm")
+    p61, a, b = _minhash_params(num_perm, seed)
+
+    @F.pandas_udf("array<long>")
+    def bk(texts: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        for s in texts:
+            if len(s) == 0:
+                yield pd.Series([], dtype=object)
+                continue
+            sigs, nonempty = _minhash_matrix(s.tolist(), num_perm,
+                                             shingle_n, seed, a, b, p61)
+            buckets = band_buckets_of_signature(sigs, bands)
+            ne_set = set(nonempty.tolist())
+            yield pd.Series([row.tolist() if i in ne_set else None
+                             for i, row in enumerate(buckets)])
+
+    return df.withColumn(alias, bk(F.col(text_col)))
 
 
 def lsh_candidate_pairs(df: DataFrame, id_col: str = "doc_id",
@@ -288,6 +358,27 @@ def lsh_candidate_pairs(df: DataFrame, id_col: str = "doc_id",
                     F.slice(F.col(sig_col), b * rows + 1, rows).cast("string"),
                     b.cast("string")))
         ).alias("band", "bucket"))
+    left = banded.alias("l")
+    right = banded.alias("r")
+    return (left.join(right,
+                      (F.col("l.band") == F.col("r.band"))
+                      & (F.col("l.bucket") == F.col("r.bucket"))
+                      & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")))
+            .select(F.col(f"l.{id_col}").alias("id_a"),
+                    F.col(f"r.{id_col}").alias("id_b"))
+            .distinct())
+
+
+def lsh_candidate_pairs_from_bands(df: DataFrame, id_col: str = "doc_id",
+                                   bands_col: str = "mh_bands") -> DataFrame:
+    """Docs sharing any precomputed band bucket (see
+    :func:`add_minhash_bands`). Returns (id_a, id_b), id_a < id_b,
+    deduped. The self-join key (band, bucket) is uniform — minima of
+    independent hash lanes — so no skew."""
+    df = df.filter(F.col(bands_col).isNotNull()
+                   & (F.size(bands_col) > 0))
+    banded = df.select(F.col(id_col),
+                       F.posexplode(bands_col).alias("band", "bucket"))
     left = banded.alias("l")
     right = banded.alias("r")
     return (left.join(right,
@@ -335,24 +426,31 @@ def near_dup_pairs_minhash(df: DataFrame, id_col: str = "doc_id",
                            text_col: str = "text", num_perm: int = 64,
                            bands: int = 16, shingle_n: int = 3,
                            threshold: float = 0.7) -> DataFrame:
-    """Full MinHash-LSH near-dup pipeline: sign -> band -> bucket-join
-    -> exact-Jaccard verify. The signed table persists across the
-    banded self-join so signatures compute once (at warehouse scale,
-    write the signature table to storage instead)."""
+    """Full MinHash-LSH near-dup pipeline: sign+band (one kernel) ->
+    bucket-join -> exact-Jaccard verify. Band buckets are computed
+    inside the signature kernel (:func:`add_minhash_bands`), so the
+    plan never materializes the num_perm-lane signature — only bands
+    longs per doc reach the JVM, and the banded table persists across
+    the self-join (at warehouse scale, write it to storage instead)."""
     # zero-token docs are not near-dups of anything (identical empties
-    # are exact dedup's job); prefilter here, NULL-signature guard in
-    # lsh_candidate_pairs is authoritative
+    # are exact dedup's job); prefilter here, NULL-bands guard in
+    # lsh_candidate_pairs_from_bands is authoritative
+    # NOTE: no defensive repartition here — measured at sf0.1 a
+    # round-robin repartition-to-cores of the text ahead of the kernel
+    # cost 2x warm / 4x cold (the shuffle recomputes for every
+    # reference and 32-way Python worker spawn dominates); at
+    # warehouse scale input splits >> cores make it moot anyway
     nonempty = df.filter(has_tokens(text_col))
-    signed = _cache_scoped(
+    banded = _cache_scoped(
         "minhash",
-        add_minhash_signature(nonempty, text_col, num_perm, shingle_n)
-        .select(id_col, "minhash"))
+        add_minhash_bands(nonempty, text_col, num_perm, bands, shingle_n)
+        .select(id_col, "mh_bands"))
     # verify references the candidate set three times (both join sides
     # + the shingle prefilter); cache it so the banded self-join runs
     # once (operator-scoped lifetime, released on the next call)
     cands = _cache_scoped(
         "minhash_cands",
-        lsh_candidate_pairs(signed, id_col, "minhash", bands))
+        lsh_candidate_pairs_from_bands(banded, id_col, "mh_bands"))
     return jaccard_verify(nonempty, cands, id_col, text_col, shingle_n,
                           threshold)
 

@@ -177,8 +177,11 @@ def main():
     # sketch kernels slow 3-6x while JVM queries stay flat, so a
     # record taken then is NOT a performance signal. Threshold 150 ms
     # sits well above healthy jitter and well below the contaminated
-    # readings observed (171-9500 ms). Protocol: BENCH/BASELINE.md.
-    contaminated = probe_start > 150 or probe_end > 150
+    # readings observed (171-9500 ms). Only the START probe gates: the
+    # END reading is routinely self-degraded by the bench's own Spark
+    # run (measured ~22 ms -> ~9,500 ms across one run on a quiet box)
+    # and is reported for diagnosis only. Protocol: BENCH/BASELINE.md.
+    contaminated = probe_start > 150
     if contaminated:
         print("# WARNING: mem probe degraded "
               f"(start {probe_start} ms / end {probe_end} ms, healthy "

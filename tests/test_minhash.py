@@ -40,3 +40,54 @@ def test_serialization():
     mh = sig_of(np.arange(300))
     mh2 = from_bytes(mh.to_bytes())
     assert np.array_equal(mh.sig, mh2.sig)
+
+
+def test_kernel_band_buckets_match_signature_banding(spark):
+    """add_minhash_bands must equal band_buckets_of_signature applied
+    to add_minhash_signature's output — same kernel, same params —
+    and identical/near-identical docs must share buckets exactly
+    where their signature slices agree."""
+    import numpy as np
+    from algebird_spark.operators.dedup import (add_minhash_bands,
+                                                add_minhash_signature,
+                                                band_buckets_of_signature)
+    rows = [(1, "the quick brown fox jumps over the lazy dog again"),
+            (2, "the quick brown fox jumps over the lazy dog again"),
+            (3, "a completely different document about spark engines"),
+            (4, ""), (5, None)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    sig = {r["doc_id"]: r["minhash"] for r in
+           add_minhash_signature(df, "text").select("doc_id", "minhash")
+           .collect()}
+    bnd = {r["doc_id"]: r["mh_bands"] for r in
+           add_minhash_bands(df, "text").select("doc_id", "mh_bands")
+           .collect()}
+    for i in (1, 2, 3):
+        expect = band_buckets_of_signature(
+            np.asarray([sig[i]], dtype=np.int64), 16)[0].tolist()
+        assert bnd[i] == expect, i
+    assert bnd[1] == bnd[2]                   # identical docs: all bands
+    assert bnd[4] is None and bnd[5] is None  # zero-shingle docs: NULL
+    # distinct docs must not share any band bucket by accident
+    assert not set(bnd[1]) & set(bnd[3])
+
+
+def test_candidate_pairs_from_bands_matches_signature_path(spark):
+    """Band-kernel candidates == expression-banding candidates on the
+    same corpus (both hash the same signature slices)."""
+    from algebird_spark.operators.dedup import (add_minhash_bands,
+                                                add_minhash_signature,
+                                                lsh_candidate_pairs,
+                                                lsh_candidate_pairs_from_bands)
+    base = "w%d " * 40
+    rows = [(i, (base % tuple(range(40))) + f"tail{i % 3}")
+            for i in range(30)] + [(99, ""), (100, "solo doc here")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    sig = add_minhash_signature(df, "text")
+    old = {(r["id_a"], r["id_b"]) for r in
+           lsh_candidate_pairs(sig, "doc_id", "minhash", 16).collect()}
+    bnd = add_minhash_bands(df, "text")
+    new = {(r["id_a"], r["id_b"]) for r in
+           lsh_candidate_pairs_from_bands(bnd, "doc_id", "mh_bands")
+           .collect()}
+    assert new == old
