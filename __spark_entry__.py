@@ -89,14 +89,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "outlier_detection": Q.q_outlier_detection,
         "trending_topk": Q.q_trending_topk,
         # --- remaining window slots --------------------------------------
+        "eventually_quantiles": Q.q_eventually_quantiles,
         "stratified_sample": Q.q_stratified_sample,
         "decaying_cms_inner": Q.q_decaying_cms_inner,
         "setsize_distinct": Q.q_setsize_distinct,
         "hllseries_since": Q.q_hllseries_since,
         "exphist_window_count": Q.q_exphist_window_count,
         "decayed_value_sketch": Q.q_decayed_value_sketch,
-        "moments": Q.q_moments,
         # === tail (51+): driver-green since r1-r2; local gate covers =====
+        "moments": Q.q_moments,
         "pricing_summary": Q.q_pricing_summary,
         "correlation": Q.q_correlation,
         "topk_parts": Q.q_topk_parts,
@@ -194,6 +195,15 @@ def oracle_sql() -> dict[str, str]:
               FROM lineitem GROUP BY l_returnflag),
             ps(p, i) AS (VALUES (0.05, 1), (0.25, 2), (0.5, 3), (0.75, 4), (0.95, 5))
             SELECT l_returnflag, p, ROUND(qs[i], 4) AS exact_pct, TRUE AS tdigest_ok
+            FROM q, ps
+        """,
+        "eventually_quantiles": f"""
+            WITH q AS (
+              SELECT l_returnflag, quantile_cont(l_extendedprice, [{ps}]) AS qs
+              FROM lineitem GROUP BY l_returnflag),
+            ps(p, i) AS (VALUES (0.05, 1), (0.25, 2), (0.5, 3), (0.75, 4), (0.95, 5))
+            SELECT l_returnflag, p, ROUND(qs[i], 4) AS exact_pct,
+                   TRUE AS conv_ok, TRUE AS exact_ok
             FROM q, ps
         """,
         "minhash_jaccard": """

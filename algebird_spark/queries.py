@@ -231,6 +231,58 @@ def q_tdigest_quantiles(spark, sf):
     return _quantile_query(spark, sf, lambda: TDigest(200), ok, "tdigest")
 
 
+def q_eventually_quantiles(spark, sf):
+    """Generic ``Eventually`` combinator (Eventually.scala:1-221) over
+    KLL in ``list`` mode, one build per l_returnflag at TWO thresholds:
+
+    * threshold 1,000 — every group crosses it, so the state must have
+      CONVERTED and the KLL bounds must contain the exact percentile;
+    * threshold 10^9 — every group stays EXACT, so the zero-error
+      quantile (with one-rank slack for interpolation) must bracket
+      the exact percentile.
+
+    The is_exact flags are asserted inside the booleans, so a broken
+    transition (converting too early, failing to convert, or losing
+    values across the hand-off) fails the value hash."""
+    from .sketches import Eventually
+
+    li = _t(spark, sf, "lineitem")
+    small = sketch_by_key(li, ["l_returnflag"], "l_extendedprice",
+                          lambda: Eventually(KLL(k=200), 1_000, "list"))
+    big = sketch_by_key(li, ["l_returnflag"], "l_extendedprice",
+                        lambda: Eventually(KLL(k=200), 10**9, "list"))
+    conv = {r["l_returnflag"]: from_bytes(bytes(r[STATE_COL]))
+            for r in small.collect()}
+    exact_sk = {r["l_returnflag"]: from_bytes(bytes(r[STATE_COL]))
+                for r in big.collect()}
+    exact = {r["l_returnflag"]: r["q"] for r in li
+             .select("l_returnflag", "l_extendedprice")
+             .groupBy("l_returnflag").agg(
+        F.expr(f"percentile(l_extendedprice, array({','.join(map(str, _QUANTILE_PS))}))")
+        .alias("q")).collect()}
+    rows = []
+    for flag in sorted(conv):
+        c, e = conv[flag], exact_sk[flag]
+        n = max(e.estimate(), 1.0)
+        for p, ex in zip(_QUANTILE_PS, exact[flag]):
+            lo, hi = c.quantile_bounds(p)
+            conv_ok = (not c.is_exact) and lo <= ex <= hi
+            # exact state: one-rank slack absorbs SQL interpolation
+            elo = e.quantile(max(0.0, p - 1.0 / n))
+            ehi = e.quantile(min(1.0, p + 1.0 / n))
+            exact_ok = e.is_exact and elo <= ex <= ehi
+            rows.append(Row(l_returnflag=flag, p=float(p),
+                            exact_pct=float(round(ex, 4)),
+                            conv_ok=bool(conv_ok),
+                            exact_ok=bool(exact_ok)))
+    return spark.createDataFrame(rows, StructType([
+        StructField("l_returnflag", StringType(), False),
+        StructField("p", DoubleType(), False),
+        StructField("exact_pct", DoubleType(), False),
+        StructField("conv_ok", BooleanType(), False),
+        StructField("exact_ok", BooleanType(), False)]))
+
+
 def q_minhash_jaccard(spark, sf):
     """Jaccard(partkeys of flag A, partkeys of flag R) via MinHash(256)."""
     li = _t(spark, sf, "lineitem")

@@ -4,6 +4,7 @@ from .base import (Approximate, ApproximateBoolean,
 from .bloom import BloomFilter, optimal_num_hashes, optimal_width
 from .cms import CMS, cms_params_for_groups
 from .composite import MultiSketch
+from .eventually import Eventually
 from .hll import HLL, bits_for_error
 from .kll import KLL, kll_rank_error
 from .minhash import MinHash, pick_bands_rows
@@ -19,7 +20,7 @@ __all__ = [
     "Sketch", "from_bytes", "merge_all",
     "BloomFilter", "optimal_num_hashes", "optimal_width",
     "CMS",
-    "cms_params_for_groups", "MultiSketch", "HLL", "bits_for_error", "KLL", "kll_rank_error",
+    "cms_params_for_groups", "MultiSketch", "Eventually", "HLL", "bits_for_error", "KLL", "kll_rank_error",
     "MinHash", "pick_bands_rows", "TDigest",
     "Moments", "SetSize", "QTree", "SpaceSaver",
     "DecayedValue", "ExpHist", "HLLSeries", "SketchMap", "DecayingCMS",

@@ -15,6 +15,7 @@ from __future__ import annotations
 import numpy as np
 
 from .base import KIND_MOMENTS, KIND_SETSIZE, Sketch, register
+from .eventually import Eventually
 from .hll import HLL
 
 
@@ -118,78 +119,43 @@ def _decode_moments(params: dict, payload: bytes) -> Moments:
     return out
 
 
-class SetSize(Sketch):
+class SetSize(Eventually):
     """Exact distinct set until ``max_set_size``, then HLL(p) —
-    EventuallyMonoidAggregator semantics: merges of (exact, exact) stay
-    exact until the union crosses the threshold."""
+    ``SetSizeAggregator`` via ``EventuallyMonoidAggregator``
+    (HyperLogLog.scala:718-745). Round 4: rebased on the generic
+    :class:`~.eventually.Eventually` combinator (Eventually.scala
+    semantics) while keeping its own KIND byte and round-3 wire
+    format, so persisted states keep decoding."""
 
     KIND = KIND_SETSIZE
 
     def __init__(self, max_set_size: int = 10_000, p: int = 14,
                  seed: int = 12345678):
+        super().__init__(HLL(p, seed), max_set_size, "set")
         self.max_set_size = max_set_size
         self.p = p
         self.seed = seed
-        self.exact: set[int] | None = set()
-        self.hll: HLL | None = None
 
     def _params(self) -> dict:
-        return {"max_set_size": self.max_set_size, "p": self.p, "seed": self.seed}
+        # round-3 wire format: the HLL prototype is implied by (p, seed)
+        return {"max_set_size": self.max_set_size, "p": self.p,
+                "seed": self.seed}
 
     @property
-    def is_exact(self) -> bool:
-        return self.exact is not None
-
-    def _to_hll(self) -> None:
-        if self.exact is None:
-            return
-        h = HLL(self.p, self.seed)
-        if self.exact:
-            h.update_batch(np.fromiter(self.exact, dtype=np.int64,
-                                       count=len(self.exact)))
-        self.hll = h
-        self.exact = None
-
-    def update_batch(self, values) -> None:
-        values = np.asarray(values).astype(np.int64, copy=False)
-        if values.size == 0:
-            return
-        if self.exact is not None:
-            self.exact.update(np.unique(values).tolist())
-            if len(self.exact) > self.max_set_size:
-                self._to_hll()
-        else:
-            self.hll.update_batch(values)
-
-    def merge_in_place(self, other: "SetSize") -> "SetSize":
-        self.merge_check(other)
-        if other.exact is not None:
-            if self.exact is not None:
-                self.exact |= other.exact
-                if len(self.exact) > self.max_set_size:
-                    self._to_hll()
-            else:
-                if other.exact:
-                    self.hll.update_batch(np.fromiter(
-                        other.exact, dtype=np.int64, count=len(other.exact)))
-        else:
-            self._to_hll()
-            self.hll.merge_in_place(other.hll)
-        return self
+    def hll(self) -> HLL | None:
+        """Round-3 attribute name for the eventual side."""
+        return self.approx
 
     def size(self) -> float:
-        return float(len(self.exact)) if self.exact is not None \
-            else self.hll.estimate()
+        return self.estimate()
 
     def present(self) -> float:
         return self.size()
 
     def _payload(self) -> bytes:
         if self.exact is not None:
-            arr = np.fromiter(self.exact, dtype=np.int64, count=len(self.exact))
-            arr.sort()
-            return b"\x01" + arr.tobytes()
-        return b"\x02" + self.hll.to_bytes()
+            return b"\x01" + self._exact_values().tobytes()
+        return b"\x02" + self.approx.to_bytes()
 
 
 @register(KIND_SETSIZE)
@@ -200,5 +166,5 @@ def _decode_setsize(params: dict, payload: bytes) -> SetSize:
         out.exact = set(np.frombuffer(payload[1:], dtype=np.int64).tolist())
     else:
         out.exact = None
-        out.hll = from_bytes(payload[1:])
+        out.approx = from_bytes(payload[1:])
     return out
