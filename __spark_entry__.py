@@ -54,6 +54,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "qtree_quantile_bounds": Q.q_qtree_quantile_bounds,
         "spacesaver_topk": Q.q_spacesaver_topk,
         "sketchmap_sums": Q.q_sketchmap_sums,
+        "sketchmap_minmax": Q.q_sketchmap_minmax,
         "decaying_cms": Q.q_decaying_cms,
         # --- string-key sketches (CMSHasher[K] surface) -------------------
         "hll_string_distinct": Q.q_hll_string_distinct,
@@ -450,6 +451,12 @@ def oracle_sql() -> dict[str, str]:
         "sketchmap_sums": """
             SELECT COUNT(DISTINCT l_suppkey) AS n_keys,
                    TRUE AS never_under, TRUE AS within_eps
+            FROM lineitem
+        """,
+        "sketchmap_minmax": """
+            SELECT COUNT(DISTINCT l_suppkey) AS n_keys,
+                   TRUE AS max_never_under, TRUE AS max_globally_bounded,
+                   TRUE AS min_never_over, TRUE AS min_globally_bounded
             FROM lineitem
         """,
         "decaying_cms": """

@@ -880,6 +880,58 @@ def q_sketchmap_sums(spark, sf):
          .alias("within_eps"))
 
 
+def q_sketchmap_minmax(spark, sf):
+    """SketchMap with V as an ORDERED monoid (SketchMap.scala:40-240 is
+    generic in V: Monoid; round-4 closes the non-numeric-V gap):
+    approximate Map[suppkey -> max(extendedprice)] and
+    Map[suppkey -> min(extendedprice)], built distributed. Bounds are
+    the ordered-monoid duals of the CMS guarantee, validated IN-PLAN
+    against the exact distributed groupBy for EVERY key:
+
+    * max cells: estimate >= true per-key max, <= global max;
+    * min cells: estimate <= true per-key min, >= global min.
+    """
+    from pyspark.sql import Window
+
+    from .agg import sketch_by_key_multi
+    from .sketches import SketchMap
+    li = _t(spark, sf, "lineitem")
+    mk = lambda mode: sketch_by_key_multi(  # noqa: E731
+        li, [], ["l_suppkey", "l_extendedprice"],
+        lambda: SketchMap(eps=0.0005, delta=1e-4, heavy_hitters_count=5,
+                          combine=mode))
+    blobs = {mode: bytes(mk(mode).collect()[0][STATE_COL])
+             for mode in ("max", "min")}
+
+    def est_udf(blob):
+        @F.pandas_udf("double")
+        def est(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
+            local = from_bytes(blob)  # decode once per task
+            for s in it:
+                yield pd.Series(local.values(s.to_numpy(dtype="int64")))
+        return est
+
+    probed = (li.groupBy("l_suppkey")
+              .agg(F.max("l_extendedprice").alias("mx"),
+                   F.min("l_extendedprice").alias("mn"))
+              .withColumn("est_mx", est_udf(blobs["max"])(F.col("l_suppkey")))
+              .withColumn("est_mn", est_udf(blobs["min"])(F.col("l_suppkey"))))
+    gmax = F.max("mx").over(Window.partitionBy())
+    gmin = F.min("mn").over(Window.partitionBy())
+    flags = probed.select(
+        "l_suppkey",
+        (F.col("est_mx") >= F.col("mx") - 1e-6).alias("mx_never_under"),
+        (F.col("est_mx") <= gmax + 1e-6).alias("mx_global_bound"),
+        (F.col("est_mn") <= F.col("mn") + 1e-6).alias("mn_never_over"),
+        (F.col("est_mn") >= gmin - 1e-6).alias("mn_global_bound"))
+    return flags.agg(
+        F.count("*").alias("n_keys"),
+        F.bool_and("mx_never_under").alias("max_never_under"),
+        F.bool_and("mx_global_bound").alias("max_globally_bounded"),
+        F.bool_and("mn_never_over").alias("min_never_over"),
+        F.bool_and("mn_global_bound").alias("min_globally_bounded"))
+
+
 def q_merge_lookup(spark, sf):
     """MapAlgebra.mergeLookup: broadcast-join the supplier dimension,
     sum quantity by the presented nation key (MapAlgebra.scala:183-188).

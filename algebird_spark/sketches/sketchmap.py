@@ -27,41 +27,73 @@ KIND_SKETCHMAP = 22
 KIND_DECAYINGCMS = 23
 
 
+_SM_COMBINES = ("sum", "min", "max")
+
+
 class SketchMap(Sketch):
+    """Approximate Map[K, V] with V a monoid selected by ``combine``
+    — reference ``SketchMap[K, V: Monoid]`` (SketchMap.scala:40-240)
+    is generic in V; here V is float64 under one of:
+
+    * ``"sum"`` (default) — cells hold V-sums; point query = row value
+      of minimum magnitude (CMS one-sided error for non-negative V).
+    * ``"max"`` — cells hold maxima (V as the max ordered monoid):
+      each cell >= the true per-key max, so the min over rows is an
+      UPPER bound on the true max, itself bounded by the global max.
+    * ``"min"`` — dual: each cell <= the true per-key min; the max
+      over rows is a LOWER bound on the true min, bounded below by
+      the global min.
+    """
+
     KIND = KIND_SKETCHMAP
 
     def __init__(self, eps: float = 0.001, delta: float = 1e-6,
-                 seed: int = 1, heavy_hitters_count: int = 10):
+                 seed: int = 1, heavy_hitters_count: int = 10,
+                 combine: str = "sum"):
+        if combine not in _SM_COMBINES:
+            raise ValueError(f"combine must be one of {_SM_COMBINES}")
         self.eps = eps
         self.delta = delta
         self.seed = seed
         self.hh_count = heavy_hitters_count
+        self.combine = combine
         self.depth = int(math.ceil(math.log(1.0 / delta)))
         self.width = int(math.ceil(math.e / eps))
         self._a = cms_hash_params(self.depth, seed)
-        self.table = np.zeros((self.depth, self.width), dtype=np.float64)
+        self.table = np.full((self.depth, self.width), self._identity(),
+                             dtype=np.float64)
         self.total = 0.0
         self.hh: dict[int, float] = {}
 
+    def _identity(self) -> float:
+        return {"sum": 0.0, "max": -math.inf, "min": math.inf}[self.combine]
+
     def _params(self) -> dict:
         return {"eps": self.eps, "delta": self.delta, "seed": self.seed,
-                "hh_count": self.hh_count}
+                "hh_count": self.hh_count, "combine": self.combine}
 
     def update_batch(self, values, weights=None) -> None:
         """values: keys of any supported dtype (prepare_keys canonical
-        hash for strings/bytes); weights: V values to sum (default 1.0).
-        For non-int keys heavy_hitters() reports the 64-bit key hash —
-        join it back to the label in-plan when needed."""
+        hash for strings/bytes); weights: the V values (default 1.0),
+        folded into cells with the configured monoid. For non-int keys
+        heavy_hitters() reports the 64-bit key hash — join it back to
+        the label in-plan when needed."""
         keys = prepare_keys(np.asarray(values))
         if keys.size == 0:
             return
         w = (np.ones(len(keys)) if weights is None
              else np.asarray(weights, dtype=np.float64))
-        self.total += float(w.sum())
+        self.total += float(w.sum()) if self.combine == "sum" else len(keys)
         limbs = cms_limbs(keys)
         for i in range(self.depth):
             h = cms_hash_limbs(self._a[i], *limbs, self.width)
-            self.table[i] += np.bincount(h, weights=w, minlength=self.width)
+            if self.combine == "sum":
+                self.table[i] += np.bincount(h, weights=w,
+                                             minlength=self.width)
+            elif self.combine == "max":
+                np.maximum.at(self.table[i], h, w)
+            else:
+                np.minimum.at(self.table[i], h, w)
         uniq = np.unique(keys)
         est = self.values(uniq)
         for k, v in zip(uniq.tolist(), est.tolist()):
@@ -74,8 +106,10 @@ class SketchMap(Sketch):
             self.hh = dict(top[: self.hh_count])
 
     def values(self, keys) -> np.ndarray:
-        """Estimated V per key: the row value with minimum magnitude
-        (generalizes CMS min to signed sums)."""
+        """Estimated V per key. sum: the row value with minimum
+        magnitude (generalizes CMS min to signed sums); max: min over
+        rows (tightest upper bound); min: max over rows (tightest
+        lower bound)."""
         keys = prepare_keys(np.asarray(keys))
         est = None
         limbs = cms_limbs(keys)
@@ -84,14 +118,23 @@ class SketchMap(Sketch):
             row = self.table[i][h]
             if est is None:
                 est = row.copy()
-            else:
+            elif self.combine == "sum":
                 pick = np.abs(row) < np.abs(est)
                 est[pick] = row[pick]
+            elif self.combine == "max":
+                np.minimum(est, row, out=est)
+            else:
+                np.maximum(est, row, out=est)
         return est
 
     def merge_in_place(self, other: "SketchMap") -> "SketchMap":
         self.merge_check(other)
-        self.table += other.table
+        if self.combine == "sum":
+            self.table += other.table
+        elif self.combine == "max":
+            np.maximum(self.table, other.table, out=self.table)
+        else:
+            np.minimum(self.table, other.table, out=self.table)
         self.total += other.total
         cand = np.array(sorted(set(self.hh) | set(other.hh)), dtype=np.int64)
         if len(cand):
@@ -120,7 +163,8 @@ class SketchMap(Sketch):
 @register(KIND_SKETCHMAP)
 def _decode_sketchmap(params: dict, payload: bytes) -> SketchMap:
     out = SketchMap(params["eps"], params["delta"], params["seed"],
-                    params["hh_count"])
+                    params["hh_count"],
+                    params.get("combine", "sum"))  # pre-r4 states: sum
     out.total = float(np.frombuffer(payload[:8], dtype=np.float64)[0])
     n = int(np.frombuffer(payload[8:16], dtype=np.int64)[0])
     keys = np.frombuffer(payload[16 : 16 + 8 * n], dtype=np.int64)

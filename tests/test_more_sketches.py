@@ -234,3 +234,68 @@ def test_decaying_cms_scale_inner_product_l2(spark=None):
     # empty sketch: zero norm, zero products
     e = DecayingCMS(eps=0.001, delta=1e-3, half_life=hl)
     assert e.l2_norm() == 0.0 and e.inner_product(a) == 0.0
+
+
+def test_sketchmap_ordered_monoid_cells():
+    """V as an ordered monoid (SketchMap.scala generic-V parity): max
+    cells upper-bound the true per-key max (and never exceed the
+    global max); min cells lower-bound the true per-key min."""
+    from algebird_spark.sketches import SketchMap, from_bytes
+    rng = np.random.default_rng(3)
+    keys = rng.integers(0, 500, size=20_000)
+    vals = rng.normal(loc=100.0, scale=25.0, size=20_000)
+    true_max = {}
+    true_min = {}
+    for k, v in zip(keys.tolist(), vals.tolist()):
+        true_max[k] = max(true_max.get(k, -np.inf), v)
+        true_min[k] = min(true_min.get(k, np.inf), v)
+    for mode, truth, gbound in (("max", true_max, max(true_max.values())),
+                                ("min", true_min, min(true_min.values()))):
+        # distributed shape: two half-builds merged
+        a = SketchMap(eps=0.001, delta=1e-4, combine=mode)
+        b = SketchMap(eps=0.001, delta=1e-4, combine=mode)
+        a.update_batch(keys[:10_000], vals[:10_000])
+        b.update_batch(keys[10_000:], vals[10_000:])
+        sm = a + b
+        probe = np.array(sorted(truth), dtype=np.int64)
+        est = sm.values(probe)
+        exact = np.array([truth[k] for k in probe.tolist()])
+        if mode == "max":
+            assert (est >= exact - 1e-9).all()
+            assert (est <= gbound + 1e-9).all()
+        else:
+            assert (est <= exact + 1e-9).all()
+            assert (est >= gbound - 1e-9).all()
+        # roundtrip preserves mode and table
+        r = from_bytes(sm.to_bytes())
+        assert r.combine == mode
+        assert np.array_equal(r.values(probe), est)
+
+
+def test_sketchmap_combine_mismatch_raises():
+    from algebird_spark.sketches import IncompatibleSketchError, SketchMap
+    a = SketchMap(combine="max")
+    b = SketchMap(combine="sum")
+    with pytest.raises(IncompatibleSketchError):
+        a.merge_in_place(b)
+
+
+def test_sketchmap_merge_equals_single_build_minmax():
+    """Merged half-builds give the SAME table as one build (min/max
+    scatter ops are associative and commutative cellwise)."""
+    from algebird_spark.sketches import SketchMap
+    rng = np.random.default_rng(9)
+    keys = rng.integers(0, 200, size=5_000)
+    vals = rng.uniform(-50, 50, size=5_000)
+    for mode in ("max", "min"):
+        whole = SketchMap(eps=0.005, delta=1e-3, combine=mode)
+        whole.update_batch(keys, vals)
+        parts = []
+        for sl in np.array_split(np.arange(5_000), 7):
+            p = SketchMap(eps=0.005, delta=1e-3, combine=mode)
+            p.update_batch(keys[sl], vals[sl])
+            parts.append(p)
+        acc = parts[0]
+        for p in parts[1:]:
+            acc = acc + p
+        assert np.array_equal(acc.table, whole.table)
