@@ -91,6 +91,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "trending_topk": Q.q_trending_topk,
         # --- remaining window slots --------------------------------------
         "eventually_quantiles": Q.q_eventually_quantiles,
+        "scan_compose": Q.q_scan_compose,
         "stratified_sample": Q.q_stratified_sample,
         "decaying_cms_inner": Q.q_decaying_cms_inner,
         "setsize_distinct": Q.q_setsize_distinct,
@@ -472,6 +473,25 @@ def oracle_sql() -> dict[str, str]:
                              THEN 1 ELSE 0 END) > 0
                      AND SUM(CASE WHEN event_id % 2 = 1
                              THEN 1 ELSE 0 END) > 0)
+        """,
+        "scan_compose": """
+            WITH s AS (
+              SELECT o_custkey, o_orderkey,
+                     SUM(o_totalprice) OVER w AS rt,
+                     ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                        ORDER BY o_orderkey) - 1 AS idx
+              FROM orders
+              WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderkey
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND CURRENT ROW))
+            SELECT o_custkey, o_orderkey,
+                   ROUND(rt, 4) AS running_total,
+                   ROUND(MAX(rt) OVER (PARTITION BY o_custkey
+                                       ORDER BY o_orderkey
+                                       ROWS BETWEEN UNBOUNDED PRECEDING
+                                       AND CURRENT ROW), 4) AS running_peak,
+                   CAST(idx AS BIGINT) AS idx
+            FROM s
         """,
         "merge_lookup": """
             SELECT s_nationkey, ROUND(SUM(l_quantity), 2) AS total_qty

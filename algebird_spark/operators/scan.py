@@ -1,0 +1,158 @@
+"""Composable Scan surface — reference ``Scan.scala:18-328``.
+
+Algebird's ``Scan[I, O]`` is a stateful one-pass stream transform with
+combinators (``andThenPresent``, ``compose``/``andThen``, ``zip``,
+``join``, ``joinWithIndex``, ``fromMonoidAggregator``). On Spark the
+idiomatic equivalent of a per-key ordered scan is a WINDOW EXPRESSION
+over (partitionBy keys, orderBy order, rows unbounded-preceding ..
+current): Catalyst evaluates it in one pass per partition with the
+same left-fold semantics, distributed by key.
+
+A :class:`Scan` here is a recipe that ``apply`` turns into columns:
+
+* ``Scan.from_agg(col, fn)`` — ``Scan.fromMonoidAggregator``: running
+  fold of any Spark aggregate over the input column (``Scan.sum`` /
+  ``max`` / ``min`` / ``count`` / ``avg`` sugar).
+* ``s.map(fn)`` — ``andThenPresent``: transform the output column.
+* ``s.join(other)`` / ``zip`` — both scans run over the SAME ordered
+  row stream, outputs side by side (Scan.scala ``join``; ``zip`` of
+  paired inputs degenerates to the same thing on a columnar engine
+  because each scan closes over its own input column).
+* ``s.join_with_index()`` — ``joinWithIndex``: pair the output with
+  the 0-based running index.
+* ``s.then_agg(fn)`` — ``compose``/``andThen`` for the running-fold
+  case: feed this scan's OUTPUT stream into another running fold
+  (e.g. running max of a running sum). Spark forbids nested window
+  functions in one expression, so composition materializes the
+  intermediate column and windows over it — still one shuffle: every
+  stage uses the identical (keys, order) window, so Catalyst plans a
+  single Exchange + Sort followed by chained Window operators.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Sequence
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+
+class Scan:
+    """A named list of window-building stages; each stage is a list of
+    (output_name, builder) where builder(frame_window, order_window,
+    prev_stage_outputs) -> Column. Later stages may reference earlier
+    stages' output columns by name (the compose hand-off)."""
+
+    def __init__(self, stages, outputs):
+        self._stages = stages      # list[list[tuple[str, Callable]]]
+        self._outputs = outputs    # names of the visible output columns
+
+    # ------------------------------------------------------ constructors
+    @staticmethod
+    def from_agg(col: str, agg: Callable[[Column], Column],
+                 alias: str = "scan") -> "Scan":
+        """Running fold of ``agg`` over ``col`` — the
+        ``Scan.fromMonoidAggregator`` analog (any Spark aggregate
+        function is a fold over the running frame)."""
+        def build(frame_w, order_w, prev):
+            return agg(F.col(col)).over(frame_w)
+        return Scan([[(alias, build)]], [alias])
+
+    @staticmethod
+    def sum(col: str, alias: str = "running_sum") -> "Scan":
+        return Scan.from_agg(col, F.sum, alias)
+
+    @staticmethod
+    def max(col: str, alias: str = "running_max") -> "Scan":
+        return Scan.from_agg(col, F.max, alias)
+
+    @staticmethod
+    def min(col: str, alias: str = "running_min") -> "Scan":
+        return Scan.from_agg(col, F.min, alias)
+
+    @staticmethod
+    def count(alias: str = "running_count") -> "Scan":
+        return Scan.from_agg("*", lambda _: F.count(F.lit(1)), alias)
+
+    @staticmethod
+    def avg(col: str, alias: str = "running_avg") -> "Scan":
+        return Scan.from_agg(col, F.avg, alias)
+
+    @staticmethod
+    def index(alias: str = "idx") -> "Scan":
+        """0-based running row index (Scan.scala ``index``)."""
+        def build(frame_w, order_w, prev):
+            return F.row_number().over(order_w) - F.lit(1)
+        return Scan([[(alias, build)]], [alias])
+
+    # ------------------------------------------------------ combinators
+    def map(self, fn: Callable[[Column], Column],
+            alias: str | None = None) -> "Scan":
+        """``andThenPresent``: transform this scan's (single) output."""
+        (name, build) = self._single()
+        out = alias or name
+        def mapped(frame_w, order_w, prev):
+            return fn(build(frame_w, order_w, prev))
+        stages = [list(s) for s in self._stages]
+        stages[-1] = [(out, mapped) if n == name else (n, b)
+                      for n, b in stages[-1]]
+        return Scan(stages, [out if o == name else o for o in self._outputs])
+
+    def join(self, other: "Scan") -> "Scan":
+        """Run both scans over the same ordered stream; outputs side
+        by side (Scan.scala ``join``; ``zip`` coincides with it on a
+        columnar engine)."""
+        n = max(len(self._stages), len(other._stages))
+        stages = []
+        for i in range(n):
+            stage = []
+            if i < len(self._stages):
+                stage += self._stages[i]
+            if i < len(other._stages):
+                stage += other._stages[i]
+            stages.append(stage)
+        return Scan(stages, self._outputs + other._outputs)
+
+    zip = join
+
+    def join_with_index(self, alias: str = "idx") -> "Scan":
+        """``joinWithIndex``: pair every output with the 0-based
+        running index."""
+        return self.join(Scan.index(alias))
+
+    def then_agg(self, agg: Callable[[Column], Column],
+                 alias: str = "composed") -> "Scan":
+        """``compose``/``andThen`` for running folds: a new running
+        fold over THIS scan's output stream. Materializes the
+        intermediate column (nested window functions are illegal in
+        one expression) but reuses the same window — one Exchange,
+        chained Window operators."""
+        (name, _) = self._single()
+        def build(frame_w, order_w, prev):
+            return agg(F.col(name)).over(frame_w)
+        return Scan([list(s) for s in self._stages] + [[(alias, build)]],
+                    self._outputs + [alias])
+
+    def _single(self):
+        last = self._stages[-1]
+        if len(last) != 1:
+            raise ValueError("combinator needs a single-output scan; "
+                             "apply join after map/then_agg instead")
+        return last[0]
+
+    # ------------------------------------------------------------ apply
+    def apply(self, df: DataFrame, keys: Sequence[str],
+              order: Sequence[str] | str) -> DataFrame:
+        """Evaluate the scan per key in ``order``; appends one column
+        per output. Deterministic iff ``order`` is a total order
+        within each key (add tie-breaker columns exactly as you would
+        for any window)."""
+        order_cols = [order] if isinstance(order, str) else list(order)
+        base = Window.partitionBy(*keys).orderBy(*order_cols)
+        frame_w = base.rowsBetween(Window.unboundedPreceding,
+                                   Window.currentRow)
+        out = df
+        for stage in self._stages:
+            cols = [build(frame_w, base, out).alias(name)
+                    for name, build in stage]
+            out = out.select("*", *cols)
+        return out

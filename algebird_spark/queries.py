@@ -932,6 +932,25 @@ def q_sketchmap_minmax(spark, sf):
         F.bool_and("mn_global_bound").alias("min_globally_bounded"))
 
 
+def q_scan_compose(spark, sf):
+    """Scan composition surface (Scan.scala:18-328 combinators):
+    running sum of o_totalprice per customer (fromMonoidAggregator),
+    COMPOSED into a running max of that running sum (andThen), JOINED
+    with the running index (joinWithIndex) — three chained Window
+    operators over ONE Exchange+Sort (same window spec throughout)."""
+    from .operators.scan import Scan
+    orders = _t(spark, sf, "orders")
+    scan = (Scan.sum("o_totalprice", "running_total")
+            .then_agg(F.max, "running_peak")
+            .join_with_index("idx"))
+    out = scan.apply(orders, ["o_custkey"], "o_orderkey")
+    return out.select(
+        "o_custkey", "o_orderkey",
+        F.round("running_total", 4).alias("running_total"),
+        F.round("running_peak", 4).alias("running_peak"),
+        F.col("idx").cast("long").alias("idx"))
+
+
 def q_merge_lookup(spark, sf):
     """MapAlgebra.mergeLookup: broadcast-join the supplier dimension,
     sum quantity by the presented nation key (MapAlgebra.scala:183-188).
