@@ -9,8 +9,8 @@ algebird_spark/queries.py docstring): exact columns reproduce in SQL,
 boolean columns assert the sketch's published error bound held — the
 oracle pins them to TRUE, so a broken sketch fails the value hash.
 Queries whose semantics are not SQL-expressible (LSH banding with
-xxhash64, stubbed media codecs) intentionally omit an oracle and get
-the driver's rows-only check.
+xxhash64) intentionally omit an oracle and get the driver's rows-only
+check.
 """
 
 from __future__ import annotations
@@ -80,6 +80,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_recall": Q.q_ivf_recall,
         "ivf_planted_recall": Q.q_ivf_planted_recall,
         "lsh_planted_recall": Q.q_lsh_planted_recall,
+        # --- multimodal plumbing (value-checked since r4) ----------------
+        "multimodal_features": Q.q_multimodal_features,
         # --- streaming / stateful ----------------------------------------
         "streaming_hll": Q.q_streaming_hll,
         "streaming_decayed_state": Q.q_streaming_decayed_state,
@@ -130,7 +132,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_near_dup": Q.q_simhash_near_dup,      # rows-only
         "minhash_near_dup": Q.q_minhash_near_dup,      # rows-only
         "embedding_lsh_recall": Q.q_embedding_lsh_recall,  # rows-only
-        "multimodal_features": Q.q_multimodal_features,    # rows-only
     }
 
 
@@ -790,6 +791,19 @@ def oracle_sql() -> dict[str, str]:
                    AS n_queries,
                    TRUE AS recall_ok
         """,
+        "multimodal_features": """
+            WITH m AS (
+              SELECT i,
+                     CASE CAST(i % 3 AS INT) WHEN 0 THEN 'image'
+                          WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+                     128 + CAST(i % 5 AS INT) * 64 AS n_bytes
+              FROM range(96) t(i))
+            SELECT kind, COUNT(*) AS n,
+                   ROUND(AVG(n_bytes), 2) AS avg_bytes,
+                   TRUE AS feat_dim_ok, TRUE AS feat_range_ok,
+                   TRUE AS feat_batch_invariant
+            FROM m GROUP BY kind
+        """,
         # rows-only (no oracle): simhash_near_dup, minhash_near_dup,
-        # embedding_lsh_recall, multimodal_features
+        # embedding_lsh_recall
     }

@@ -61,6 +61,39 @@ def real_decode_stub(payload: bytes) -> np.ndarray:
         "this container; use DeterministicFakeCodec for pipeline tests")
 
 
+class PILImageCodec:
+    """Real image decode when Pillow is installed: decode -> grayscale
+    -> thumbnail resize -> normalized pixel features. Raises
+    ImportError at CONSTRUCTION (not per row) when PIL is absent, so
+    callers can fall back explicitly; :func:`default_image_codec`
+    does that probe once."""
+
+    def __init__(self, feat_dim: int = 16):
+        from PIL import Image  # noqa: F401 - probe the dependency
+        self._Image = Image
+        self.feat_dim = feat_dim
+        # square thumbnail whose pixel count covers feat_dim
+        self._side = int(np.ceil(np.sqrt(feat_dim)))
+
+    def decode_features(self, payload: bytes) -> np.ndarray:
+        import io
+        img = self._Image.open(io.BytesIO(payload)).convert("L")
+        img = img.resize((self._side, self._side))
+        px = np.asarray(img, dtype=np.float32).ravel() / np.float32(255.0)
+        return px[: self.feat_dim]
+
+
+def default_image_codec(feat_dim: int = 16):
+    """The best codec the environment supports: Pillow-backed real
+    decode when importable, else the deterministic fake (this
+    container has no image libraries — the Spark-side plumbing is
+    identical either way)."""
+    try:
+        return PILImageCodec(feat_dim)
+    except ImportError:
+        return DeterministicFakeCodec(feat_dim)
+
+
 def extract_features(df: DataFrame, codec: DeterministicFakeCodec | None = None,
                      batch_rows: int = 64) -> DataFrame:
     """payload -> feature vector, Arrow-batched with a small batch size

@@ -27,7 +27,7 @@ MUST_BE_IN_WINDOW = {
     "hashing_trick", "training_pipeline",
     # ANN
     "embedding_topk", "ivf_topk_exhaustive", "ivf_recall",
-    "ivf_planted_recall", "lsh_planted_recall",
+    "ivf_planted_recall", "lsh_planted_recall", "multimodal_features",
     # streaming
     "streaming_hll", "streaming_decayed_state", "streaming_windowed_hll",
     "sliding_window_counts", "streaming_dedup", "session_windows",
@@ -38,8 +38,7 @@ MUST_BE_IN_WINDOW = {
 # records a rows-only check for them, so they must NOT consume window
 # slots that could carry a value-hashed query.
 ROWS_ONLY = {
-    "simhash_near_dup", "minhash_near_dup",
-    "embedding_lsh_recall", "multimodal_features",
+    "simhash_near_dup", "minhash_near_dup", "embedding_lsh_recall",
 }
 
 
