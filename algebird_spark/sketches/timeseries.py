@@ -313,11 +313,16 @@ class HLLSeries(Sketch):
 
     def _payload(self) -> bytes:
         idxs, rhos, tss = [], [], []
-        for i, reg in self.rows.items():
-            for r, t in reg.items():
+        # canonical (idx, rho) order: serialization must not depend on
+        # dict insertion history, or equal states built through
+        # different merge orders hash differently (caught by the
+        # commutativity byte-law in test_timeseries_properties)
+        for i in sorted(self.rows):
+            reg = self.rows[i]
+            for r in sorted(reg):
                 idxs.append(i)
                 rhos.append(r)
-                tss.append(t)
+                tss.append(reg[r])
         return (np.array([len(idxs)], dtype=np.int64).tobytes()
                 + np.array(idxs, dtype=np.int32).tobytes()
                 + np.array(rhos, dtype=np.uint8).tobytes()
