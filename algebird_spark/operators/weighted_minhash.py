@@ -140,6 +140,37 @@ def add_weighted_minhash_signature(df: DataFrame, text_col: str = "text",
     return df.withColumn(alias, sig(F.col(text_col)))
 
 
+def add_weighted_minhash_bands(df: DataFrame, text_col: str = "text",
+                               num_perm: int = 64, bands: int = 16,
+                               seed: int = 87654321,
+                               alias: str = "wmh_bands") -> DataFrame:
+    """array<long> of LSH band-bucket hashes per doc, computed inside
+    the ICWS kernel (same trick as dedup.add_minhash_bands: the
+    pipeline only joins on buckets, so ship ``bands`` longs per doc to
+    the JVM instead of ``num_perm`` and skip the expression-tree
+    banding). Bucket values are shared with the set-MinHash banding
+    code path (band_buckets_of_signature)."""
+    from .dedup import band_buckets_of_signature
+
+    if num_perm % bands:
+        raise ValueError("bands must divide num_perm")
+
+    @F.pandas_udf("array<long>")
+    def bk(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        for s in it:
+            if len(s) == 0:
+                yield pd.Series([], dtype=object)
+                continue
+            uh, w, starts = _doc_token_weights(s.tolist(), seed)
+            sigs = icws_signatures(uh, w, starts, num_perm, seed)
+            buckets = band_buckets_of_signature(sigs, bands)
+            n_tok = np.diff(starts)
+            yield pd.Series([row.tolist() if n_tok[i] > 0 else None
+                             for i, row in enumerate(buckets)])
+
+    return df.withColumn(alias, bk(F.col(text_col)))
+
+
 def weighted_jaccard_exact(pairs: DataFrame, docs: DataFrame,
                            id_col: str = "doc_id",
                            text_col: str = "text") -> DataFrame:
@@ -171,21 +202,22 @@ def near_dup_pairs_weighted(df: DataFrame, id_col: str = "doc_id",
                             text_col: str = "text", num_perm: int = 64,
                             bands: int = 16, threshold: float = 0.7,
                             seed: int = 87654321) -> DataFrame:
-    """Frequency-aware near-dup pairs: ICWS sign -> LSH band bucket-join
-    (reuses the set-MinHash banding — any signature array works) ->
-    exact weighted-Jaccard verify. Returns (id_a, id_b, wjaccard)."""
-    from .dedup import lsh_candidate_pairs
-
-    # zero-token docs: prefilter (cheap) + the NULL-signature guard in
-    # lsh_candidate_pairs (authoritative) — see dedup.has_tokens
-    from .dedup import _cache_scoped, has_tokens
+    """Frequency-aware near-dup pairs: ICWS sign+band (one kernel) ->
+    LSH bucket-join -> exact weighted-Jaccard verify.
+    Returns (id_a, id_b, wjaccard)."""
+    # zero-token docs: prefilter (cheap) + the NULL-bands guard in
+    # lsh_candidate_pairs_from_bands (authoritative) — see
+    # dedup.has_tokens
+    from .dedup import (_cache_scoped, has_tokens,
+                        lsh_candidate_pairs_from_bands)
     nonempty = df.filter(has_tokens(text_col))
     # operator-scoped cache: repeated calls release the previous
     # invocation's blocks (see dedup._cache_scoped / release_caches)
-    signed = _cache_scoped(
+    banded = _cache_scoped(
         "weighted_minhash",
-        add_weighted_minhash_signature(nonempty, text_col, num_perm, seed)
-        .select(id_col, "wminhash"))
-    cands = lsh_candidate_pairs(signed, id_col, "wminhash", bands)
+        add_weighted_minhash_bands(nonempty, text_col, num_perm, bands,
+                                   seed)
+        .select(id_col, "wmh_bands"))
+    cands = lsh_candidate_pairs_from_bands(banded, id_col, "wmh_bands")
     scored = weighted_jaccard_exact(cands, nonempty, id_col, text_col)
     return scored.filter(F.col("wjaccard") >= threshold)
