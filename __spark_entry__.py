@@ -94,6 +94,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- remaining window slots --------------------------------------
         "eventually_quantiles": Q.q_eventually_quantiles,
         "scan_compose": Q.q_scan_compose,
+        "interval_filter": Q.q_interval_filter,
         "stratified_sample": Q.q_stratified_sample,
         "decaying_cms_inner": Q.q_decaying_cms_inner,
         "setsize_distinct": Q.q_setsize_distinct,
@@ -474,6 +475,15 @@ def oracle_sql() -> dict[str, str]:
                              THEN 1 ELSE 0 END) > 0
                      AND SUM(CASE WHEN event_id % 2 = 1
                              THEN 1 ELSE 0 END) > 0)
+        """,
+        "interval_filter": """
+            SELECT (SELECT COUNT(*) FROM lineitem
+                    WHERE l_extendedprice >= 10000
+                      AND l_extendedprice < 25000) AS n_rows,
+                   (SELECT ROUND(SUM(l_extendedprice), 4) FROM lineitem
+                    WHERE l_extendedprice >= 10000
+                      AND l_extendedprice < 25000) AS price_sum,
+                   CAST(0 AS BIGINT) AS n_empty
         """,
         "scan_compose": """
             WITH s AS (

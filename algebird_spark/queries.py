@@ -952,6 +952,26 @@ def q_sketchmap_minmax(spark, sf):
         F.bool_and("mn_global_bound").alias("min_globally_bounded"))
 
 
+def q_interval_filter(spark, sf):
+    """Interval predicate algebra in-plan (Interval.scala:80-125): the
+    intersection [5000, 30000] & [10000, +inf) & (-inf, 25000) =
+    [10000, 25000) renders as plain comparisons (predicate pushdown
+    reaches the scan), and an unsatisfiable intersection collapses to
+    Empty -> a constant-false filter (zero rows, no scan work)."""
+    from .functions.interval import Interval
+    li = _t(spark, sf, "lineitem")
+    iv = (Interval.closed(5_000, 30_000)
+          & Interval.at_least(10_000) & Interval.below(25_000))
+    hit = li.filter(iv.predicate(F.col("l_extendedprice")))
+    empty = Interval.above(10.0) & Interval.below(10.0)
+    n_empty = li.filter(empty.predicate(F.col("l_quantity"))) \
+        .agg(F.count("*").alias("n_empty"))
+    agg = hit.agg(
+        F.count("*").alias("n_rows"),
+        F.round(F.sum("l_extendedprice"), 4).alias("price_sum"))
+    return agg.crossJoin(n_empty)
+
+
 def q_scan_compose(spark, sf):
     """Scan composition surface (Scan.scala:18-328 combinators):
     running sum of o_totalprice per customer (fromMonoidAggregator),
