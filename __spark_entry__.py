@@ -80,6 +80,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_recall": Q.q_ivf_recall,
         "ivf_planted_recall": Q.q_ivf_planted_recall,
         "lsh_planted_recall": Q.q_lsh_planted_recall,
+        "embedding_near_dup": Q.q_embedding_near_dup,
         # --- multimodal plumbing (value-checked since r4) ----------------
         "multimodal_features": Q.q_multimodal_features,
         # --- streaming / stateful ----------------------------------------
@@ -784,6 +785,13 @@ def oracle_sql() -> dict[str, str]:
               FROM scored)
             SELECT q_id, vec_id, ROUND(cos, 4) AS cos, rank
             FROM ranked WHERE rank <= 5
+        """,
+        "embedding_near_dup": """
+            SELECT COUNT(*) AS n_planted,
+                   TRUE AS all_planted_found,
+                   TRUE AS threshold_respected
+            FROM embeddings
+            WHERE SUBSTR(MD5(CAST(vec_id AS VARCHAR)), 1, 1) < '4'
         """,
         "lsh_planted_recall": """
             SELECT COUNT(*) AS n_planted, TRUE AS recall_ok

@@ -1831,6 +1831,45 @@ def q_weighted_minhash_recall(spark, sf):
                     (F.col("__maxwj") < 1.0).alias("frequency_aware")))
 
 
+def q_embedding_near_dup(spark, sf):
+    """Embedding-cosine near-duplicate PAIRS (embedding_cosine_dups):
+    md5-eligible vectors get a planted copy scaled by 1.5 — cosine is
+    scale-invariant, so the pair's cos == 1.0 EXACTLY and the
+    hyperplane bucket signs are identical (dot products scale
+    positively), making detection deterministic: every planted pair
+    MUST appear above threshold regardless of the LSH seed. The
+    verdict also pins that no reported pair falls below the
+    threshold (the operator's own postcondition).
+    n_planted is SQL-reproducible."""
+    emb = _t(spark, sf, "embeddings")
+    eligible = emb.filter(
+        F.substring(F.md5(F.col("vec_id").cast("string")), 1, 1)
+        < F.lit("4"))
+    planted = (eligible
+               .withColumn("vec_id", F.col("vec_id") + F.lit(10**9))
+               .withColumn("embedding",
+                           F.transform("embedding", lambda x: x * 1.5)
+                           .cast("array<float>")))
+    view = emb.unionByName(planted.select(*emb.columns))
+    dim = len(emb.select("embedding").first()[0])
+    pairs = similarity.embedding_cosine_dups(view, threshold=0.98,
+                                             dim=dim, n_planes=6)
+    want = eligible.select(
+        F.col("vec_id").alias("id_a"),
+        (F.col("vec_id") + F.lit(10**9)).alias("id_b"))
+    n_found = (want.join(pairs, ["id_a", "id_b"], "left_semi")
+               .agg(F.count("*").alias("__f")))
+    n_planted = want.agg(F.count("*").alias("n_planted"))
+    postcond = pairs.agg(
+        F.coalesce(F.bool_and(F.col("cos") >= 0.98), F.lit(True))
+         .alias("threshold_respected"))
+    return (n_planted.crossJoin(n_found).crossJoin(postcond)
+            .select("n_planted",
+                    (F.col("__f") == F.col("n_planted"))
+                    .alias("all_planted_found"),
+                    "threshold_respected"))
+
+
 def q_lsh_planted_recall(spark, sf):
     """Multi-table hyperplane-LSH recall on PLANTED near-identical
     vectors: md5-eligible vectors get a copy with deterministic symmetric +-1%

@@ -28,6 +28,7 @@ MUST_BE_IN_WINDOW = {
     # ANN
     "embedding_topk", "ivf_topk_exhaustive", "ivf_recall",
     "ivf_planted_recall", "lsh_planted_recall", "multimodal_features",
+    "embedding_near_dup",
     # streaming
     "streaming_hll", "streaming_decayed_state", "streaming_windowed_hll",
     "sliding_window_counts", "streaming_dedup", "session_windows",

@@ -213,3 +213,24 @@ def test_lloyd_round_plan_has_no_explode(vec_df):
     plan = _lloyd_partials_df(vec_df, c)._sc._jvm and \
         _lloyd_partials_df(vec_df, c)._jdf.queryExecution().executedPlan().toString()
     assert "Generate" not in plan and "posexplode" not in plan
+
+
+def test_embedding_cosine_dups_planted_and_threshold(spark):
+    """embedding_cosine_dups: scaled copies (cos == 1.0, identical
+    hyperplane signs) are always found; sub-threshold pairs never
+    reported; zero-norm vectors excluded."""
+    from algebird_spark.operators.similarity import embedding_cosine_dups
+    rng = np.random.default_rng(5)
+    base = rng.standard_normal((40, 8))
+    rows = [(i, [float(x) for x in base[i]]) for i in range(40)]
+    # planted scaled copies of ids 0..9 -> ids 100..109
+    rows += [(100 + i, [float(2.0 * x) for x in base[i]]) for i in range(10)]
+    rows += [(999, [0.0] * 8)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    pairs = embedding_cosine_dups(df, threshold=0.98, dim=8, n_planes=5)
+    got = {(r["id_a"], r["id_b"]): r["cos"] for r in pairs.collect()}
+    for i in range(10):
+        assert (i, 100 + i) in got, i
+        assert got[(i, 100 + i)] == pytest.approx(1.0, abs=1e-6)
+    assert all(c >= 0.98 for c in got.values())
+    assert not any(999 in p for p in got)
