@@ -220,6 +220,8 @@ def _decode_eventually(params: dict, payload: bytes) -> Eventually:
             out.exact = set(np.frombuffer(raw, dtype=np.int64).tolist())
         else:
             arr = np.frombuffer(raw, dtype=np.float64)
+            if len(arr) != out.n_total:
+                raise ValueError("truncated Eventually list payload")
             out.exact = [arr.copy()] if arr.size else []
         out.approx = None
     else:

@@ -258,9 +258,16 @@ def _decode_hll(params: dict, payload: bytes) -> HLL:
             raise ValueError("dense HLL payload size mismatch")
         out.sparse = None
     elif tag == 3:
+        # strict layout check: a truncated sparse payload must fail
+        # loudly, not silently decode a subset of the registers
+        if len(body) % 5:
+            raise ValueError("sparse HLL payload size not a multiple "
+                             "of the 5-byte (idx, rho) record")
         n = len(body) // 5
         idx = np.frombuffer(body[: 4 * n], dtype=np.int32)
-        rho = np.frombuffer(body[4 * n :], dtype=np.uint8)
+        rho = np.frombuffer(body[4 * n:], dtype=np.uint8)
+        if n and (idx.min() < 0 or idx.max() >= out.m):
+            raise ValueError("sparse HLL register index out of range")
         out.sparse = dict(zip(idx.tolist(), rho.tolist()))
     else:
         raise ValueError(f"bad HLL payload tag {tag}")

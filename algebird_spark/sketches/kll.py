@@ -191,7 +191,13 @@ def _decode_kll(params: dict, payload: bytes) -> KLL:
     for _ in range(nl):
         ln = int(np.frombuffer(payload[off : off + 8], dtype=np.int64)[0])
         off += 8
-        levels.append(np.frombuffer(payload[off : off + 8 * ln], dtype=np.float64).copy())
+        arr = np.frombuffer(payload[off : off + 8 * ln],
+                            dtype=np.float64).copy()
+        if len(arr) != ln:
+            raise ValueError("truncated KLL level payload")
+        levels.append(arr)
         off += 8 * ln
+    if off != len(payload):
+        raise ValueError("KLL payload has trailing bytes")
     out.levels = levels
     return out

@@ -195,6 +195,10 @@ def _decode_qtree(params: dict, payload: bytes) -> QTree:
         off += 8 * int(n)
         sums = np.frombuffer(payload[off : off + 8 * n], dtype=np.float64)
         off += 8 * int(n)
+        if len(offs) != n or len(cnts) != n or len(sums) != n:
+            raise ValueError("truncated QTree level payload")
         out.nodes[int(level)] = {int(o): (int(c), float(s))
                                  for o, c, s in zip(offs, cnts, sums)}
+    if off != len(payload):
+        raise ValueError("QTree payload has trailing bytes")
     return out

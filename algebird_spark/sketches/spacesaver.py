@@ -123,6 +123,8 @@ class SpaceSaver(Sketch):
 def _decode_spacesaver(params: dict, payload: bytes) -> SpaceSaver:
     out = SpaceSaver(params["capacity"])
     n = int(np.frombuffer(payload[:8], dtype=np.int64)[0])
+    if len(payload) < 8 + 24 * n:
+        raise ValueError("truncated SpaceSaver payload")
     items = np.frombuffer(payload[8 : 8 + 8 * n], dtype=np.int64)
     cnts = np.frombuffer(payload[8 + 8 * n : 8 + 16 * n], dtype=np.int64)
     errs = np.frombuffer(payload[8 + 16 * n : 8 + 24 * n], dtype=np.int64)

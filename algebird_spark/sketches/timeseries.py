@@ -229,6 +229,8 @@ def _decode_exphist(params: dict, payload: bytes) -> ExpHist:
     out.now = float(np.frombuffer(payload[8:16], dtype=np.float64)[0])
     sizes = np.frombuffer(payload[16 : 16 + 8 * n], dtype=np.int64)
     tss = np.frombuffer(payload[16 + 8 * n :], dtype=np.float64)
+    if len(sizes) != n or len(tss) != n:
+        raise ValueError("truncated ExpHist payload")
     out.buckets = [(int(s), float(t)) for s, t in zip(sizes, tss)]
     return out
 
@@ -339,6 +341,8 @@ def _decode_hllseries(params: dict, payload: bytes) -> HLLSeries:
     rhos = np.frombuffer(payload[off : off + n], dtype=np.uint8)
     off += n
     tss = np.frombuffer(payload[off :], dtype=np.float64)
+    if len(idxs) != n or len(rhos) != n or len(tss) != n:
+        raise ValueError("truncated HLLSeries payload")
     for i, r, t in zip(idxs.tolist(), rhos.tolist(), tss.tolist()):
         out.rows.setdefault(i, {})[r] = t
     return out
