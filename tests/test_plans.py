@@ -285,3 +285,46 @@ def test_duplicate_passage_flags_broadcast_join(spark):
         out.explain("formatted")
     plan = buf.getvalue()
     assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_multitable_dedup_exchange_carries_doubles_not_arrays(spark):
+    """VERDICT r3 weak #3 'done' gate: candidates are scored BEFORE
+    the dedup groupBy, so the post-join exchange carries (q_id, id,
+    cos double) — never the embedding arrays."""
+    from algebird_spark.operators.similarity import lsh_multitable_topk
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = (emb.orderBy("vec_id").limit(2)
+         .select(F.col("vec_id").alias("q_id"),
+                 F.col("embedding").alias("q_vec")))
+    plan = plan_of(lsh_multitable_topk(emb, q, k=3, dim=64))
+    # the aggregate's exchange partitions on (q_id, vec_id); inspect
+    # every hash-exchange line for array-typed columns
+    for line in plan.splitlines():
+        if "Exchange hashpartitioning" in line:
+            assert "embedding" not in line and "q_vec" not in line, line
+
+
+def test_banded_candidate_join_ships_bands_not_signatures(spark):
+    """The minhash candidate plan must not materialize the
+    num_perm-lane signature column — only the bands array reaches the
+    JVM (kernel banding, round 4)."""
+    from algebird_spark.operators.dedup import (add_minhash_bands,
+                                                lsh_candidate_pairs_from_bands)
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    banded = add_minhash_bands(docs, "text").select("doc_id", "mh_bands")
+    plan = plan_of(lsh_candidate_pairs_from_bands(banded, "doc_id"))
+    assert "minhash" not in plan
+    assert "mh_bands" in plan
+
+
+def test_lloyd_partials_no_pervector_shuffle(spark):
+    """VERDICT r3 weak #2 'done' gate: a Lloyd round's plan is scan ->
+    mapInArrow, with no Exchange at all (sufficient statistics leave
+    via collect, not shuffle)."""
+    import numpy as np
+    from algebird_spark.operators.similarity import _lloyd_partials_df
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    cents = np.eye(4, 64)
+    plan = plan_of(_lloyd_partials_df(emb, cents))
+    assert "Exchange" not in plan
+    assert "Generate" not in plan  # no posexplode
