@@ -120,6 +120,12 @@ def main():
             best = time.time() - t0
             spark.catalog.clearCache()
             effective = None if premerge is None else max(premerge, cpus)
+            # premerge_local no-ops when the state stage already has
+            # <= effective partitions — record that, or the row reads
+            # as a distinct configuration when it ran the same plan
+            n_parts = sketch_partitions(tok, "tokens", factory,
+                                        ["source"]).rdd.getNumPartitions()
+            noop = effective is None or n_parts <= effective
             if premerge is not None:
                 pm_states = sketch_partitions(tok, "tokens", factory,
                                               ["source"])
@@ -134,7 +140,7 @@ def main():
                 extra = {"shuffle_rows": int(shape["rows"]),
                          "shuffle_mb": round(shape["bytes"] / 1e6, 1)}
             emit("multisketch", premerge=premerge,
-                 premerge_effective=effective,
+                 premerge_effective=effective, premerge_noop=noop,
                  wall_s=round(best, 1), groups=n_groups,
                  tokens_per_sec=int(n_tokens / best), **extra)
 
