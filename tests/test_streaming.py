@@ -128,3 +128,31 @@ def test_decaying_cms_state_stream_matches_batch(spark, events_stream):
             ref.decayed_frequencies(users, at_ts=t_ref),
             rtol=1e-9, atol=1e-9)
         assert r["n_values"] == len(sub)
+
+
+def test_stateful_eventually_stream_matches_batch(spark, events_stream):
+    """Protocol-surface proof (SURVEY §2.9): the round-4 generic
+    Eventually combinator plugs into the streaming path unchanged —
+    any conforming Sketch does. Small threshold forces the
+    exact->HLL conversion INSIDE streaming state; estimates must
+    match batch distinct counts within HLL error (or exactly while a
+    group is still exact)."""
+    from algebird_spark.sketches import HLL, Eventually
+    batch, sdf = events_stream
+    out = sketch_stream_by_key(
+        sdf, ["event_type"], "user_id",
+        lambda: Eventually(HLL(p=12), threshold=10, exact_mode="set"))
+    q = (out.writeStream.outputMode("update").format("memory")
+         .queryName("ev_stream").start())
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {r["event_type"]: r["estimate"]
+           for r in spark.sql("SELECT * FROM ev_stream").collect()}
+    exact = {r[0]: r[1] for r in batch.groupBy("event_type")
+             .agg(F.count_distinct("user_id")).collect()}
+    assert set(got) == set(exact)
+    for k, est in got.items():
+        tol = max(2.0, 3.5 * 1.04 / np.sqrt(2**12) * exact[k])
+        assert abs(est - exact[k]) <= tol, (k, est, exact[k])
