@@ -72,6 +72,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "duplicate_passages": Q.q_duplicate_passages,
         "decontamination": Q.q_decontamination,
         "text_stats": Q.q_text_stats,
+        "text_quality": Q.q_text_quality,
         "hashing_trick": Q.q_hashing_trick,
         "training_pipeline": Q.q_training_pipeline,
         # --- embedding similarity / ANN ----------------------------------
@@ -689,6 +690,12 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(n_chars) AS BIGINT) AS total_chars
             FROM filt JOIN keep USING (doc_id)
             GROUP BY lang
+        """,
+        "text_quality": """
+            SELECT source, COUNT(*) AS n_docs,
+                   TRUE AS quality_in_unit, TRUE AS stopword_in_unit,
+                   TRUE AS lang_code_valid, TRUE AS bpe_upper_bounds_ws
+            FROM documents GROUP BY source
         """,
         "hashing_trick": """
             SELECT source,

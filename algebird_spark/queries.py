@@ -524,6 +524,34 @@ def q_text_stats(spark, sf):
         F.round(F.avg("pr"), 4).alias("avg_punct_ratio"))
 
 
+def q_text_quality(spark, sf):
+    """Text-analysis operator battery over documents (quality_score,
+    detect_language, stopword_ratio, bpe_ish_token_count) with
+    oracle-pinned invariant booleans: scores/ratios stay in [0,1],
+    the BPE-ish count upper-bounds the whitespace count (it splits
+    punctuation into singletons), and language-ID always returns a
+    code from the supported set ('und' when no stopwords hit — the
+    fixture text is synthetic, so accuracy is asserted in pytest on
+    real sentences, not here). n_docs is exact per source."""
+    docs = _t(spark, sf, "documents")
+    prof = docs.select(
+        "source",
+        text.quality_score(F.col("text")).alias("q"),
+        text.stopword_ratio(F.col("text")).alias("sw"),
+        text.detect_language(F.col("text")).alias("lid"),
+        text.token_count(F.col("text")).alias("ws"),
+        text.bpe_ish_token_count(F.col("text")).alias("bpe"))
+    return prof.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.bool_and((F.col("q") >= 0) & (F.col("q") <= 1))
+         .alias("quality_in_unit"),
+        F.bool_and((F.col("sw") >= 0) & (F.col("sw") <= 1))
+         .alias("stopword_in_unit"),
+        F.bool_and(F.col("lid").isin("en", "de", "fr", "es", "und"))
+         .alias("lang_code_valid"),
+        F.bool_and(F.col("bpe") >= F.col("ws")).alias("bpe_upper_bounds_ws"))
+
+
 def q_doc_fingerprint(spark, sf):
     """Duplicate fingerprint groups over the planted-duplicate view —
     compares actual md5 fingerprints AND group sizes to the oracle."""

@@ -23,7 +23,7 @@ MUST_BE_IN_WINDOW = {
     "dedup_exact", "dedup_keep_min_id", "doc_fingerprint",
     "minhash_lsh_recall", "weighted_minhash_recall",
     "simhash_planted_recall", "connected_components", "dedup_clusters",
-    "duplicate_passages", "decontamination", "text_stats",
+    "duplicate_passages", "decontamination", "text_stats", "text_quality",
     "hashing_trick", "training_pipeline",
     # ANN
     "embedding_topk", "ivf_topk_exhaustive", "ivf_recall",

@@ -55,3 +55,59 @@ def test_grouped_vectors_disjoint(spark):
     (xi,), (si,) = (feature_hash_kernel(np.array(["x"], dtype=object), 6))
     assert by_g["b"] == {int(xi): float(si)}
     assert abs(by_g["a"].get(int(xi), 0.0)) == 1.0
+
+
+def test_detect_language_on_real_sentences(spark):
+    """The stopword-vote heuristic must identify clear-cut real
+    sentences and fall back to 'und' when nothing matches."""
+    from pyspark.sql import functions as F
+
+    from algebird_spark.operators.text import detect_language
+    rows = [
+        (1, "the cat sat on the mat and it was happy", "en"),
+        (2, "der hund ist nicht auf die couch und sie schlaeft", "de"),
+        (3, "le chat est dans la maison et il ne dort pas", "fr"),
+        (4, "el perro no come con los gatos que viven por la casa", "es"),
+        (5, "zzz qqq xxx yyy", "und"),
+        (6, "", "und"),
+    ]
+    df = spark.createDataFrame([(i, t) for i, t, _ in rows],
+                               "id long, text string")
+    got = {r["id"]: r["lid"] for r in df.select(
+        "id", detect_language(F.col("text")).alias("lid")).collect()}
+    for i, _, want in rows:
+        assert got[i] == want, (i, got[i], want)
+
+
+def test_quality_score_orders_obvious_cases(spark):
+    """Composite quality: clean long prose must outscore punctuation
+    soup and empty text; all scores within [0, 1]."""
+    from pyspark.sql import functions as F
+
+    from algebird_spark.operators.text import quality_score
+    clean = ("the quick brown fox jumps over the lazy dog and it was "
+             "a very good day for all of the animals in the field ") * 4
+    soup = "!!! ??? ... ;;; ::: ,,, ((( ))) --- !!!" * 5
+    df = spark.createDataFrame(
+        [(1, clean), (2, soup), (3, "")], "id long, text string")
+    got = {r["id"]: r["q"] for r in df.select(
+        "id", quality_score(F.col("text")).alias("q")).collect()}
+    assert 0.0 <= got[3] <= got[2] < got[1] <= 1.0, got
+
+
+def test_bpe_ish_count_upper_bounds_whitespace(spark):
+    from pyspark.sql import functions as F
+
+    from algebird_spark.operators.text import (bpe_ish_token_count,
+                                               token_count)
+    df = spark.createDataFrame(
+        [(1, "don't stop-me now... ok?"), (2, "plain words only"),
+         (3, ""), (4, "a.b.c")], "id long, text string")
+    rows = df.select("id", token_count(F.col("text")).alias("ws"),
+                     bpe_ish_token_count(F.col("text")).alias("bpe")) \
+        .collect()
+    for r in rows:
+        assert r["bpe"] >= r["ws"], r
+    by = {r["id"]: r for r in rows}
+    assert by[1]["bpe"] > by[1]["ws"]  # punctuation split out
+    assert by[2]["bpe"] == by[2]["ws"] == 3
