@@ -135,3 +135,63 @@ def test_release_dedup_caches_api(spark):
     api.release_dedup_caches("simhash")
     assert "simhash" not in d._OPERATOR_CACHES
     api.release_dedup_caches()  # no-op on empty registry
+
+
+def test_averaged_value_and_merge_all(spark):
+    """averaged_value (AveragedValue parity) and merge_all (driver-side
+    associative fold of serialized states)."""
+    import numpy as np
+
+    from algebird_spark.operators.exact import averaged_value
+    from algebird_spark.sketches import HLL, merge_all
+    df = spark.createDataFrame([(i, float(i % 7)) for i in range(100)],
+                               "k long, v double")
+    row = averaged_value(df, "v").collect()[0]
+    assert row["n"] == 100 and abs(row["mean"] - sum(i % 7 for i in range(100)) / 100) < 1e-9
+    by = {r["k"]: r for r in averaged_value(df.withColumn("k", F.col("k") % 2),
+                                            "v", ["k"]).collect()}
+    assert by[0]["n"] + by[1]["n"] == 100
+    states = []
+    for lo in range(0, 3000, 1000):
+        h = HLL(p=12)
+        h.update_batch(np.arange(lo, lo + 1000))
+        states.append(h.to_bytes())
+    merged = merge_all(states)
+    assert abs(merged.estimate() - 3000) / 3000 < 0.05
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        merge_all([])
+
+
+def test_text_profile_block(spark):
+    from algebird_spark.operators.text import text_profile
+    df = spark.createDataFrame(
+        [(1, "the cat sat on the mat, it was good."), (2, "")],
+        "doc_id long, text string")
+    rows = {r["doc_id"]: r for r in text_profile(df).collect()}
+    r1 = rows[1]
+    assert r1["n_tokens"] == 9 and r1["n_tokens_bpe"] >= r1["n_tokens"]
+    assert 0 <= r1["quality"] <= 1 and r1["lang_guess"] == "en"
+    assert len(r1["fingerprint"]) == 32
+    r2 = rows[2]
+    assert r2["n_tokens"] == 0 and r2["lang_guess"] == "und"
+
+
+def test_single_table_lsh_bucketed_topk(spark):
+    """lsh_bucketed_topk: identical vectors always collide into one
+    bucket (same hyperplane signs) and rank first; results carry the
+    standard (q_id, vec_id, cos, rank) shape."""
+    import numpy as np
+
+    from algebird_spark.operators.similarity import lsh_bucketed_topk
+    rng = np.random.default_rng(8)
+    base = rng.standard_normal((30, 8))
+    rows = [(i, [float(x) for x in base[i]]) for i in range(30)]
+    rows += [(100 + i, [float(1.5 * x) for x in base[i]]) for i in range(5)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = spark.createDataFrame(rows[:5],
+                              "q_id long, q_vec array<float>")
+    got = {(r["q_id"], r["rank"]): r["vec_id"] for r in
+           lsh_bucketed_topk(df, q, k=3, dim=8, n_planes=4).collect()}
+    for i in range(5):
+        assert got[(i, 1)] == 100 + i  # the scaled twin ranks first
