@@ -373,17 +373,21 @@ def lsh_candidate_pairs_from_bands(df: DataFrame, id_col: str = "doc_id",
                                    bands_col: str = "mh_bands") -> DataFrame:
     """Docs sharing any precomputed band bucket (see
     :func:`add_minhash_bands`). Returns (id_a, id_b), id_a < id_b,
-    deduped. The self-join key (band, bucket) is uniform — minima of
-    independent hash lanes — so no skew."""
+    deduped. The join keys on the bucket VALUE alone: the kernel
+    seeds every band's hash chain with the band index, so equal
+    buckets across different bands cannot happen by construction
+    (a 64-bit accidental collision only adds a candidate pair, which
+    the exact verify stage discards — correctness is unaffected).
+    Bucket values are uniform — mixes of independent hash-lane
+    minima — so no skew."""
     df = df.filter(F.col(bands_col).isNotNull()
                    & (F.size(bands_col) > 0))
     banded = df.select(F.col(id_col),
-                       F.posexplode(bands_col).alias("band", "bucket"))
+                       F.explode(bands_col).alias("bucket"))
     left = banded.alias("l")
     right = banded.alias("r")
     return (left.join(right,
-                      (F.col("l.band") == F.col("r.band"))
-                      & (F.col("l.bucket") == F.col("r.bucket"))
+                      (F.col("l.bucket") == F.col("r.bucket"))
                       & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")))
             .select(F.col(f"l.{id_col}").alias("id_a"),
                     F.col(f"r.{id_col}").alias("id_b"))
