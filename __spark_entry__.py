@@ -93,17 +93,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "session_windows": Q.q_session_windows,
         "outlier_detection": Q.q_outlier_detection,
         "trending_topk": Q.q_trending_topk,
-        # --- remaining window slots --------------------------------------
+        # --- remaining window slots (48-50) ------------------------------
         "eventually_quantiles": Q.q_eventually_quantiles,
         "scan_compose": Q.q_scan_compose,
         "interval_filter": Q.q_interval_filter,
+        # === tail (51+): driver-green since r1-r3; local gate covers =====
         "stratified_sample": Q.q_stratified_sample,
         "decaying_cms_inner": Q.q_decaying_cms_inner,
         "setsize_distinct": Q.q_setsize_distinct,
         "hllseries_since": Q.q_hllseries_since,
         "exphist_window_count": Q.q_exphist_window_count,
         "decayed_value_sketch": Q.q_decayed_value_sketch,
-        # === tail (51+): driver-green since r1-r2; local gate covers =====
         "moments": Q.q_moments,
         "pricing_summary": Q.q_pricing_summary,
         "correlation": Q.q_correlation,

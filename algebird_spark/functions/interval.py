@@ -112,8 +112,16 @@ class Interval:
         return not self.empty and self.low is None and self.high is None
 
     def contains(self, x: float) -> bool:
-        if self.empty or math.isnan(x):
+        if self.empty:
             return False
+        if math.isnan(x):
+            # NaN orders GREATER than every double both in Scala's
+            # Ordering[Double] (which the reference's Interval.scala
+            # predicates use) and in Spark SQL comparisons — so a NaN
+            # satisfies any lower bound and fails any upper bound.
+            # Keeping that total order here makes contains() agree with
+            # predicate()'s plan-side filtering row-for-row (ADVICE r4).
+            return self.high is None
         if self.low is not None:
             if x < self.low or (x == self.low and not self.low_inclusive):
                 return False

@@ -111,13 +111,19 @@ class Eventually(Sketch):
         values = np.asarray(values)
         if values.size == 0:
             return
+        if self.exact_mode == "set":
+            # canonicalize ONCE so the exact and approx phases hash the
+            # same key representation: the exact branch stores int64 and
+            # _convert feeds int64 to the sketch, so the post-conversion
+            # fast path must cast too (floats would hash by float64 bit
+            # pattern and double-count re-added values)
+            values = values.astype(np.int64, copy=False)
         self.n_total += int(values.size)
         if self.exact is None:
             self.approx.update_batch(values)
             return
         if self.exact_mode == "set":
-            self.exact.update(
-                np.unique(values.astype(np.int64, copy=False)).tolist())
+            self.exact.update(np.unique(values).tolist())
         else:
             self.exact.append(values.astype(np.float64, copy=True))
         if self._n_exact() > self.threshold:

@@ -71,3 +71,20 @@ def test_oracles_reference_real_queries():
 def test_all_query_callables_importable():
     for name, fn in entry.queries().items():
         assert callable(fn), name
+
+
+def test_tail_marker_comment_matches_window_boundary():
+    """The '=== tail (51+)' source comment must sit exactly at the
+    50/51 boundary so the section labels match the hashed window
+    (ADVICE r4: six entries were labeled in-window but fell outside)."""
+    import inspect
+
+    src = inspect.getsource(entry.queries)
+    names = list(entry.queries())
+    before_marker = src.split("=== tail (51+)")[0]
+    # every window entry is declared before the marker...
+    for name in names[:DRIVER_WINDOW]:
+        assert f'"{name}"' in before_marker, f"{name} labeled as tail"
+    # ...and no tail entry is
+    for name in names[DRIVER_WINDOW:]:
+        assert f'"{name}"' not in before_marker, f"{name} labeled in-window"

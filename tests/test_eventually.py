@@ -154,3 +154,28 @@ def test_setsize_is_eventually_and_keeps_wire_format():
     r2 = from_bytes(s.to_bytes())
     assert not r2.is_exact and r2.hll is not None
     assert abs(r2.size() - 10_000) / 10_000 < 0.1
+
+
+# ------------------------------------------- ADVICE r4: set-mode key hashing
+def test_set_mode_hashes_same_keys_before_and_after_conversion():
+    """Post-conversion update_batch must cast to int64 like the exact
+    branch does — float inputs re-adding already-seen values must NOT
+    double-count (ADVICE r4: estimate 4.0 -> 8.0 regression)."""
+    e = _ev_set(threshold=3)
+    e.update_batch(np.array([1.0, 2.0, 3.0, 4.0]))  # floats; converts
+    assert not e.is_exact and e.estimate() == pytest.approx(4, abs=1)
+    e.update_batch(np.array([1.0, 2.0, 3.0, 4.0]))  # same values again
+    assert e.estimate() == pytest.approx(4, abs=1)
+    # and int re-adds of float-added values agree too
+    e.update_batch(np.arange(1, 5))
+    assert e.estimate() == pytest.approx(4, abs=1)
+
+
+def test_setsize_float_readd_after_conversion():
+    """SetSize (rebased on Eventually) regained round-3 behavior:
+    int64 canonicalization in BOTH phases."""
+    s = SetSize(max_set_size=3, p=12)
+    s.update_batch(np.array([10.0, 20.0, 30.0, 40.0]))
+    assert not s.is_exact
+    s.update_batch(np.array([10.0, 20.0, 30.0, 40.0]))
+    assert s.size() == pytest.approx(4, abs=1)

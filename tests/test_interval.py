@@ -46,8 +46,32 @@ def test_boundary_semantics():
     assert lcro.contains(1) and not lcro.contains(3)
     assert (Interval.above(2) & Interval.below(2)).is_empty
     assert (Interval.at_least(2) & Interval.at_most(2)).contains(2)
-    assert not Interval.universe().contains(float("nan"))
     assert Interval.universe().is_universe
+
+
+def test_nan_total_order_matches_spark(spark):
+    """NaN orders greater than every double (Scala Ordering / Spark SQL
+    total order): it satisfies any lower bound, fails any upper bound,
+    and contains() agrees with the plan-side predicate() row-for-row
+    (ADVICE r4 divergence)."""
+    nan = float("nan")
+    assert Interval.universe().contains(nan)
+    assert Interval.at_least(5.0).contains(nan)
+    assert Interval.above(5.0).contains(nan)
+    assert not Interval.at_most(5.0).contains(nan)
+    assert not Interval.below(5.0).contains(nan)
+    assert not Interval.closed(1.0, 9.0).contains(nan)
+    assert not Interval.empty_interval().contains(nan)
+
+    xs = [1.0, 5.0, 7.5, nan]
+    df = spark.createDataFrame([(x,) for x in xs], "x double")
+    for iv in (Interval.universe(), Interval.at_least(5.0),
+               Interval.at_most(5.0), Interval.closed(1.0, 9.0),
+               Interval.above(7.5), Interval.empty_interval()):
+        got = sorted(str(r["x"]) for r in
+                     df.filter(iv.predicate(F.col("x"))).collect())
+        want = sorted(str(x) for x in xs if iv.contains(x))
+        assert got == want, iv
 
 
 @given(a=_iv, xs=_xs)
