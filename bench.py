@@ -56,6 +56,34 @@ def mem_probe_ms() -> float:
     return round((time.time() - t0) * 1000, 1)
 
 
+HEALTHY_PROBE_MS = 100.0
+# Committed healthy WARM range for the stable-JVM control query
+# (pricing_summary — pure JVM whole-stage-codegen aggregation, no
+# Python workers), per SF, measured exclusive across rounds 3-5.
+# The VM has two distinct degradation modes (BENCH/BASELINE.md):
+#  * allocator/bandwidth pressure — the numpy mem probe catches it;
+#  * "afternoon" whole-JVM slowdown (1.3-2.7x on even stable queries,
+#    e.g. pricing_summary 0.27 -> 0.73 s warm at sf0.1) which leaves
+#    the probe HEALTHY — only a known-stable control query catches it.
+# Both BENCH_r03 and BENCH_r04 driver records shipped degraded-VM
+# samples unflagged (VERDICT r4 "What's wrong" #1); gating on BOTH
+# signals closes that false-negative band.
+CONTROL_HEALTHY_WARM_S = {0.1: 0.55, 0.01: 0.35}
+
+
+def contamination_flags(probe_start_ms: float, control_warm_s: float | None,
+                        sf: float | str) -> dict:
+    """Pure gate logic (unit-tested in tests/test_bench_gate.py):
+    either degradation signal marks the record contaminated."""
+    probe_degraded = probe_start_ms > HEALTHY_PROBE_MS
+    limit = CONTROL_HEALTHY_WARM_S.get(sf)
+    jvm_degraded = (None if limit is None or control_warm_s is None
+                    else control_warm_s > limit)
+    return {"probe_degraded": probe_degraded,
+            "jvm_degraded": jvm_degraded,
+            "contaminated": probe_degraded or bool(jvm_degraded)}
+
+
 def main():
     probe_start = mem_probe_ms()
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -81,6 +109,23 @@ def main():
     # absorb session/JIT warmup so the first timed query isn't penalized
     spark.read.parquet(f"{sf_dir}/lineitem.parquet").limit(1000) \
         .groupBy("l_returnflag").count().collect()
+
+    # --- stable-JVM control measurement (gates the whole record) --------
+    # pricing_summary cold (codegen) then best-of-2 warm; the warm time
+    # is compared against the committed healthy range above to catch the
+    # probe-invisible whole-JVM degradation mode.
+    control_cold = control_warm = None
+    ctrl = qs.get("pricing_summary")
+    if ctrl is not None:
+        t0 = time.time()
+        ctrl(spark, sf_dir).count()
+        control_cold = round(time.time() - t0, 3)
+        control_warm = float("inf")
+        for _ in range(2):
+            t0 = time.time()
+            ctrl(spark, sf_dir).count()
+            control_warm = min(control_warm, time.time() - t0)
+        control_warm = round(control_warm, 3)
 
     times: dict[str, float] = {}
     cold: dict[str, float] = {}
@@ -171,31 +216,36 @@ def main():
 
     total = round(sum(times.values()), 3)
     probe_end = mem_probe_ms()
-    # Self-gating contamination flag (VERDICT r3 "What's wrong" #4): a
-    # healthy box reads this probe at ~25-60 ms; under noisy-neighbor
-    # memory pressure it degrades 10-100x and the allocation-heavy
-    # sketch kernels slow 3-6x while JVM queries stay flat, so a
-    # record taken then is NOT a performance signal. Threshold 150 ms
-    # sits well above healthy jitter and well below the contaminated
-    # readings observed (171-9500 ms). Only the START probe gates: the
-    # END reading is routinely self-degraded by the bench's own Spark
-    # run (measured ~22 ms -> ~9,500 ms across one run on a quiet box)
-    # and is reported for diagnosis only. Protocol: BENCH/BASELINE.md.
-    contaminated = probe_start > 150
-    if contaminated:
-        print("# WARNING: mem probe degraded "
-              f"(start {probe_start} ms / end {probe_end} ms, healthy "
-              "~25-60); record flagged contaminated=true — rerun "
-              "exclusively before treating timings as a signal",
-              file=sys.stderr)
+    # Self-gating contamination flags (VERDICT r3 #4, hardened per
+    # VERDICT r4 #1): a healthy box reads the numpy probe at ~25-60 ms;
+    # under noisy-neighbor memory pressure it degrades 10-100x and the
+    # allocation-heavy sketch kernels slow 3-6x while JVM queries stay
+    # flat. Threshold 100 ms (was 150: the r4 driver record started at
+    # 143 ms — 3-5x healthy — and slipped under the gate). Only the
+    # START probe gates: the END reading is routinely self-degraded by
+    # the bench's own Spark run and is reported for diagnosis only.
+    # The control-query gate catches the second (probe-invisible)
+    # degradation mode. Protocol: BENCH/BASELINE.md.
+    sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+    flags = contamination_flags(probe_start, control_warm, sf_val)
+    if flags["contaminated"]:
+        print("# WARNING: degraded VM sample "
+              f"(probe start {probe_start} ms, healthy ~25-60; control "
+              f"warm {control_warm}s vs limit "
+              f"{CONTROL_HEALTHY_WARM_S.get(sf_val)}s); record flagged "
+              "contaminated=true — rerun exclusively before treating "
+              "timings as a signal", file=sys.stderr)
     print(json.dumps({
         "mem_probe_ms": {"start": probe_start, "end": probe_end},
-        "contaminated": contaminated,
+        "control_s": {"query": "pricing_summary", "cold": control_cold,
+                      "warm": control_warm,
+                      "healthy_warm_limit": CONTROL_HEALTHY_WARM_S.get(sf_val)},
+        **flags,
         "metric": "headline queries total + one-pass multisketch build",
         "value": total,
         "unit": "sec",
         "queries": times,
-        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "sf": sf_val,
         "tokens_per_sec": tokens_per_sec,
         "token_rows": rows,
         "cpus": cpus,
