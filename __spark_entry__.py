@@ -93,11 +93,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "session_windows": Q.q_session_windows,
         "outlier_detection": Q.q_outlier_detection,
         "trending_topk": Q.q_trending_topk,
-        # --- remaining window slots (48-50) ------------------------------
+        # --- remaining window slots (48-50): newest surfaces rotate in --
         "eventually_quantiles": Q.q_eventually_quantiles,
         "scan_compose": Q.q_scan_compose,
+        "sketchmap_hll_distinct": Q.q_sketchmap_hll_distinct,  # NEW r5
+        # === tail (51+): driver-green since r1-r4; local gate covers =====
         "interval_filter": Q.q_interval_filter,
-        # === tail (51+): driver-green since r1-r3; local gate covers =====
         "stratified_sample": Q.q_stratified_sample,
         "decaying_cms_inner": Q.q_decaying_cms_inner,
         "setsize_distinct": Q.q_setsize_distinct,
@@ -463,6 +464,14 @@ def oracle_sql() -> dict[str, str]:
                    TRUE AS max_never_under, TRUE AS max_globally_bounded,
                    TRUE AS min_never_over, TRUE AS min_globally_bounded
             FROM lineitem
+        """,
+        "sketchmap_hll_distinct": """
+            WITH g AS (SELECT l_suppkey, COUNT(DISTINCT l_partkey) AS d
+                       FROM lineitem GROUP BY l_suppkey)
+            SELECT COUNT(*) AS n_keys,
+                   CAST(SUM(d) AS BIGINT) AS total_distinct_pairs,
+                   TRUE AS never_under, TRUE AS within_eps
+            FROM g
         """,
         "decaying_cms": """
             SELECT COUNT(DISTINCT user_id) AS n_keys,

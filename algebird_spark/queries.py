@@ -980,6 +980,54 @@ def q_sketchmap_minmax(spark, sf):
         F.bool_and("mn_global_bound").alias("min_globally_bounded"))
 
 
+def q_sketchmap_hll_distinct(spark, sf):
+    """SketchMap with V = HLL cells (SketchMap.scala:40-240 is generic
+    in V: Monoid; this is the distinct-count-per-key instance —
+    approximate Map[suppkey -> |{partkey}|] in ONE fixed-size state,
+    the structure you'd ship per source at 100 TB instead of a full
+    Map[K, HLL]). Built distributed via the multi-column harness;
+    validated IN-PLAN against the exact distributed
+    COUNT(DISTINCT) for EVERY key, with the composed bound:
+
+    * never_under: est >= d_k * (1 - 3.5 * err_hll);
+    * within_eps: min-over-rows <= (d_k + eps * D_total) * (1 + 3.5 *
+      err_hll), D_total = total distinct (key, value) pairs (the CMS
+      collision mass, computed in-plan as SUM(d_k)).
+    """
+    from pyspark.sql import Window
+
+    from .agg import sketch_by_key_multi
+    from .sketches import SketchMapHLL
+    li = _t(spark, sf, "lineitem")
+    states = sketch_by_key_multi(
+        li, [], ["l_suppkey", "l_partkey"],
+        lambda: SketchMapHLL(eps=0.01, delta=0.01, p=10,
+                             heavy_hitters_count=5))
+    sk = from_bytes(bytes(states.collect()[0][STATE_COL]))
+    sk_bytes, err, eps = sk.to_bytes(), sk.error, sk.eps
+
+    @F.pandas_udf("double")
+    def smh_est(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        local = from_bytes(sk_bytes)  # decode once per task
+        for s in it:
+            yield pd.Series(local.values(s.to_numpy(dtype="int64")))
+
+    grouped = (li.groupBy("l_suppkey")
+               .agg(F.count_distinct("l_partkey").alias("d"))
+               .withColumn("est", smh_est(F.col("l_suppkey"))))
+    d_total = F.sum("d").over(Window.partitionBy())
+    flags = grouped.select(
+        "d",
+        (F.col("est") >= F.col("d") * (1 - 3.5 * err) - 1e-6).alias("lo_ok"),
+        (F.col("est") <= (F.col("d") + eps * d_total) * (1 + 3.5 * err)
+         + 1e-6).alias("hi_ok"))
+    return flags.agg(
+        F.count("*").alias("n_keys"),
+        F.sum("d").cast("long").alias("total_distinct_pairs"),
+        F.bool_and("lo_ok").alias("never_under"),
+        F.bool_and("hi_ok").alias("within_eps"))
+
+
 def q_interval_filter(spark, sf):
     """Interval predicate algebra in-plan (Interval.scala:80-125): the
     intersection [5000, 30000] & [10000, +inf) & (-inf, 25000) =

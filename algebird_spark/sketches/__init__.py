@@ -10,7 +10,7 @@ from .kll import KLL, kll_rank_error
 from .minhash import MinHash, pick_bands_rows
 from .moments import Moments, SetSize
 from .qtree import QTree
-from .sketchmap import DecayingCMS, SketchMap
+from .sketchmap import DecayingCMS, SketchMap, SketchMapHLL
 from .spacesaver import SpaceSaver
 from .tdigest import TDigest
 from .timeseries import DecayedValue, ExpHist, HLLSeries
@@ -23,5 +23,6 @@ __all__ = [
     "cms_params_for_groups", "MultiSketch", "Eventually", "HLL", "bits_for_error", "KLL", "kll_rank_error",
     "MinHash", "pick_bands_rows", "TDigest",
     "Moments", "SetSize", "QTree", "SpaceSaver",
-    "DecayedValue", "ExpHist", "HLLSeries", "SketchMap", "DecayingCMS",
+    "DecayedValue", "ExpHist", "HLLSeries", "SketchMap", "SketchMapHLL",
+    "DecayingCMS",
 ]
