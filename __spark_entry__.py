@@ -95,9 +95,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "trending_topk": Q.q_trending_topk,
         # --- remaining window slots (48-50): newest surfaces rotate in --
         "eventually_quantiles": Q.q_eventually_quantiles,
-        "scan_compose": Q.q_scan_compose,
         "sketchmap_hll_distinct": Q.q_sketchmap_hll_distinct,  # NEW r5
+        "scan_state": Q.q_scan_state,                          # NEW r5
         # === tail (51+): driver-green since r1-r4; local gate covers =====
+        "scan_compose": Q.q_scan_compose,
         "interval_filter": Q.q_interval_filter,
         "stratified_sample": Q.q_stratified_sample,
         "decaying_cms_inner": Q.q_decaying_cms_inner,
@@ -464,6 +465,28 @@ def oracle_sql() -> dict[str, str]:
                    TRUE AS max_never_under, TRUE AS max_globally_bounded,
                    TRUE AS min_never_over, TRUE AS min_globally_bounded
             FROM lineitem
+        """,
+        "scan_state": """
+            WITH l AS (
+              SELECT user_id, event_id, epoch(ts) AS tsec,
+                     LAG(epoch(ts)) OVER (PARTITION BY user_id
+                                          ORDER BY epoch(ts), event_id) AS prev
+              FROM events),
+            s AS (
+              SELECT user_id,
+                     SUM(CASE WHEN prev IS NULL OR tsec - prev > 1800
+                              THEN 1 ELSE 0 END)
+                       OVER (PARTITION BY user_id
+                             ORDER BY tsec, event_id
+                             ROWS UNBOUNDED PRECEDING) AS sess
+              FROM l),
+            c AS (SELECT user_id, sess, COUNT(*) AS cnt
+                  FROM s GROUP BY user_id, sess)
+            SELECT COUNT(DISTINCT user_id) AS n_users,
+                   CAST(COUNT(*) AS BIGINT) AS total_sessions,
+                   CAST(SUM(cnt) AS BIGINT) AS n_events,
+                   CAST(MAX(cnt) AS BIGINT) AS max_session_events
+            FROM c
         """,
         "sketchmap_hll_distinct": """
             WITH g AS (SELECT l_suppkey, COUNT(DISTINCT l_partkey) AS d

@@ -31,9 +31,10 @@ A :class:`Scan` here is a recipe that ``apply`` turns into columns:
 
 from __future__ import annotations
 
-from typing import Callable, Sequence
+from typing import Any, Callable, Sequence
 
 from pyspark.sql import Column, DataFrame, Window, functions as F
+from pyspark.sql.types import StructField, StructType, _parse_datatype_string
 
 
 class Scan:
@@ -139,6 +140,24 @@ class Scan:
                              "apply join after map/then_agg instead")
         return last[0]
 
+    # ------------------------------------------------------ general form
+    @staticmethod
+    def from_fn(step: Callable[[Any, Any], tuple[Any, Any]],
+                init: Any) -> "GeneralScan":
+        """The fully general ``Scan.from(initialState)(fn)``
+        (Scan.scala:18-60): an ARBITRARY state transition
+        ``step(state, row) -> (new_state, output)`` folded per key in
+        order. Returns a :class:`GeneralScan`; evaluate with
+        ``.apply(df, keys, order, output_col, output_type)``.
+
+        This is the generality escape hatch: the window-expression
+        scans above stay the fast path (pure JVM, one Exchange), and
+        ``step`` runs row-at-a-time INSIDE an applyInPandas group —
+        use :meth:`GeneralScan.apply_batch` with a vectorized kernel
+        whenever the transition can be phrased over whole sorted
+        groups."""
+        return GeneralScan(step, init)
+
     # ------------------------------------------------------------ apply
     def apply(self, df: DataFrame, keys: Sequence[str],
               order: Sequence[str] | str) -> DataFrame:
@@ -156,3 +175,71 @@ class Scan:
                     for name, build in stage]
             out = out.select("*", *cols)
         return out
+
+
+class GeneralScan:
+    """Ordered per-key left fold with an arbitrary state transition —
+    the ``Scan.from`` analog (Scan.scala:18-60). Distribution model:
+    ``groupBy(keys).applyInPandas`` shuffles once on the scan keys and
+    hands each key group to one task, where rows are sorted by
+    ``order`` and folded. State lives per key and only the fold's
+    OUTPUT column is added, so the shuffle carries input rows only;
+    each group must fit in one task's memory (the same contract as
+    ``applyInPandasWithState`` batches — at 100 TB the keys are things
+    like user/session ids, not globals)."""
+
+    def __init__(self, step, init):
+        self._step = step
+        self._init = init
+
+    def _out_schema(self, df: DataFrame, output_col: str,
+                    output_type: str) -> StructType:
+        return StructType(list(df.schema.fields)
+                          + [StructField(output_col,
+                                         _parse_datatype_string(output_type))])
+
+    def apply(self, df: DataFrame, keys: Sequence[str],
+              order: Sequence[str] | str, output_col: str = "scan_out",
+              output_type: str = "double") -> DataFrame:
+        """Row-at-a-time ``step(state, row) -> (state, out)`` fold;
+        ``row`` is a namedtuple of the group's columns. Fully general,
+        NOT vectorized — prefer :meth:`apply_batch` or the window
+        Scans when the transition allows."""
+        order_cols = [order] if isinstance(order, str) else list(order)
+        step, init = self._step, self._init
+
+        def fold(pdf):
+            pdf = pdf.sort_values(order_cols, kind="mergesort") \
+                .reset_index(drop=True)
+            state = init() if callable(init) else init
+            outs = []
+            for row in pdf.itertuples(index=False):
+                state, o = step(state, row)
+                outs.append(o)
+            pdf[output_col] = outs
+            return pdf
+
+        return df.groupBy(*keys).applyInPandas(
+            fold, self._out_schema(df, output_col, output_type))
+
+    @staticmethod
+    def apply_batch(df: DataFrame, keys: Sequence[str],
+                    order: Sequence[str] | str,
+                    kernel: Callable, output_col: str = "scan_out",
+                    output_type: str = "double") -> DataFrame:
+        """Vectorized variant: ``kernel(sorted_group_pdf) -> array``
+        computes the whole fold output per key group with numpy/pandas
+        (cumsum/cummax/diff formulations) — Arrow batches in, no
+        per-row Python. Same shuffle shape as :meth:`apply`."""
+        order_cols = [order] if isinstance(order, str) else list(order)
+
+        def fold(pdf):
+            pdf = pdf.sort_values(order_cols, kind="mergesort") \
+                .reset_index(drop=True)
+            pdf[output_col] = kernel(pdf)
+            return pdf
+
+        schema = StructType(list(df.schema.fields)
+                            + [StructField(output_col,
+                                           _parse_datatype_string(output_type))])
+        return df.groupBy(*keys).applyInPandas(fold, schema)

@@ -1067,6 +1067,41 @@ def q_scan_compose(spark, sf):
         F.col("idx").cast("long").alias("idx"))
 
 
+def q_scan_state(spark, sf):
+    """General ``Scan.from(initialState)(fn)`` (Scan.scala:18-60; the
+    last Scan generality gap, VERDICT r4 missing #3): sessionization as
+    an ARBITRARY state transition — state = (prev_ts, session_no),
+    new session when the gap to the previous event exceeds 1800 s —
+    folded per user in (ts, event_id) order inside an applyInPandas
+    group (one shuffle on user_id; state never leaves the task).
+    Aggregated to per-session counts then a scalar summary so the
+    oracle (LAG + windowed running sum in SQL) value-checks the whole
+    numbering."""
+    from .operators.scan import Scan
+    ev = _t(spark, sf, "events").select(
+        "user_id", "event_id",
+        # NTZ -> timestamp is value-preserving under the session's UTC
+        # timezone; -> double yields fractional epoch seconds like
+        # DuckDB's epoch()
+        F.col("ts").cast("timestamp").cast("double").alias("tsec"))
+
+    def step(state, row):
+        prev_ts, sess = state
+        if prev_ts is None or (row.tsec - prev_ts) > 1800.0:
+            sess += 1
+        return (row.tsec, sess), sess
+
+    numbered = Scan.from_fn(step, (None, 0)).apply(
+        ev, ["user_id"], ["tsec", "event_id"], "sess", "bigint")
+    per_session = numbered.groupBy("user_id", "sess") \
+        .agg(F.count("*").alias("cnt"))
+    return per_session.agg(
+        F.count_distinct("user_id").alias("n_users"),
+        F.count("*").cast("long").alias("total_sessions"),
+        F.sum("cnt").cast("long").alias("n_events"),
+        F.max("cnt").cast("long").alias("max_session_events"))
+
+
 def q_merge_lookup(spark, sf):
     """MapAlgebra.mergeLookup: broadcast-join the supplier dimension,
     sum quantity by the presented nation key (MapAlgebra.scala:183-188).

@@ -66,3 +66,69 @@ def test_composition_plans_one_exchange(df):
 def test_multi_output_combinator_guard(df):
     with pytest.raises(ValueError):
         Scan.sum("v").join(Scan.count()).then_agg(F.max)
+
+
+# --------------------------------------------------- general Scan.from (r5)
+def _session_step(gap):
+    def step(state, row):
+        prev_ts, sess = state
+        new = prev_ts is None or (row.ts - prev_ts) > gap
+        sess = sess + 1 if new else sess
+        return (row.ts, sess), sess
+    return step
+
+
+def test_from_fn_matches_python_reference_fold(spark):
+    """Law: GeneralScan.apply == a driver-side Python left fold per
+    key, row for row (Scan.scala:18-60 Scan.from semantics)."""
+    rng = np.random.default_rng(11)
+    n = 400
+    pdf = pd.DataFrame({
+        "k": rng.integers(0, 7, size=n),
+        "ts": np.sort(rng.uniform(0, 10_000, size=n)),
+        "i": np.arange(n),
+    })
+    pdf = pdf.sample(frac=1.0, random_state=0)  # scramble input order
+    df = spark.createDataFrame(pdf)
+
+    got = (Scan.from_fn(_session_step(300.0), (None, 0))
+           .apply(df, ["k"], ["ts", "i"], "sess", "bigint")
+           .toPandas().sort_values(["k", "ts", "i"]).reset_index(drop=True))
+
+    # reference fold, plain Python per key
+    want = []
+    for k, g in pdf.sort_values(["k", "ts", "i"]).groupby("k"):
+        state = (None, 0)
+        for row in g.itertuples(index=False):
+            state, o = _session_step(300.0)(state, row)
+            want.append((k, row.ts, row.i, o))
+    wdf = pd.DataFrame(want, columns=["k", "ts", "i", "sess"]) \
+        .sort_values(["k", "ts", "i"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        got[["k", "ts", "i", "sess"]].astype({"sess": "int64"}), wdf)
+
+
+def test_apply_batch_vectorized_kernel_agrees(spark):
+    """The vectorized group kernel (diff/cumsum formulation) produces
+    the same session numbering as the row-at-a-time fold."""
+    from algebird_spark.operators.scan import GeneralScan
+    rng = np.random.default_rng(5)
+    n = 500
+    pdf = pd.DataFrame({
+        "k": rng.integers(0, 5, size=n),
+        "ts": rng.uniform(0, 50_000, size=n),
+        "i": np.arange(n),
+    })
+    df = spark.createDataFrame(pdf)
+
+    def kernel(g):
+        gaps = g["ts"].diff().fillna(np.inf) > 300.0
+        return gaps.cumsum().astype("int64")
+
+    a = (GeneralScan.apply_batch(df, ["k"], ["ts", "i"], kernel,
+                                 "sess", "bigint")
+         .toPandas().sort_values(["k", "ts", "i"])["sess"].to_numpy())
+    b = (Scan.from_fn(_session_step(300.0), (None, 0))
+         .apply(df, ["k"], ["ts", "i"], "sess", "bigint")
+         .toPandas().sort_values(["k", "ts", "i"])["sess"].to_numpy())
+    assert np.array_equal(a, b)
