@@ -208,16 +208,19 @@ def near_dup_pairs_weighted(df: DataFrame, id_col: str = "doc_id",
     # zero-token docs: prefilter (cheap) + the NULL-bands guard in
     # lsh_candidate_pairs_from_bands (authoritative) — see
     # dedup.has_tokens
-    from .dedup import (_cache_scoped, has_tokens,
-                        lsh_candidate_pairs_from_bands)
+    from .dedup import (CacheHandle, _cache_scoped, _new_generation,
+                        has_tokens, lsh_candidate_pairs_from_bands)
     nonempty = df.filter(has_tokens(text_col))
-    # operator-scoped cache: repeated calls release the previous
-    # invocation's blocks (see dedup._cache_scoped / release_caches)
+    # invocation-scoped cache: the newest KEEP_GENERATIONS invocations
+    # stay live (see dedup._cache_scoped / release_caches)
+    gen = _new_generation()
     banded = _cache_scoped(
         "weighted_minhash",
         add_weighted_minhash_bands(nonempty, text_col, num_perm, bands,
                                    seed)
-        .select(id_col, "wmh_bands"))
+        .select(id_col, "wmh_bands"), gen=gen)
     cands = lsh_candidate_pairs_from_bands(banded, id_col, "wmh_bands")
     scored = weighted_jaccard_exact(cands, nonempty, id_col, text_col)
-    return scored.filter(F.col("wjaccard") >= threshold)
+    out = scored.filter(F.col("wjaccard") >= threshold)
+    out._algebird_cache = CacheHandle(gen, ("weighted_minhash",))
+    return out
