@@ -593,13 +593,15 @@ def q_minhash_lsh_recall(spark, sf):
     pairs = eligible.select(
         F.col("doc_id").alias("id_a"),
         (F.col("doc_id") + F.lit(10**9)).alias("id_b"))
-    hit = pairs.join(found, ["id_a", "id_b"], "left_semi")
-    n_planted = pairs.agg(F.count("*").alias("n_planted"))
-    recall = hit.agg(F.count("*").alias("n_found"))
-    return (n_planted.crossJoin(recall)
-            .select("n_planted",
-                    (F.col("n_found") >= 0.9 * F.col("n_planted"))
-                    .alias("recall_ok")))
+    # ONE aggregation pass: planted-pair count and hit count fold
+    # together (the old two-agg + crossJoin shape cost two extra jobs
+    # of pure fixed overhead at bench scale)
+    hit = pairs.join(
+        found.select("id_a", "id_b").withColumn("__f", F.lit(1)),
+        ["id_a", "id_b"], "left")
+    return hit.agg(
+        F.count("*").alias("n_planted"),
+        (F.count("__f") >= 0.9 * F.count("*")).alias("recall_ok"))
 
 
 def q_simhash_near_dup(spark, sf):

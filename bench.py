@@ -42,18 +42,30 @@ HEADLINE = [
 
 def mem_probe_ms() -> float:
     """Bandwidth/allocation health probe: time to widen a 17 MB uint8
-    array to int32 (69 MB of fresh pages). Healthy box: ~25-60 ms.
+    array to int32 (69 MB of fresh pages). Healthy box: ~15-60 ms.
     This VM's memory subsystem degrades by orders of magnitude under
     noisy-neighbor pressure (measured 5,600 ms for this same probe),
     which slows the allocation-heavy sketch kernels 3-6x while leaving
     JVM-side queries untouched — recording the probe alongside the
     timings makes a contaminated sample diagnosable instead of looking
-    like an engine regression."""
+    like an engine regression.
+
+    Min-of-3 after one untimed warmup (round 5): the FIRST such
+    allocation in a fresh process pays first-touch page faults that
+    read 200-2,100 ms even on an otherwise healthy box (measured
+    2148 -> 77 -> 20 ms within one process) — a single-shot probe
+    therefore has a FALSE-POSITIVE band. Sustained noisy-neighbor
+    pressure slows every repetition, so the min is still a faithful
+    degradation signal."""
     import numpy as np
     a = np.random.randint(0, 255, size=(270_704, 64), dtype=np.uint8)
-    t0 = time.time()
-    a.astype(np.int32)
-    return round((time.time() - t0) * 1000, 1)
+    a.astype(np.int32)  # untimed: absorb first-touch page faults
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.time()
+        a.astype(np.int32)
+        best = min(best, time.time() - t0)
+    return round(best * 1000, 1)
 
 
 HEALTHY_PROBE_MS = 100.0
