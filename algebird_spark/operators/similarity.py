@@ -545,3 +545,86 @@ def _spill_assign_udf(centroids: np.ndarray, spill_margin: float):
             yield pd.Series(out)
 
     return assign
+
+
+# ---------------------------------------------------------------------------
+# materialized IVF index with partition pruning (VERDICT r4 next #4)
+# ---------------------------------------------------------------------------
+
+def write_ivf_index(vectors: DataFrame, centroids: np.ndarray, path: str,
+                    id_col: str = "vec_id", vec_col: str = "embedding",
+                    spill_margin: float = 0.0) -> None:
+    """Materialize the IVF assigned table PARTITIONED BY ``__list`` —
+    the 100 TB layout :func:`ivf_topk`'s docstring promises: each
+    inverted list is its own parquet partition directory, so a probed
+    query's scan touches only ``nprobe / n_lists`` of the data via
+    static partition pruning (proof: ``tests/test_plans.py``;
+    measured bytes-read ratio in SCALE.md). Norms are precomputed at
+    write time — queries never touch the vector bytes of unprobed
+    lists nor recompute norms."""
+    vn = _with_norm(vectors, vec_col, "__vn")
+    if spill_margin > 0:
+        assigned = _spill_assign_udf(centroids, spill_margin)
+        v = vn.select(id_col, vec_col, "__vn",
+                      F.explode(assigned(F.col(vec_col))).alias("__list"))
+    else:
+        v = vn.withColumn(
+            "__list",
+            F.element_at(_probe_udf(centroids, 1)(F.col(vec_col)), 1))
+    v.write.partitionBy("__list").mode("overwrite").parquet(path)
+
+
+def probe_lists(queries_pdf, centroids: np.ndarray, nprobe: int,
+                q_vec_col: str = "q_vec"):
+    """Driver-side probe assignment for a (tiny, broadcastable) query
+    set: returns (per-row list of probed list ids, sorted union of all
+    probed ids). The union feeds a STATIC ``isin`` predicate, which is
+    what lets Catalyst prune index partitions at planning time."""
+    cn = np.atleast_2d(np.asarray(centroids, dtype=np.float64))
+    cn = cn / np.linalg.norm(cn, axis=1, keepdims=True)
+    m = np.vstack(queries_pdf[q_vec_col].to_numpy()).astype(np.float64)
+    nprobe = min(nprobe, cn.shape[0])
+    scores = m @ cn.T
+    top = np.argpartition(-scores, nprobe - 1, axis=1)[:, :nprobe]
+    per_row = [row.astype(np.int64).tolist() for row in top]
+    union = sorted({int(x) for row in per_row for x in row})
+    return per_row, union
+
+
+def ivf_topk_indexed(spark, index_path: str, queries: DataFrame, k: int,
+                     centroids: np.ndarray, nprobe: int,
+                     id_col: str = "vec_id", vec_col: str = "embedding",
+                     q_id_col: str = "q_id", q_vec_col: str = "q_vec",
+                     deduplicate: bool = False) -> DataFrame:
+    """IVF top-k over a materialized ``__list``-partitioned index:
+    probes are computed driver-side for the (collected — it is
+    broadcast anyway) query set, the scan filters
+    ``__list IN (probed)`` so partition pruning reads only the probed
+    directories, and candidates join the broadcast queries on
+    ``__list``. Same semantics as :func:`ivf_topk` over the same
+    assignment (set ``deduplicate=True`` for a spill-written index).
+    Returns (q_id, vec_id, cos, rank)."""
+    qpdf = queries.select(q_id_col, q_vec_col).toPandas()
+    per_row, union = probe_lists(qpdf, centroids, nprobe, q_vec_col)
+    qn = np.sqrt([float(np.dot(v, v)) for v in
+                  (np.asarray(x, dtype=np.float64)
+                   for x in qpdf[q_vec_col])])
+    probe_rows = [(int(qid), list(map(float, vec)), float(n), int(l))
+                  for qid, vec, n, probes in zip(
+                      qpdf[q_id_col], qpdf[q_vec_col], qn, per_row)
+                  for l in probes]
+    q = spark.createDataFrame(
+        probe_rows, f"{q_id_col} long, {q_vec_col} array<double>, "
+                    f"__qn double, __list int")
+    idx = spark.read.parquet(index_path).filter(F.col("__list").isin(union))
+    joined = idx.join(F.broadcast(q), on="__list")
+    scored = (joined.filter(F.col(id_col) != F.col(q_id_col))
+              .select(q_id_col, id_col,
+                      (_dot(F.col(vec_col), F.col(q_vec_col))
+                       / (F.col("__vn") * F.col("__qn"))).alias("cos")))
+    if deduplicate:
+        scored = scored.distinct()
+    w = Window.partitionBy(q_id_col).orderBy(F.col("cos").desc(),
+                                             F.col(id_col))
+    return (scored.withColumn("rank", F.row_number().over(w))
+                  .filter(F.col("rank") <= k))

@@ -328,3 +328,86 @@ def test_lloyd_partials_no_pervector_shuffle(spark):
     plan = plan_of(_lloyd_partials_df(emb, cents))
     assert "Exchange" not in plan
     assert "Generate" not in plan  # no posexplode
+
+
+def test_ivf_index_partition_pruning(spark, tmp_path):
+    """The 100 TB IVF story made concrete (VERDICT r4 next #4): the
+    assigned table written partitionBy('__list') prunes to exactly the
+    probed lists — the final adaptive plan carries the static
+    ``__list IN (...)`` partition filter, the Hadoop FS counters show
+    the probed query reading roughly the probed fraction of the index
+    bytes, and results match the in-memory ivf_topk on the same
+    assignment."""
+    import os
+
+    from algebird_spark.operators.similarity import (
+        ivf_topk, ivf_topk_indexed, probe_lists, train_ivf_centroids,
+        write_ivf_index)
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    cents = train_ivf_centroids(emb, n_lists=8, n_iter=2)
+    path = str(tmp_path / "ivf_index")
+    write_ivf_index(emb, cents, path)
+    list_dirs = [d for d in os.listdir(path) if d.startswith("__list=")]
+    assert len(list_dirs) == len(cents)
+
+    queries = (emb.orderBy("vec_id").limit(3)
+               .select(F.col("vec_id").alias("q_id"),
+                       F.col("embedding").alias("q_vec")))
+    nprobe = 2
+    _, union = probe_lists(queries.toPandas(), cents, nprobe)
+    assert 0 < len(union) < len(cents)  # pruning is non-trivial
+
+    def local_bytes_read():
+        it = spark._jvm.org.apache.hadoop.fs.FileSystem \
+            .getGlobalStorageStatistics().iterator()
+        while it.hasNext():
+            st = it.next()
+            if st.getScheme() == "file":
+                return st.getLong("bytesRead")
+        return 0
+
+    b0 = local_bytes_read()
+    out = ivf_topk_indexed(spark, path, queries, k=5, centroids=cents,
+                           nprobe=nprobe)
+    rows = out.collect()
+    pruned_bytes = local_bytes_read() - b0
+
+    # the final (adaptive) physical plan prunes statically on __list
+    node = out._jdf.queryExecution().executedPlan()
+    if node.nodeName() == "AdaptiveSparkPlan":
+        node = node.executedPlan()
+    plan = node.toString()
+    assert "PartitionFilters" in plan
+    in_clause = plan.split("PartitionFilters", 1)[1][:200]
+    assert "__list" in in_clause and " IN (" in in_clause, in_clause
+
+    # the identical query probing EVERY list reads strictly more bytes;
+    # the probed fraction tracks the probed directories' share
+    b1 = local_bytes_read()
+    ivf_topk_indexed(spark, path, queries, k=5, centroids=cents,
+                     nprobe=len(cents)).collect()
+    full_bytes = local_bytes_read() - b1
+    assert 0 < pruned_bytes < full_bytes, (pruned_bytes, full_bytes)
+
+    def dir_bytes(pred):
+        total = 0
+        for d in list_dirs:
+            if pred(int(d.split("=")[1])):
+                dd = os.path.join(path, d)
+                total += sum(os.path.getsize(os.path.join(dd, f))
+                             for f in os.listdir(dd)
+                             if f.endswith(".parquet"))
+        return total
+    frac_dirs = dir_bytes(lambda l: l in union) / dir_bytes(lambda l: True)
+    frac_read = pruned_bytes / full_bytes
+    # parquet footers/page-index overhead allows slack; the point is
+    # the scan reads ~the probed share, not the whole index
+    assert frac_read < min(1.0, frac_dirs + 0.25), (frac_read, frac_dirs)
+
+    # same answer as the in-memory operator on the same assignment
+    mem = {(r["q_id"], r["rank"]): r["vec_id"]
+           for r in ivf_topk(emb, queries, k=5, centroids=cents,
+                             nprobe=nprobe).collect()}
+    got = {(r["q_id"], r["rank"]): r["vec_id"] for r in rows}
+    assert got == mem
