@@ -94,6 +94,113 @@ def default_image_codec(feat_dim: int = 16):
         return DeterministicFakeCodec(feat_dim)
 
 
+class ByteHistogramCodec:
+    """Second dependency-free codec: normalized byte-value histogram of
+    the payload, folded to ``feat_dim`` bins. A genuinely different
+    feature derivation from :class:`DeterministicFakeCodec` — used by
+    the contract test to prove the pipeline invariants hold for ANY
+    conformant codec, not one blessed implementation (and useful on its
+    own as cheap content features for near-dup blocking on blobs)."""
+
+    def __init__(self, feat_dim: int = 16):
+        self.feat_dim = feat_dim
+
+    def decode_features(self, payload: bytes) -> np.ndarray:
+        counts = np.bincount(np.frombuffer(payload, dtype=np.uint8),
+                             minlength=256).astype(np.float64)
+        folded = counts.reshape(self.feat_dim, -1).sum(axis=1) \
+            if 256 % self.feat_dim == 0 else np.resize(counts, self.feat_dim)
+        total = folded.sum()
+        out = folded / (total + 1.0)  # strict [0, 1): never hits 1
+        return out.astype(np.float32)
+
+
+class SoundfileAudioCodec:
+    """Real audio decode when ``soundfile`` is installed — same
+    probe-at-construction pattern as :class:`PILImageCodec` (raise
+    ImportError HERE, not per row, so :func:`default_audio_codec` can
+    fall back once). Features: ``feat_dim`` mean-absolute-amplitude
+    bins over the first channel, normalized to [0, 1)."""
+
+    def __init__(self, feat_dim: int = 16):
+        import soundfile  # noqa: F401 - probe the dependency
+        self._sf = soundfile
+        self.feat_dim = feat_dim
+
+    def decode_features(self, payload: bytes) -> np.ndarray:
+        import io
+        data, _rate = self._sf.read(io.BytesIO(payload), always_2d=True)
+        mono = np.abs(data[:, 0].astype(np.float64))
+        if mono.size == 0:
+            return np.zeros(self.feat_dim, dtype=np.float32)
+        pad = (-mono.size) % self.feat_dim
+        mono = np.pad(mono, (0, pad))
+        bins = mono.reshape(self.feat_dim, -1).mean(axis=1)
+        return np.clip(bins / (bins.max() + 1e-9), 0.0,
+                       np.nextafter(1.0, 0.0)).astype(np.float32)
+
+
+class AVVideoCodec:
+    """Real video decode when PyAV is installed — probe at
+    construction like the image/audio codecs. Features: grayscale
+    means of ``feat_dim`` evenly sampled frames, normalized [0, 1)."""
+
+    def __init__(self, feat_dim: int = 16):
+        import av  # noqa: F401 - probe the dependency
+        self._av = av
+        self.feat_dim = feat_dim
+
+    def decode_features(self, payload: bytes) -> np.ndarray:
+        import io
+        out = np.zeros(self.feat_dim, dtype=np.float32)
+        with self._av.open(io.BytesIO(payload)) as container:
+            frames = [f.to_ndarray(format="gray")
+                      for f in container.decode(video=0)]
+        if frames:
+            idx = np.linspace(0, len(frames) - 1, self.feat_dim).astype(int)
+            out = np.array([frames[i].mean() / 256.0 for i in idx],
+                           dtype=np.float32)
+        return out
+
+
+def default_audio_codec(feat_dim: int = 16):
+    try:
+        return SoundfileAudioCodec(feat_dim)
+    except ImportError:
+        return DeterministicFakeCodec(feat_dim)
+
+
+def default_video_codec(feat_dim: int = 16):
+    try:
+        return AVVideoCodec(feat_dim)
+    except ImportError:
+        return DeterministicFakeCodec(feat_dim)
+
+
+def check_codec_contract(spark, codec, feat_dim: int = 16,
+                         n: int = 48) -> dict:
+    """The codec-pluggability contract (mirrors the
+    ``multimodal_features`` driver-query invariants): ANY codec whose
+    ``decode_features`` returns a ``feat_dim``-length float vector with
+    components in [0, 1) must pass — declared dimension, declared
+    range, and Arrow-batch-size invariance of the mapInPandas plumbing.
+    Returns the three verdict booleans keyed like the catalog query."""
+    media = synthetic_media(spark, n=n)
+    feats = extract_features(media, codec).toPandas() \
+        .set_index("media_id").sort_index()
+    again = extract_features(media, codec, batch_rows=7).toPandas() \
+        .set_index("media_id").sort_index()
+    dims = feats["feature"].map(len)
+    flat = np.concatenate([np.asarray(f) for f in feats["feature"]])
+    return {
+        "feat_dim_ok": bool((dims == feat_dim).all()),
+        "feat_range_ok": bool(((flat >= 0.0) & (flat < 1.0)).all()),
+        "feat_batch_invariant": bool(all(
+            np.array_equal(a, b) for a, b in
+            zip(feats["feature"], again["feature"]))),
+    }
+
+
 def extract_features(df: DataFrame, codec: DeterministicFakeCodec | None = None,
                      batch_rows: int = 64) -> DataFrame:
     """payload -> feature vector, Arrow-batched with a small batch size
