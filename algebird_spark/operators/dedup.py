@@ -411,24 +411,38 @@ def lsh_candidate_pairs_from_bands(df: DataFrame, id_col: str = "doc_id",
                                    bands_col: str = "mh_bands") -> DataFrame:
     """Docs sharing any precomputed band bucket (see
     :func:`add_minhash_bands`). Returns (id_a, id_b), id_a < id_b,
-    deduped. The join keys on the bucket VALUE alone: the kernel
+    deduped. Grouping keys on the bucket VALUE alone: the kernel
     seeds every band's hash chain with the band index, so equal
     buckets across different bands cannot happen by construction
     (a 64-bit accidental collision only adds a candidate pair, which
     the exact verify stage discards — correctness is unaffected).
     Bucket values are uniform — mixes of independent hash-lane
-    minima — so no skew."""
+    minima — so no skew.
+
+    Shape (round 5): ONE shuffle — groupBy(bucket) collects each
+    bucket's sorted id list and in-bucket pairs expand JVM-side with
+    higher-order functions. The previous self-join shuffled the banded
+    table TWICE (both sides) for the identical pair set; at 100 TB
+    that halves the largest exchange of the dedup pipeline. In-bucket
+    expansion is the same quadratic the join had; pathological
+    identical-doc clusters are exact dedup's job upstream."""
     df = df.filter(F.col(bands_col).isNotNull()
                    & (F.size(bands_col) > 0))
     banded = df.select(F.col(id_col),
                        F.explode(bands_col).alias("bucket"))
-    left = banded.alias("l")
-    right = banded.alias("r")
-    return (left.join(right,
-                      (F.col("l.bucket") == F.col("r.bucket"))
-                      & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")))
-            .select(F.col(f"l.{id_col}").alias("id_a"),
-                    F.col(f"r.{id_col}").alias("id_b"))
+    buckets = (banded.groupBy("bucket")
+               .agg(F.sort_array(F.collect_list(id_col)).alias("ids"))
+               .filter(F.size("ids") > 1))
+    # all (ids[i], ids[j]) with i < j: for each element, pair it with
+    # the tail of the (sorted, so id_a < id_b) array after it
+    pairs = F.flatten(F.transform(
+        "ids",
+        lambda x, i: F.transform(
+            F.slice("ids", i + F.lit(2),
+                    F.greatest(F.size("ids") - i - 1, F.lit(0))),
+            lambda y: F.struct(x.alias("id_a"), y.alias("id_b")))))
+    return (buckets.select(F.explode(pairs).alias("p"))
+            .select("p.id_a", "p.id_b")
             .distinct())
 
 

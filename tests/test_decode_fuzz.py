@@ -8,7 +8,8 @@ import pytest
 from algebird_spark.sketches import (CMS, HLL, KLL, BloomFilter, Eventually,
                                      ExpHist, HLLSeries, MinHash, Moments,
                                      MultiSketch, QTree, SetSize, SketchMap,
-                                     SpaceSaver, TDigest, from_bytes)
+                                     SketchMapHLL, SpaceSaver, TDigest,
+                                     from_bytes)
 
 
 def _states():
@@ -39,6 +40,9 @@ def _states():
         s = make()
         s.update_batch(vals)
         out.append(s)
+    smh = SketchMapHLL(eps=0.05, delta=0.05, p=8)  # two-array update
+    smh.update_batch(ints % 50, ints)
+    out.append(smh)
     return out
 
 
