@@ -594,23 +594,33 @@ def near_dup_pairs_simhash(df: DataFrame, id_col: str = "doc_id",
                             .bitwiseOR(F.element_at(F.col("__pieces"), j + 1))))
     banded = (sh.withColumn("__pieces", pieces)
               .select(id_col, "simhash", F.explode(keys).alias("bucket")))
+    # ONE shuffle (round 5, like lsh_candidate_pairs_from_bands):
+    # groupBy(bucket) collects each bucket's sorted (id, simhash)
+    # structs — the old self-join shuffled the banded table twice for
+    # the identical candidate set — and the skew guard becomes a free
+    # size filter instead of an extra groupBy + join. Hamming verifies
+    # inside the pair-expansion lambda, so only true near-dup pairs
+    # reach the final distinct, exactly as before.
+    buckets = (banded.groupBy("bucket")
+               .agg(F.sort_array(F.collect_list(F.struct(
+                   F.col(id_col).alias("i"),
+                   F.col("simhash").alias("s")))).alias("ds"))
+               .filter(F.size("ds") > 1))
     if max_bucket is not None:
-        small = (banded.groupBy("bucket")
-                 .agg(F.count("*").alias("__bs"))
-                 .filter(F.col("__bs") <= max_bucket)
-                 .select("bucket"))
-        banded = banded.join(small, "bucket")
-    l, r = banded.alias("l"), banded.alias("r")
-    ham = F.bit_count(
-        F.col("l.simhash").bitwiseXOR(F.col("r.simhash")))
-    # verify (cheap elementwise) BEFORE the distinct so the shuffle
-    # dedups only true near-dup pairs, not every band collision
-    out = (l.join(r, (F.col("l.bucket") == F.col("r.bucket"))
-                  & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")))
-            .select(F.col(f"l.{id_col}").alias("id_a"),
-                    F.col(f"r.{id_col}").alias("id_b"),
-                    ham.alias("hamming"))
-            .filter(F.col("hamming") <= max_hamming)
-            .distinct())
+        buckets = buckets.filter(F.size("ds") <= max_bucket)
+    pair_structs = F.flatten(F.transform(
+        "ds",
+        lambda x, i: F.filter(
+            F.transform(
+                F.slice("ds", i + F.lit(2),
+                        F.greatest(F.size("ds") - i - 1, F.lit(0))),
+                lambda y: F.struct(
+                    x["i"].alias("id_a"), y["i"].alias("id_b"),
+                    F.bit_count(x["s"].bitwiseXOR(y["s"]))
+                     .alias("hamming"))),
+            lambda p: p["hamming"] <= max_hamming)))
+    out = (buckets.select(F.explode(pair_structs).alias("p"))
+           .select("p.id_a", "p.id_b", "p.hamming")
+           .distinct())
     out._algebird_cache = CacheHandle(gen, ("simhash",))
     return out
