@@ -122,23 +122,6 @@ def main():
     spark.read.parquet(f"{sf_dir}/lineitem.parquet").limit(1000) \
         .groupBy("l_returnflag").count().collect()
 
-    # --- stable-JVM control measurement (gates the whole record) --------
-    # pricing_summary cold (codegen) then best-of-2 warm; the warm time
-    # is compared against the committed healthy range above to catch the
-    # probe-invisible whole-JVM degradation mode.
-    control_cold = control_warm = None
-    ctrl = qs.get("pricing_summary")
-    if ctrl is not None:
-        t0 = time.time()
-        ctrl(spark, sf_dir).count()
-        control_cold = round(time.time() - t0, 3)
-        control_warm = float("inf")
-        for _ in range(2):
-            t0 = time.time()
-            ctrl(spark, sf_dir).count()
-            control_warm = min(control_warm, time.time() - t0)
-        control_warm = round(control_warm, 3)
-
     times: dict[str, float] = {}
     cold: dict[str, float] = {}
 
@@ -239,6 +222,15 @@ def main():
     # The control-query gate catches the second (probe-invisible)
     # degradation mode. Protocol: BENCH/BASELINE.md.
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+    # --- stable-JVM control (gates the whole record) --------------------
+    # pricing_summary's OWN best-of-3 steady time from the loop above is
+    # the control: pure JVM whole-stage-codegen aggregation, measured
+    # after full JIT warmup. An early-session dedicated control run was
+    # tried first and read 1.49 s warm while the steady loop read
+    # 0.33 s on the same JVM — C2 ramp-up, a false-positive band; the
+    # steady number is the stable signal and costs zero extra runs.
+    control_warm = times.get("pricing_summary")
+    control_cold = cold.get("pricing_summary")
     flags = contamination_flags(probe_start, control_warm, sf_val)
     if flags["contaminated"]:
         print("# WARNING: degraded VM sample "
