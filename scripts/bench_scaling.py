@@ -132,7 +132,16 @@ def main():
     os.makedirs(f"{REPO}/BENCH", exist_ok=True)
     with open(f"{REPO}/BENCH/scaling.json", "w") as f:
         json.dump({"summary": summary, "runs": {str(k): v for k, v in results.items()}}, f, indent=2)
-    with open(f"{REPO}/BENCH/BASELINE.md", "w") as f:
+    # PRESERVE accumulated addenda: only the generated block (everything
+    # before the first round-addenda heading) is rewritten
+    baseline_path = f"{REPO}/BENCH/BASELINE.md"
+    tail = ""
+    if os.path.exists(baseline_path):
+        prev = open(baseline_path).read()
+        idx = prev.find("## Round-3 addenda")
+        if idx >= 0:
+            tail = prev[idx:]
+    with open(baseline_path, "w") as f:
         f.write(f"""# BENCH/BASELINE — scaling evidence (N vs 4N parallelism)
 
 Protocol (BASELINE.md §3): identical sketch-build job — one-pass
@@ -180,6 +189,8 @@ Kernel engineering that this gate drove (all committed):
     an oversized heap more than halves throughput at 32 cores
     (GC locality), measured 2.71 vs 6.21 M tokens/s.
 """)
+        if tail:
+            f.write("\n" + tail)
     print(json.dumps(summary))
 
 
