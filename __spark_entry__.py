@@ -94,10 +94,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "outlier_detection": Q.q_outlier_detection,
         "trending_topk": Q.q_trending_topk,
         # --- remaining window slots (48-50): newest surfaces rotate in --
-        "eventually_quantiles": Q.q_eventually_quantiles,
         "sketchmap_hll_distinct": Q.q_sketchmap_hll_distinct,  # NEW r5
         "scan_state": Q.q_scan_state,                          # NEW r5
+        "ivf_indexed_topk": Q.q_ivf_indexed_topk,              # NEW r5
         # === tail (51+): driver-green since r1-r4; local gate covers =====
+        "eventually_quantiles": Q.q_eventually_quantiles,
         "scan_compose": Q.q_scan_compose,
         "interval_filter": Q.q_interval_filter,
         "stratified_sample": Q.q_stratified_sample,
@@ -811,6 +812,21 @@ def oracle_sql() -> dict[str, str]:
             FROM ranked WHERE rank <= 5
         """,
         "ivf_topk_exhaustive": """
+            WITH q AS (SELECT vec_id AS q_id, embedding AS q_vec
+                       FROM embeddings ORDER BY vec_id LIMIT 3),
+            scored AS (
+              SELECT q.q_id, e.vec_id,
+                     list_cosine_similarity(e.embedding, q.q_vec) AS cos
+              FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.q_id),
+            ranked AS (
+              SELECT q_id, vec_id, cos,
+                     ROW_NUMBER() OVER (PARTITION BY q_id
+                                        ORDER BY cos DESC, vec_id) AS rank
+              FROM scored)
+            SELECT q_id, vec_id, ROUND(cos, 4) AS cos, rank
+            FROM ranked WHERE rank <= 5
+        """,
+        "ivf_indexed_topk": """
             WITH q AS (SELECT vec_id AS q_id, embedding AS q_vec
                        FROM embeddings ORDER BY vec_id LIMIT 3),
             scored AS (

@@ -1644,6 +1644,31 @@ def q_ivf_topk_exhaustive(spark, sf):
     return out.select("q_id", "vec_id", F.round("cos", 4).alias("cos"), "rank")
 
 
+def q_ivf_indexed_topk(spark, sf):
+    """The MATERIALIZED-index IVF path (round 5: write_ivf_index +
+    ivf_topk_indexed), value-checked end-to-end: the assignment table
+    is written partitionBy('__list') to parquet, probes are computed
+    driver-side into a static ``__list IN (...)`` predicate (partition
+    pruning — plan-gated in test_plans.py), and with nprobe == n_lists
+    the answer must EQUAL exact brute-force cosine top-5 in SQL. This
+    validates the full 100 TB layout: write path, pruned scan with
+    precomputed norms, probe routing, scoring."""
+    import os
+    emb = _t(spark, sf, "embeddings")
+    queries = (emb.orderBy("vec_id").limit(3)
+               .select(F.col("vec_id").alias("q_id"),
+                       F.col("embedding").alias("q_vec")))
+    cents = similarity.train_ivf_centroids(emb, n_lists=16, n_iter=3)
+    tag = os.path.basename(sf.rstrip("/"))
+    path = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), ".data", f"ivf_index_{tag}")
+    similarity.write_ivf_index(emb, cents, path)
+    out = similarity.ivf_topk_indexed(spark, path, queries, k=5,
+                                      centroids=cents, nprobe=16)
+    return out.select("q_id", "vec_id", F.round("cos", 4).alias("cos"),
+                      "rank")
+
+
 def q_ivf_recall(spark, sf):
     """IVF-Flat at the real operating point (nprobe 4 of 16 lists ->
     ~25% of the data scored per query): top-5 recall vs exact,

@@ -411,3 +411,29 @@ def test_ivf_index_partition_pruning(spark, tmp_path):
                              nprobe=nprobe).collect()}
     got = {(r["q_id"], r["rank"]): r["vec_id"] for r in rows}
     assert got == mem
+
+
+def test_lsh_candidates_single_shuffle(spark):
+    """Regression lock for the round-5 shape: candidate generation
+    for both MinHash and SimHash must plan exactly ONE Exchange (the
+    groupBy on bucket) — the old self-join planned two-sided shuffles
+    of the banded table for the identical pair set."""
+    from pyspark.sql import Row
+
+    from algebird_spark.operators import dedup
+
+    docs = spark.createDataFrame(
+        [Row(doc_id=i, text=f"alpha beta gamma delta {i % 5}")
+         for i in range(60)])
+
+    banded = dedup.add_minhash_bands(docs, "text", 32, 8, 3) \
+        .select("doc_id", "mh_bands")
+    plan = dedup.lsh_candidate_pairs_from_bands(banded) \
+        ._jdf.queryExecution().optimizedPlan().toString()
+    # one Aggregate (the bucket groupBy), no Join anywhere
+    assert "Join" not in plan, plan
+
+    sim = dedup.near_dup_pairs_simhash(docs, approx_rows=60)
+    sim_plan = sim._jdf.queryExecution().optimizedPlan().toString()
+    assert "Join" not in sim_plan, sim_plan
+    sim._algebird_cache.release()
