@@ -189,6 +189,15 @@ def ann_topk(vectors: DataFrame, queries: DataFrame, k: int = 10,
             id_col=kw.get("id_col", "vec_id"))
         return _s.ivf_topk(vectors, queries, k, cents,
                            nprobe=kw.pop("nprobe", 4), **kw)
+    if method == "ivf_indexed":
+        # materialized __list-partitioned index: kw must carry
+        # index_path (written via operators.similarity.write_ivf_index)
+        # and centroids; probes become a static pruning predicate
+        path = kw.pop("index_path")
+        cents = kw.pop("centroids")
+        return _s.ivf_topk_indexed(vectors.sparkSession, path, queries,
+                                   k, cents, nprobe=kw.pop("nprobe", 4),
+                                   **kw)
     if method == "lsh":
         if "dim" not in kw:
             kw["dim"] = len(vectors.select(
@@ -202,7 +211,42 @@ def release_dedup_caches(op: str | None = None) -> None:
     and candidate tables). Each operator releases its previous
     invocation's blocks automatically on the next call; batch jobs
     that finish with a dedup stage call this for deterministic
-    cleanup. ``op``: one of 'minhash', 'minhash_cands', 'simhash',
-    'weighted_minhash', or None for all."""
+    cleanup. ``op``: one of 'minhash', 'minhash_cands',
+    'jaccard_verify_shingles', 'simhash', 'weighted_minhash', or None
+    for all; near_dup_pairs_* results also carry a per-invocation
+    ``_algebird_cache`` handle."""
     from .operators.dedup import release_caches
     release_caches(op)
+
+
+def distinct_count_per_key(df: DataFrame, key_col: str, value_col: str,
+                           eps: float = 0.01, delta: float = 0.01,
+                           p: int = 12, heavy_hitters_count: int = 10):
+    """Approximate distinct ``value_col`` count per ``key_col`` in ONE
+    fixed-size state (SketchMapHLL — the V=HLL instance of the
+    reference's generic SketchMap): ship the returned state anywhere
+    and batch-query it with ``.values(keys)``; ``heavy_hitters()``
+    gives the top keys by estimated distinct count. Returns the merged
+    sketch (driver-side object), built with the scale topology."""
+    from .agg import sketch_by_key_multi
+    from .sketches import SketchMapHLL, from_bytes
+
+    states = sketch_by_key_multi(
+        df, [], [key_col, value_col],
+        lambda: SketchMapHLL(eps=eps, delta=delta, p=p,
+                             heavy_hitters_count=heavy_hitters_count))
+    return from_bytes(bytes(states.collect()[0]["sketch_state"]))
+
+
+def scan_fold(df: DataFrame, keys: Sequence[str], order, step, init,
+              output_col: str = "scan_out",
+              output_type: str = "double") -> DataFrame:
+    """General ``Scan.from(initialState)(fn)``: fold
+    ``step(state, row) -> (new_state, output)`` per key in ``order``
+    (one shuffle; state never leaves the task). For transitions
+    expressible as vectorized group kernels use
+    ``operators.scan.GeneralScan.apply_batch``; for running aggregates
+    use the window-expression ``operators.scan.Scan`` (pure JVM)."""
+    from .operators.scan import Scan
+    return Scan.from_fn(step, init).apply(df, keys, order, output_col,
+                                          output_type)

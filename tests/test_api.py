@@ -2,7 +2,7 @@
 
 import numpy as np
 import pytest
-from pyspark.sql import functions as F
+from pyspark.sql import Row, functions as F
 
 from algebird_spark import api
 
@@ -195,3 +195,53 @@ def test_single_table_lsh_bucketed_topk(spark):
            lsh_bucketed_topk(df, q, k=3, dim=8, n_planes=4).collect()}
     for i in range(5):
         assert got[(i, 1)] == 100 + i  # the scaled twin ranks first
+
+
+def test_distinct_count_per_key_api(spark):
+    from algebird_spark import api
+    rows = [Row(k=i % 10, v=(i * 13) % 200) for i in range(4_000)]
+    df = spark.createDataFrame(rows)
+    sk = api.distinct_count_per_key(df, "k", "v", eps=0.02, delta=0.01,
+                                    p=10, heavy_hitters_count=3)
+    import numpy as np
+    exact = {k: len({(i * 13) % 200 for i in range(4_000) if i % 10 == k})
+             for k in range(10)}
+    est = sk.values(np.arange(10))
+    truth = np.array([exact[k] for k in range(10)], dtype=float)
+    assert (est >= truth * (1 - 3.5 * sk.error)).all()
+    assert len(sk.heavy_hitters()) == 3
+
+
+def test_scan_fold_api(spark):
+    from algebird_spark import api
+    df = spark.createDataFrame(
+        [Row(k=1, t=float(t)) for t in (0, 10, 2000, 2005, 9000)])
+
+    def step(state, row):
+        prev, sess = state
+        if prev is None or row.t - prev > 1000:
+            sess += 1
+        return (row.t, sess), sess
+
+    out = api.scan_fold(df, ["k"], ["t"], step, (None, 0),
+                        "sess", "bigint")
+    got = [r["sess"] for r in out.orderBy("t").collect()]
+    assert got == [1, 1, 2, 2, 3]
+
+
+def test_ann_topk_ivf_indexed_method(spark, tmp_path):
+    from algebird_spark import api
+    from algebird_spark.operators.similarity import (train_ivf_centroids,
+                                                     write_ivf_index)
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    cents = train_ivf_centroids(emb, n_lists=8, n_iter=2)
+    path = str(tmp_path / "idx")
+    write_ivf_index(emb, cents, path)
+    q = (emb.orderBy("vec_id").limit(2)
+         .select(F.col("vec_id").alias("q_id"),
+                 F.col("embedding").alias("q_vec")))
+    out = api.ann_topk(emb, q, k=3, method="ivf_indexed",
+                       index_path=path, centroids=cents, nprobe=8)
+    rows = out.collect()
+    assert {r["q_id"] for r in rows} == {r["q_id"] for r in q.collect()}
+    assert all(1 <= r["rank"] <= 3 for r in rows)
