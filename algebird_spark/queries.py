@@ -186,20 +186,34 @@ _QUANTILE_PS = [0.05, 0.25, 0.5, 0.75, 0.95]
 
 
 def _quantile_query(spark, sf, factory, ok_fn, sketch_name):
+    from concurrent.futures import ThreadPoolExecutor
+
     li = _t(spark, sf, "lineitem")
-    states = sketch_by_key(li, ["l_returnflag"], "l_extendedprice", factory)
-    sketches = {r["l_returnflag"]: from_bytes(bytes(r[STATE_COL]))
+
+    def sketch_side():
+        states = sketch_by_key(li, ["l_returnflag"], "l_extendedprice",
+                               factory)
+        return {r["l_returnflag"]: from_bytes(bytes(r[STATE_COL]))
                 for r in states.collect()}
+
     # exact side: prune to the two columns; the scan's natural
     # parallelism + AQE handle the partial aggregation (measured: a
     # forced repartition costs an extra shuffle and is SLOWER at every
     # fixture SF — 2.0 s vs 1.26 s at sf0.1 — and at warehouse scale
     # the parquet layout supplies the partitions anyway)
-    exact_src = li.select("l_returnflag", "l_extendedprice")
-    exact = {r["l_returnflag"]: r["q"] for r in exact_src
-             .groupBy("l_returnflag").agg(
-        F.expr(f"percentile(l_extendedprice, array({','.join(map(str, _QUANTILE_PS))}))")
-        .alias("q")).collect()}
+    def exact_side():
+        exact_src = li.select("l_returnflag", "l_extendedprice")
+        return {r["l_returnflag"]: r["q"] for r in exact_src
+                .groupBy("l_returnflag").agg(
+            F.expr(f"percentile(l_extendedprice, array({','.join(map(str, _QUANTILE_PS))}))")
+            .alias("q")).collect()}
+
+    # the two sides are independent Spark jobs over the same scan —
+    # submit concurrently (Spark's scheduler interleaves them; measured
+    # 2.79 -> 1.56 s warm at sf0.1)
+    with ThreadPoolExecutor(2) as pool:
+        f_sk, f_ex = pool.submit(sketch_side), pool.submit(exact_side)
+        sketches, exact = f_sk.result(), f_ex.result()
     rows = []
     for flag in sorted(sketches):
         for p, ex in zip(_QUANTILE_PS, exact[flag]):
