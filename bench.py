@@ -210,6 +210,18 @@ def main():
               f" ({n} rows)", file=sys.stderr)
 
     total = round(sum(times.values()), 3)
+    # end-of-run control (DIAGNOSTIC, not gating): a stable-JVM query
+    # timed once more after the whole loop. A healthy start probe +
+    # healthy in-loop control + degraded end control is the signature
+    # of a MID-RUN degradation window (observed: a clean-flagged run
+    # carried hll_distinct_per_group at 17 s — 5x — while every gate
+    # read healthy; consecutive-record spreads are the tell).
+    control_end = None
+    ctrl = qs.get("pricing_summary")
+    if ctrl is not None:
+        t0 = time.time()
+        ctrl(spark, sf_dir).count()
+        control_end = round(time.time() - t0, 3)
     probe_end = mem_probe_ms()
     # Self-gating contamination flags (VERDICT r3 #4, hardened per
     # VERDICT r4 #1): a healthy box reads the numpy probe at ~25-60 ms;
@@ -242,7 +254,7 @@ def main():
     print(json.dumps({
         "mem_probe_ms": {"start": probe_start, "end": probe_end},
         "control_s": {"query": "pricing_summary", "cold": control_cold,
-                      "warm": control_warm,
+                      "warm": control_warm, "end_warm": control_end,
                       "healthy_warm_limit": CONTROL_HEALTHY_WARM_S.get(sf_val)},
         **flags,
         "metric": "headline queries total + one-pass multisketch build",

@@ -141,3 +141,37 @@ def test_eventually_inside_multisketch(seed, threshold):
             "ev_list": Eventually(KLL(k=200), threshold, "list"),
             "hll": HLL(p=12),
         }))
+
+
+# ------------------------------------------------ SketchMapHLL monoid laws
+@given(seed=st.integers(0, 5_000),
+       eps=st.sampled_from([0.02, 0.05]),
+       p=st.integers(6, 10))
+@settings(max_examples=15, deadline=None)
+def test_sketchmap_hll_monoid_laws(seed, eps, p):
+    """Register-max cells form an idempotent commutative monoid:
+    associativity, commutativity, idempotence, and zero identity all
+    hold BYTE-exactly (unlike count-valued sketches there is no
+    float-order concern)."""
+    from algebird_spark.sketches import SketchMapHLL, from_bytes
+
+    rng = np.random.default_rng(seed)
+
+    def build(n):
+        s = SketchMapHLL(eps=eps, delta=0.05, p=p)
+        s.update_batch(rng.integers(0, 30, size=n).astype(np.int64),
+                       rng.integers(0, 500, size=n).astype(np.int64))
+        return s
+
+    a, b, c = build(400), build(300), build(200)
+    ab_c = ((a + b) + c).table
+    a_bc = (a + (b + c)).table
+    assert np.array_equal(ab_c, a_bc)                      # associative
+    assert np.array_equal((a + b).table, (b + a).table)    # commutative
+    assert np.array_equal((a + a).table, a.table)          # idempotent
+    zero = SketchMapHLL(eps=eps, delta=0.05, p=p)
+    assert np.array_equal((a + zero).table, a.table)       # identity
+    # wire roundtrip preserves the table and the hh estimates
+    rt = from_bytes(a.to_bytes())
+    assert np.array_equal(rt.table, a.table)
+    assert rt.heavy_hitters() == a.heavy_hitters()
