@@ -437,3 +437,28 @@ def test_lsh_candidates_single_shuffle(spark):
     sim_plan = sim._jdf.queryExecution().optimizedPlan().toString()
     assert "Join" not in sim_plan, sim_plan
     sim._algebird_cache.release()
+
+
+def test_ivf_index_spill_written_matches_in_memory(spark, tmp_path):
+    """A boundary-spill index (vectors duplicated into 2 lists near
+    Voronoi boundaries) queried with deduplicate=True returns the same
+    top-k as the in-memory spill operator on the same assignment."""
+    from algebird_spark.operators.similarity import (
+        ivf_topk, ivf_topk_indexed, train_ivf_centroids, write_ivf_index)
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    cents = train_ivf_centroids(emb, n_lists=8, n_iter=2)
+    path = str(tmp_path / "ivf_spill_index")
+    write_ivf_index(emb, cents, path, spill_margin=0.05)
+
+    queries = (emb.orderBy("vec_id").limit(3)
+               .select(F.col("vec_id").alias("q_id"),
+                       F.col("embedding").alias("q_vec")))
+    got = {(r["q_id"], r["rank"]): r["vec_id"]
+           for r in ivf_topk_indexed(spark, path, queries, k=5,
+                                     centroids=cents, nprobe=3,
+                                     deduplicate=True).collect()}
+    mem = {(r["q_id"], r["rank"]): r["vec_id"]
+           for r in ivf_topk(emb, queries, k=5, centroids=cents,
+                             nprobe=3, spill_margin=0.05).collect()}
+    assert got == mem and len(got) == 15
