@@ -1012,14 +1012,30 @@ def q_sketchmap_hll_distinct(spark, sf):
     """
     from pyspark.sql import Window
 
+    from concurrent.futures import ThreadPoolExecutor
+
     from .agg import sketch_by_key_multi
     from .sketches import SketchMapHLL
     li = _t(spark, sf, "lineitem")
-    states = sketch_by_key_multi(
-        li, [], ["l_suppkey", "l_partkey"],
-        lambda: SketchMapHLL(eps=0.01, delta=0.01, p=10,
-                             heavy_hitters_count=5))
-    sk = from_bytes(bytes(states.collect()[0][STATE_COL]))
+
+    def build_state():
+        states = sketch_by_key_multi(
+            li, [], ["l_suppkey", "l_partkey"],
+            lambda: SketchMapHLL(eps=0.01, delta=0.01, p=10,
+                                 heavy_hitters_count=5))
+        return from_bytes(bytes(states.collect()[0][STATE_COL]))
+
+    def exact_counts():
+        g = li.groupBy("l_suppkey") \
+            .agg(F.count_distinct("l_partkey").alias("d")).persist()
+        g.count()  # materialize concurrently with the state build
+        return g
+
+    # the sketch build and the exact COUNT(DISTINCT) side are
+    # independent jobs over the same scan — submit concurrently
+    with ThreadPoolExecutor(2) as pool:
+        f_sk, f_g = pool.submit(build_state), pool.submit(exact_counts)
+        sk, g = f_sk.result(), f_g.result()
     sk_bytes, err, eps = sk.to_bytes(), sk.error, sk.eps
 
     @F.pandas_udf("double")
@@ -1028,9 +1044,7 @@ def q_sketchmap_hll_distinct(spark, sf):
         for s in it:
             yield pd.Series(local.values(s.to_numpy(dtype="int64")))
 
-    grouped = (li.groupBy("l_suppkey")
-               .agg(F.count_distinct("l_partkey").alias("d"))
-               .withColumn("est", smh_est(F.col("l_suppkey"))))
+    grouped = g.withColumn("est", smh_est(F.col("l_suppkey")))
     d_total = F.sum("d").over(Window.partitionBy())
     flags = grouped.select(
         "d",
@@ -1092,8 +1106,14 @@ def q_scan_state(spark, sf):
     group (one shuffle on user_id; state never leaves the task).
     Aggregated to per-session counts then a scalar summary so the
     oracle (LAG + windowed running sum in SQL) value-checks the whole
-    numbering."""
-    from .operators.scan import Scan
+    numbering. Uses the VECTORIZED group-kernel form (apply_batch,
+    diff/cumsum — no per-row Python), which is law-tested equal to the
+    row-at-a-time ``Scan.from_fn(...).apply`` fold and to a Python
+    reference fold in tests/test_scan.py; the general fold is the
+    semantics under test, the kernel is the scale-right execution."""
+    import numpy as np
+
+    from .operators.scan import GeneralScan
     ev = _t(spark, sf, "events").select(
         "user_id", "event_id",
         # NTZ -> timestamp is value-preserving under the session's UTC
@@ -1101,14 +1121,12 @@ def q_scan_state(spark, sf):
         # DuckDB's epoch()
         F.col("ts").cast("timestamp").cast("double").alias("tsec"))
 
-    def step(state, row):
-        prev_ts, sess = state
-        if prev_ts is None or (row.tsec - prev_ts) > 1800.0:
-            sess += 1
-        return (row.tsec, sess), sess
+    def kernel(g):
+        gaps = g["tsec"].diff().fillna(np.inf) > 1800.0
+        return gaps.cumsum().astype("int64")
 
-    numbered = Scan.from_fn(step, (None, 0)).apply(
-        ev, ["user_id"], ["tsec", "event_id"], "sess", "bigint")
+    numbered = GeneralScan.apply_batch(
+        ev, ["user_id"], ["tsec", "event_id"], kernel, "sess", "bigint")
     per_session = numbered.groupBy("user_id", "sess") \
         .agg(F.count("*").alias("cnt"))
     return per_session.agg(

@@ -37,6 +37,9 @@ HEADLINE = [
     # round 2: string-key sketches + LSH recall
     "hll_string_distinct",
     "minhash_lsh_recall",
+    # round 5: SketchMapHLL + general Scan.from
+    "sketchmap_hll_distinct",
+    "scan_state",
 ]
 
 
