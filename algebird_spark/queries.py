@@ -260,20 +260,30 @@ def q_eventually_quantiles(spark, sf):
     values across the hand-off) fails the value hash."""
     from .sketches import Eventually
 
+    from concurrent.futures import ThreadPoolExecutor
+
     li = _t(spark, sf, "lineitem")
-    small = sketch_by_key(li, ["l_returnflag"], "l_extendedprice",
-                          lambda: Eventually(KLL(k=200), 1_000, "list"))
-    big = sketch_by_key(li, ["l_returnflag"], "l_extendedprice",
-                        lambda: Eventually(KLL(k=200), 10**9, "list"))
-    conv = {r["l_returnflag"]: from_bytes(bytes(r[STATE_COL]))
-            for r in small.collect()}
-    exact_sk = {r["l_returnflag"]: from_bytes(bytes(r[STATE_COL]))
-                for r in big.collect()}
-    exact = {r["l_returnflag"]: r["q"] for r in li
-             .select("l_returnflag", "l_extendedprice")
-             .groupBy("l_returnflag").agg(
-        F.expr(f"percentile(l_extendedprice, array({','.join(map(str, _QUANTILE_PS))}))")
-        .alias("q")).collect()}
+
+    def states_at(threshold):
+        df = sketch_by_key(li, ["l_returnflag"], "l_extendedprice",
+                           lambda: Eventually(KLL(k=200), threshold,
+                                              "list"))
+        return {r["l_returnflag"]: from_bytes(bytes(r[STATE_COL]))
+                for r in df.collect()}
+
+    def exact_pcts():
+        return {r["l_returnflag"]: r["q"] for r in li
+                .select("l_returnflag", "l_extendedprice")
+                .groupBy("l_returnflag").agg(
+            F.expr(f"percentile(l_extendedprice, array({','.join(map(str, _QUANTILE_PS))}))")
+            .alias("q")).collect()}
+
+    # three independent jobs over one scan — submit concurrently
+    with ThreadPoolExecutor(3) as pool:
+        f_c = pool.submit(states_at, 1_000)
+        f_e = pool.submit(states_at, 10**9)
+        f_x = pool.submit(exact_pcts)
+        conv, exact_sk, exact = f_c.result(), f_e.result(), f_x.result()
     rows = []
     for flag in sorted(conv):
         c, e = conv[flag], exact_sk[flag]
