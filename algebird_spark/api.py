@@ -245,8 +245,11 @@ def scan_fold(df: DataFrame, keys: Sequence[str], order, step, init,
     ``step(state, row) -> (new_state, output)`` per key in ``order``
     (one shuffle; state never leaves the task). For transitions
     expressible as vectorized group kernels use
-    ``operators.scan.GeneralScan.apply_batch``; for running aggregates
-    use the window-expression ``operators.scan.Scan`` (pure JVM)."""
+    ``operators.scan.GeneralScan.apply_batch`` (per-group) or
+    ``apply_stream`` (partition-ordered, one Python call per Arrow
+    batch — the right shape at high key cardinality); for running
+    aggregates use the window-expression ``operators.scan.Scan``
+    (pure JVM)."""
     from .operators.scan import Scan
     return Scan.from_fn(step, init).apply(df, keys, order, output_col,
                                           output_type)

@@ -243,3 +243,72 @@ class GeneralScan:
                             + [StructField(output_col,
                                            _parse_datatype_string(output_type))])
         return df.groupBy(*keys).applyInPandas(fold, schema)
+
+    @staticmethod
+    def apply_stream(df: DataFrame, keys: Sequence[str],
+                     order: Sequence[str] | str,
+                     batch_kernel: Callable, output_col: str = "scan_out",
+                     output_type: str = "double") -> DataFrame:
+        """Partition-ordered streaming fold — the many-small-groups
+        scale path. ``apply``/``apply_batch`` pay one Python call and
+        one Arrow round-trip PER KEY GROUP (``applyInPandas``
+        semantics); at a billion 3-row groups that overhead dominates
+        the fold. Here the plan is one hash Exchange on ``keys`` + one
+        in-partition Sort by (keys, order) + a SINGLE ``mapInPandas``
+        pass, so Python runs once per ARROW BATCH regardless of group
+        cardinality. ``batch_kernel(pdf, carry) -> (values, carry)``
+        sees the sorted batch and threads fold state across batch
+        boundaries (``carry`` is ``None`` at each partition start);
+        the sort makes key groups contiguous, so the kernel detects
+        group changes vectorized (shift/compare on the key columns)
+        and consults ``carry`` only for its first row. Per-partition
+        state is O(1), and groups may span Arrow batches freely."""
+        order_cols = [order] if isinstance(order, str) else list(order)
+        key_cols = list(keys)
+        schema = StructType(list(df.schema.fields)
+                            + [StructField(output_col,
+                                           _parse_datatype_string(output_type))])
+
+        def run(batches):
+            carry = None
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                vals, carry = batch_kernel(pdf, carry)
+                pdf[output_col] = vals
+                yield pdf
+
+        return (df.repartition(*key_cols)
+                  .sortWithinPartitions(*key_cols, *order_cols)
+                  .mapInPandas(run, schema))
+
+
+def session_numbers_kernel(user_col: str, ts_col: str, gap: float):
+    """Batch kernel for :meth:`GeneralScan.apply_stream` that numbers
+    sessions per key: a new session starts at each key change or when
+    the time since the previous row exceeds ``gap`` seconds — the
+    vectorized form of the ``Scan.from`` transition
+    ``state=(prev_ts, sess_no)``. Entirely pandas/numpy C paths
+    (shift/compare + per-run cumsum); carry = (last_key, last_ts,
+    last_sess_no)."""
+    import numpy as np
+
+    def kernel(pdf, carry):
+        u, t = pdf[user_col], pdf[ts_col]
+        user_new = u.ne(u.shift())
+        gap_new = (t - t.shift()).fillna(np.inf) > gap
+        if carry is not None:
+            cu, ct, cs = carry
+            user_new.iloc[0] = bool(u.iloc[0] != cu)
+            gap_new.iloc[0] = bool(user_new.iloc[0]
+                                   or (t.iloc[0] - ct > gap))
+        new_sess = (gap_new | user_new)
+        sess = new_sess.groupby(u.to_numpy()).cumsum().astype("int64")
+        if carry is not None and u.iloc[0] == cu:
+            uv = u.to_numpy()
+            later = np.flatnonzero(uv != uv[0])
+            end = int(later[0]) if len(later) else len(uv)
+            sess.iloc[:end] += cs
+        return sess, (u.iloc[-1], t.iloc[-1], int(sess.iloc[-1]))
+
+    return kernel

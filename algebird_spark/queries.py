@@ -1116,14 +1116,15 @@ def q_scan_state(spark, sf):
     group (one shuffle on user_id; state never leaves the task).
     Aggregated to per-session counts then a scalar summary so the
     oracle (LAG + windowed running sum in SQL) value-checks the whole
-    numbering. Uses the VECTORIZED group-kernel form (apply_batch,
-    diff/cumsum — no per-row Python), which is law-tested equal to the
-    row-at-a-time ``Scan.from_fn(...).apply`` fold and to a Python
-    reference fold in tests/test_scan.py; the general fold is the
-    semantics under test, the kernel is the scale-right execution."""
-    import numpy as np
-
-    from .operators.scan import GeneralScan
+    numbering. Uses the STREAMING form (apply_stream: one Exchange +
+    in-partition Sort + a single mapInPandas pass; Python runs once
+    per Arrow batch, not once per user group, with fold state carried
+    across batch boundaries), law-tested equal to the row-at-a-time
+    ``Scan.from_fn(...).apply`` fold, the per-group apply_batch
+    kernel, and a Python reference fold in tests/test_scan.py; the
+    general fold is the semantics under test, the streaming kernel is
+    the scale-right execution for high key cardinality."""
+    from .operators.scan import GeneralScan, session_numbers_kernel
     ev = _t(spark, sf, "events").select(
         "user_id", "event_id",
         # NTZ -> timestamp is value-preserving under the session's UTC
@@ -1131,12 +1132,10 @@ def q_scan_state(spark, sf):
         # DuckDB's epoch()
         F.col("ts").cast("timestamp").cast("double").alias("tsec"))
 
-    def kernel(g):
-        gaps = g["tsec"].diff().fillna(np.inf) > 1800.0
-        return gaps.cumsum().astype("int64")
-
-    numbered = GeneralScan.apply_batch(
-        ev, ["user_id"], ["tsec", "event_id"], kernel, "sess", "bigint")
+    numbered = GeneralScan.apply_stream(
+        ev, ["user_id"], ["tsec", "event_id"],
+        session_numbers_kernel("user_id", "tsec", 1800.0),
+        "sess", "bigint")
     per_session = numbered.groupBy("user_id", "sess") \
         .agg(F.count("*").alias("cnt"))
     return per_session.agg(

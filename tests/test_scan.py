@@ -132,3 +132,52 @@ def test_apply_batch_vectorized_kernel_agrees(spark):
          .apply(df, ["k"], ["ts", "i"], "sess", "bigint")
          .toPandas().sort_values(["k", "ts", "i"])["sess"].to_numpy())
     assert np.array_equal(a, b)
+
+
+def test_apply_stream_agrees_across_arrow_batches(spark):
+    """Law: the streaming partition-ordered fold (apply_stream, one
+    mapInPandas pass with carry-over state) == the per-group fold, with
+    the Arrow batch size forced tiny so every key group spans several
+    batches and the carry path is exercised on both its branches
+    (same-key continuation and key change mid-batch)."""
+    from algebird_spark.operators.scan import (GeneralScan,
+                                               session_numbers_kernel)
+    rng = np.random.default_rng(17)
+    n = 600
+    pdf = pd.DataFrame({
+        "k": rng.integers(0, 4, size=n),      # few keys -> long groups
+        "ts": rng.uniform(0, 60_000, size=n),
+        "i": np.arange(n),
+    })
+    df = spark.createDataFrame(pdf)
+
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "13")
+    try:
+        a = (GeneralScan.apply_stream(
+                df, ["k"], ["ts", "i"],
+                session_numbers_kernel("k", "ts", 300.0),
+                "sess", "bigint")
+             .toPandas().sort_values(["k", "ts", "i"])["sess"].to_numpy())
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+    b = (Scan.from_fn(_session_step(300.0), (None, 0))
+         .apply(df, ["k"], ["ts", "i"], "sess", "bigint")
+         .toPandas().sort_values(["k", "ts", "i"])["sess"].to_numpy())
+    assert np.array_equal(a, b)
+
+
+def test_apply_stream_single_row_groups(spark):
+    """Degenerate cardinality: every key is its own 1-row group (the
+    many-tiny-groups regime apply_stream exists for) — each row is
+    session 1 of its key."""
+    from algebird_spark.operators.scan import (GeneralScan,
+                                               session_numbers_kernel)
+    pdf = pd.DataFrame({"k": np.arange(200), "ts": np.zeros(200),
+                        "i": np.arange(200)})
+    df = spark.createDataFrame(pdf)
+    out = (GeneralScan.apply_stream(
+              df, ["k"], ["ts", "i"],
+              session_numbers_kernel("k", "ts", 300.0), "sess", "bigint")
+           .toPandas())
+    assert len(out) == 200 and (out["sess"] == 1).all()
