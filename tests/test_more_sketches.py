@@ -356,3 +356,32 @@ def test_sketchmap_hll_string_keys_and_incompatible():
         s.merge_in_place(SketchMapHLL(eps=0.05, delta=0.05, p=9))
     with pytest.raises(ValueError):
         s.update_batch(ks, vs[:-1])
+
+
+def test_sketchmap_hll_pending_cap_flush_parity():
+    """The deferred heavy-hitter candidate set flushes mid-stream once
+    it exceeds _PENDING_CAP distinct keys; the cap path must leave the
+    table AND serialized state identical to single-shot, and hh must
+    hold exactly hh_count entries with table-accurate estimates."""
+    from algebird_spark.sketches import SketchMapHLL, from_bytes as fb
+    rng = np.random.default_rng(9)
+    n_keys = int(SketchMapHLL._PENDING_CAP * 2.5)   # force >=2 flushes
+    keys = rng.permutation(np.repeat(np.arange(n_keys, dtype=np.int64), 3))
+    vals = rng.integers(0, 10_000, size=len(keys)).astype(np.int64)
+
+    chunked = SketchMapHLL(eps=0.05, delta=0.05, p=6, heavy_hitters_count=4)
+    for lo in range(0, len(keys), 1000):
+        chunked.update_batch(keys[lo:lo + 1000], vals[lo:lo + 1000])
+        assert len(chunked._pending) < SketchMapHLL._PENDING_CAP + 1000
+    single = SketchMapHLL(eps=0.05, delta=0.05, p=6, heavy_hitters_count=4)
+    single.update_batch(keys, vals)
+
+    assert np.array_equal(chunked.table, single.table)
+    hh = chunked.heavy_hitters()
+    assert len(hh) == 4
+    # estimates must match a fresh read of the final table
+    est = chunked.values(np.array([k for k, _ in hh], dtype=np.int64))
+    assert np.allclose([v for _, v in hh], est)
+    # decode round-trip carries the flushed hh
+    again = fb(chunked.to_bytes())
+    assert again.heavy_hitters() == hh
