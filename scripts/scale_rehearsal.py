@@ -144,6 +144,70 @@ def main():
                  wall_s=round(best, 1), groups=n_groups,
                  tokens_per_sec=int(n_tokens / best), **extra)
 
+    # ------------------------------------------------------------ docfreq
+    if "docfreq" in stages:
+        # Document frequency per token — SketchMapHLL's at-scale use:
+        # approximate Map[token -> distinct docs] over EVERY
+        # (token, doc) pair of the 1.2155e9-token table in ONE
+        # fixed-size state (depth 5 x width e/eps x 2^p registers,
+        # ~35 MB at eps=1e-4/p=8), vs an exact DF needing a 1.2e9-row
+        # distinct+groupBy shuffle keyed on a 1M-token space. eps
+        # picks the measurable band: per-key slack is eps * D_total
+        # distinct pairs, so heavy tokens (the ones DF/IDF filtering
+        # acts on) are measurable and the long tail degrades to the
+        # documented one-sided bounds.
+        from algebird_spark.agg import STATE_COL, sketch_by_key_multi
+        from algebird_spark.sketches import SketchMapHLL, from_bytes
+
+        tok = spark.read.parquet(tok_path)
+        pairs = tok.select(F.explode("tokens").alias("tok"),
+                           F.xxhash64("doc_id").alias("doc"))
+        n_pairs = tok.agg(F.sum("n_tok")).collect()[0][0]
+
+        def factory():
+            return SketchMapHLL(eps=1e-4, delta=0.01, p=8,
+                                heavy_hitters_count=0)
+
+        t0 = time.time()
+        states = sketch_by_key_multi(pairs, [], ["tok", "doc"], factory)
+        sk = from_bytes(bytes(states.collect()[0][STATE_COL]))
+        wall = time.time() - t0
+
+        # validate bounds on the 24 most frequent tokens (exact DF via
+        # a filtered aggregate; D_total via one approx_count_distinct
+        # pass -- the 3.5 sigma margins dwarf its ~1% error)
+        top = (pairs.groupBy("tok").agg(F.count("*").alias("c"))
+               .orderBy(F.desc("c")).limit(24).collect())
+        probe = [int(r["tok"]) for r in top]
+        exact = {int(r["tok"]): int(r["d"]) for r in
+                 (pairs.filter(F.col("tok").isin(probe))
+                  .groupBy("tok")
+                  .agg(F.count_distinct("doc").alias("d")).collect())}
+        d_total = pairs.agg(
+            F.approx_count_distinct(F.struct("tok", "doc"), 0.01)
+            .alias("d")).collect()[0]["d"]
+
+        import numpy as np
+        est = sk.values(np.array(probe, dtype=np.int64))
+        err = sk.error
+        lo_ok = all(e >= exact[k] * (1 - 3.5 * err) - 1e-6
+                    for k, e in zip(probe, est))
+        hi_ok = all(e <= (exact[k] + sk.eps * d_total) * (1 + 3.5 * err)
+                    + 1e-6 for k, e in zip(probe, est))
+        rel = [float(e / exact[k]) for k, e in zip(probe, est)]
+        emit("docfreq_sketchmap_hll",
+             wall_s=round(wall, 1), pairs=int(n_pairs),
+             pairs_per_sec=int(n_pairs / wall),
+             state_mb=round(sk.to_bytes().__len__() / 1e6, 1),
+             d_total_approx=int(d_total),
+             probe_tokens=len(probe), never_under=bool(lo_ok),
+             within_eps=bool(hi_ok),
+             est_over_exact_minmax=[round(min(rel), 3),
+                                    round(max(rel), 3)],
+             note="Map[token -> distinct docs] for the full 1M vocab "
+                  "in one ~35 MB idempotent state; exact DF would "
+                  "shuffle 1.2e9 distinct pairs")
+
     # --------------------------------------------------------------- dedup
     if "dedup" in stages:
         from algebird_spark.operators.pipeline import dedup_pipeline
