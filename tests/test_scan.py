@@ -181,3 +181,15 @@ def test_apply_stream_single_row_groups(spark):
               session_numbers_kernel("k", "ts", 300.0), "sess", "bigint")
            .toPandas())
     assert len(out) == 200 and (out["sess"] == 1).all()
+
+
+def test_sessionize_api_sugar(spark):
+    """api.sessionize == the apply_stream fold it wraps."""
+    from algebird_spark.api import sessionize
+    pdf = pd.DataFrame({"u": [1, 1, 1, 2, 2],
+                        "t": [0.0, 100.0, 5000.0, 1.0, 9000.0],
+                        "i": [0, 1, 2, 3, 4]})
+    out = (sessionize(spark.createDataFrame(pdf), "u", "t", 1800.0,
+                      order=["t", "i"])
+           .toPandas().sort_values(["u", "t"])["session"].tolist())
+    assert out == [1, 1, 2, 1, 2]
