@@ -72,6 +72,24 @@ def mem_probe_ms() -> float:
 
 
 HEALTHY_PROBE_MS = 100.0
+
+
+def cpu_jiffies() -> tuple[int, int] | None:
+    """(total, steal) jiffies from /proc/stat — sampled at run start
+    and end so the record carries the HYPERVISOR PREEMPTION share
+    during the measured window. This is the third degradation mode:
+    CPU steal slows the 32-way parallel Python kernel queries while
+    the (lighter-parallelism, cache-resident) control query and the
+    single-threaded allocation probe both stay healthy — observed as
+    clean-flagged records whose Python-heavy queries read 1.3-2x
+    slow with flat pricing_summary. Diagnostic, not gating, until a
+    healthy range is committed across rounds."""
+    try:
+        with open("/proc/stat") as f:
+            vals = [int(x) for x in f.readline().split()[1:]]
+        return sum(vals), (vals[7] if len(vals) > 7 else 0)
+    except (OSError, ValueError, IndexError):
+        return None
 # Committed healthy WARM range for the stable-JVM control query
 # (pricing_summary — pure JVM whole-stage-codegen aggregation, no
 # Python workers), per SF, measured exclusive across rounds 3-5.
@@ -101,6 +119,7 @@ def contamination_flags(probe_start_ms: float, control_warm_s: float | None,
 
 def main():
     probe_start = mem_probe_ms()
+    jiffies_start = cpu_jiffies()
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     sf = sf_dir.rstrip("/").split("sf")[-1]
@@ -254,8 +273,16 @@ def main():
               f"{CONTROL_HEALTHY_WARM_S.get(sf_val)}s); record flagged "
               "contaminated=true — rerun exclusively before treating "
               "timings as a signal", file=sys.stderr)
+    jiffies_end = cpu_jiffies()
+    steal_pct = None
+    if jiffies_start and jiffies_end:
+        d_total = jiffies_end[0] - jiffies_start[0]
+        if d_total > 0:
+            steal_pct = round(
+                100.0 * (jiffies_end[1] - jiffies_start[1]) / d_total, 2)
     print(json.dumps({
         "mem_probe_ms": {"start": probe_start, "end": probe_end},
+        "steal_pct": steal_pct,
         "control_s": {"query": "pricing_summary", "cold": control_cold,
                       "warm": control_warm, "end_warm": control_end,
                       "healthy_warm_limit": CONTROL_HEALTHY_WARM_S.get(sf_val)},
