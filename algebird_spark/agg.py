@@ -38,6 +38,13 @@ from .sketches import Sketch, from_bytes
 STATE_COL = "sketch_state"
 COUNT_COL = "n_values"
 
+# Global (ungrouped) builds coalesce incoming Arrow batches to this
+# many elements per update_batch call — small maxRecordsPerBatch
+# settings otherwise turn a billion-row scan into ~500k fixed-cost
+# kernel invocations. 64K keeps each call's working set cache-sized
+# (the same chunk the kernels use internally).
+_COALESCE_ELEMS = 65_536
+
 SketchFactory = Callable[[], Sketch]
 
 
@@ -179,6 +186,50 @@ def sketch_partitions(df: DataFrame, value_col: str, factory: SketchFactory,
     ])
 
     def run(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        if not keys:
+            # Global build: coalesce incoming Arrow batches to
+            # ~_COALESCE_ELEMS elements per update_batch call. Spark
+            # hands mapInArrow maxRecordsPerBatch-sized batches (2048
+            # in the bench config) — at 1.2e9 scalar rows that is
+            # ~600k update_batch calls whose fixed per-call cost
+            # (prepare/hash setup, per-chunk sorts) dominates the
+            # kernels. Chunk-size invariance of every sketch is
+            # law-tested, so coalescing is observationally neutral.
+            sk0: Sketch | None = None
+            n0 = 0
+            buf: list[np.ndarray] = []
+            buf_n = 0
+
+            def flush():
+                nonlocal n0, buf, buf_n
+                v = buf[0] if len(buf) == 1 else np.concatenate(buf)
+                sk0.update_batch(v)
+                n0 += len(v)
+                buf, buf_n = [], 0
+
+            for batch in batches:
+                col = batch.column(batch.schema.get_field_index(value_col))
+                values, lengths = _flatten_values(col)
+                if len(values) == 0 and (lengths is None
+                                         or batch.num_rows == 0):
+                    continue
+                if sk0 is None:
+                    # rows seen (possibly all-empty arrays): a state
+                    # row must exist, as before coalescing
+                    sk0 = factory()
+                if len(values) == 0:
+                    continue
+                buf.append(values)
+                buf_n += len(values)
+                if buf_n >= _COALESCE_ELEMS:
+                    flush()
+            if sk0 is None:
+                return
+            if buf:
+                flush()
+            yield _state_batch([[sk0.to_bytes()], [n0]], out_schema)
+            return
+
         sketches: dict[tuple, Sketch] = {}
         counts: dict[tuple, int] = {}
         for batch in batches:
@@ -186,18 +237,15 @@ def sketch_partitions(df: DataFrame, value_col: str, factory: SketchFactory,
             values, lengths = _flatten_values(col)
             if len(values) == 0 and (lengths is None or batch.num_rows == 0):
                 continue
-            if not keys:
-                groups = [((), values)]
-            else:
-                kf = _key_frame(batch, keys)
-                codes, uni_tuples = _factorize_rows(kf, keys)
-                elem_codes = codes if lengths is None else np.repeat(codes, lengths)
-                order = np.argsort(elem_codes, kind="stable")
-                sorted_vals = values[order]
-                sorted_codes = elem_codes[order]
-                bounds = np.searchsorted(sorted_codes, np.arange(len(uni_tuples) + 1))
-                groups = [(uni_tuples[c], sorted_vals[bounds[c]:bounds[c + 1]])
-                          for c in range(len(uni_tuples))]
+            kf = _key_frame(batch, keys)
+            codes, uni_tuples = _factorize_rows(kf, keys)
+            elem_codes = codes if lengths is None else np.repeat(codes, lengths)
+            order = np.argsort(elem_codes, kind="stable")
+            sorted_vals = values[order]
+            sorted_codes = elem_codes[order]
+            bounds = np.searchsorted(sorted_codes, np.arange(len(uni_tuples) + 1))
+            groups = [(uni_tuples[c], sorted_vals[bounds[c]:bounds[c + 1]])
+                      for c in range(len(uni_tuples))]
             for key, vals in groups:
                 sk = sketches.get(key)
                 if sk is None:
@@ -379,6 +427,42 @@ def sketch_by_key_multi(df: DataFrame, keys: Sequence[str],
     ])
 
     def run(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        if not keys:
+            # Global build: coalesce to ~_COALESCE_ELEMS rows per
+            # update_batch call (see sketch_by_key — same rationale;
+            # aligned companion arrays are concatenated column-wise).
+            sk0: Sketch | None = None
+            n0 = 0
+            bufs: list[list[np.ndarray]] = [[] for _ in value_cols]
+            buf_n = 0
+
+            def flush():
+                nonlocal n0, bufs, buf_n
+                args = [b[0] if len(b) == 1 else np.concatenate(b)
+                        for b in bufs]
+                sk0.update_batch(*args)
+                n0 += len(args[0])
+                bufs, buf_n = [[] for _ in value_cols], 0
+
+            for batch in batches:
+                if batch.num_rows == 0:
+                    continue
+                if sk0 is None:
+                    sk0 = factory()
+                for i, c in enumerate(value_cols):
+                    bufs[i].append(
+                        batch.column(batch.schema.get_field_index(c))
+                        .to_numpy(zero_copy_only=False))
+                buf_n += batch.num_rows
+                if buf_n >= _COALESCE_ELEMS:
+                    flush()
+            if sk0 is None:
+                return
+            if buf_n:
+                flush()
+            yield _state_batch([[sk0.to_bytes()], [n0]], out_schema)
+            return
+
         sketches: dict[tuple, Sketch] = {}
         counts: dict[tuple, int] = {}
         for batch in batches:
@@ -386,15 +470,12 @@ def sketch_by_key_multi(df: DataFrame, keys: Sequence[str],
                 continue
             cols = [batch.column(batch.schema.get_field_index(c))
                     .to_numpy(zero_copy_only=False) for c in value_cols]
-            if not keys:
-                groups = [((), np.arange(batch.num_rows))]
-            else:
-                kf = _key_frame(batch, keys)
-                codes, uni = _factorize_rows(kf, keys)
-                order = np.argsort(codes, kind="stable")
-                bounds = np.searchsorted(codes[order], np.arange(len(uni) + 1))
-                groups = [(uni[c], order[bounds[c]:bounds[c + 1]])
-                          for c in range(len(uni))]
+            kf = _key_frame(batch, keys)
+            codes, uni = _factorize_rows(kf, keys)
+            order = np.argsort(codes, kind="stable")
+            bounds = np.searchsorted(codes[order], np.arange(len(uni) + 1))
+            groups = [(uni[c], order[bounds[c]:bounds[c + 1]])
+                      for c in range(len(uni))]
             for key, idx in groups:
                 sk = sketches.get(key)
                 if sk is None:
