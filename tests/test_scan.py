@@ -193,3 +193,40 @@ def test_sessionize_api_sugar(spark):
                       order=["t", "i"])
            .toPandas().sort_values(["u", "t"])["session"].tolist())
     assert out == [1, 1, 2, 1, 2]
+
+
+def test_session_kernel_batch_split_invariance_property():
+    """Property (pure pandas, no Spark): for ANY key/ts data and ANY
+    batch split, chaining session_numbers_kernel over the splits with
+    carry equals running it over the whole sorted frame at once."""
+    from hypothesis import given, settings, strategies as st
+
+    from algebird_spark.operators.scan import session_numbers_kernel
+
+    @settings(max_examples=60, deadline=None)
+    @given(st.data())
+    def run(data):
+        n = data.draw(st.integers(1, 120))
+        ks = data.draw(st.lists(st.integers(0, 4),
+                                min_size=n, max_size=n))
+        ts = data.draw(st.lists(st.floats(0, 1e5, allow_nan=False),
+                                min_size=n, max_size=n))
+        pdf = (pd.DataFrame({"k": ks, "t": ts, "i": range(n)})
+               .sort_values(["k", "t", "i"]).reset_index(drop=True))
+        gap = data.draw(st.sampled_from([0.0, 10.0, 1e3, 1e9]))
+
+        whole, _ = session_numbers_kernel("k", "t", gap)(pdf, None)
+
+        cuts = sorted(data.draw(st.sets(st.integers(1, max(1, n - 1)),
+                                        max_size=5)))
+        parts, carry, lo = [], None, 0
+        for hi in cuts + [n]:
+            if hi <= lo:
+                continue
+            chunk = pdf.iloc[lo:hi].reset_index(drop=True)
+            vals, carry = session_numbers_kernel("k", "t", gap)(chunk, carry)
+            parts.append(np.asarray(vals))
+            lo = hi
+        assert np.array_equal(np.concatenate(parts), np.asarray(whole))
+
+    run()
