@@ -100,6 +100,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # === tail (51+): driver-green since r1-r4; local gate covers =====
         "eventually_quantiles": Q.q_eventually_quantiles,
         "scan_compose": Q.q_scan_compose,
+        "streaming_sessions": Q.q_streaming_sessions,      # NEW r5
+
         "interval_filter": Q.q_interval_filter,
         "stratified_sample": Q.q_stratified_sample,
         "decaying_cms_inner": Q.q_decaying_cms_inner,
@@ -468,6 +470,28 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem
         """,
         "scan_state": """
+            WITH l AS (
+              SELECT user_id, event_id, epoch(ts) AS tsec,
+                     LAG(epoch(ts)) OVER (PARTITION BY user_id
+                                          ORDER BY epoch(ts), event_id) AS prev
+              FROM events),
+            s AS (
+              SELECT user_id,
+                     SUM(CASE WHEN prev IS NULL OR tsec - prev > 1800
+                              THEN 1 ELSE 0 END)
+                       OVER (PARTITION BY user_id
+                             ORDER BY tsec, event_id
+                             ROWS UNBOUNDED PRECEDING) AS sess
+              FROM l),
+            c AS (SELECT user_id, sess, COUNT(*) AS cnt
+                  FROM s GROUP BY user_id, sess)
+            SELECT COUNT(DISTINCT user_id) AS n_users,
+                   CAST(COUNT(*) AS BIGINT) AS total_sessions,
+                   CAST(SUM(cnt) AS BIGINT) AS n_events,
+                   CAST(MAX(cnt) AS BIGINT) AS max_session_events
+            FROM c
+        """,
+        "streaming_sessions": """
             WITH l AS (
               SELECT user_id, event_id, epoch(ts) AS tsec,
                      LAG(epoch(ts)) OVER (PARTITION BY user_id

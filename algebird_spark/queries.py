@@ -1145,6 +1145,64 @@ def q_scan_state(spark, sf):
         F.max("cnt").cast("long").alias("max_session_events"))
 
 
+def q_streaming_sessions(spark, sf):
+    """Streaming general ``Scan.from`` (Scan.scala:18-60 is a STREAM
+    transform; this is its Structured Streaming form): the SAME
+    session kernel the batch `scan_state` query uses runs via
+    ``scan_stream_fold`` with the fold carry persisted as group state
+    across 3 time-sliced micro-batches (maxFilesPerTrigger=1, file
+    mtimes pin the trigger order). The summary aggregate and the
+    DuckDB oracle are identical to `scan_state` — proving
+    batch == stream == SQL on the whole numbering."""
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    from .operators.scan import session_numbers_kernel
+    from .streaming.stateful import scan_stream_fold
+
+    ev = _t(spark, sf, "events").select(
+        "user_id", "event_id",
+        F.col("ts").cast("timestamp").cast("double").alias("tsec"))
+    cuts = ev.approxQuantile("tsec", [0.33, 0.66], 0.0)
+    d = tempfile.mkdtemp(prefix="stream_sessions_")
+    try:
+        slices = [ev.filter(F.col("tsec") < cuts[0]),
+                  ev.filter((F.col("tsec") >= cuts[0])
+                            & (F.col("tsec") < cuts[1])),
+                  ev.filter(F.col("tsec") >= cuts[1])]
+        for i, sl in enumerate(slices):
+            p = os.path.join(d, f"slice-{i}")
+            sl.coalesce(1).write.parquet(p)
+            for f in [p] + [os.path.join(p, x) for x in os.listdir(p)]:
+                os.utime(f, (1_000_000 + i, 1_000_000 + i))
+        sdf = (spark.readStream.schema(ev.schema)
+               .option("maxFilesPerTrigger", 1)
+               .parquet(os.path.join(d, "slice-*")))
+        out = scan_stream_fold(
+            sdf, ["user_id"], ["tsec", "event_id"],
+            session_numbers_kernel("user_id", "tsec", 1800.0),
+            "sess", "bigint")
+        qname = f"q_sessions_{uuid.uuid4().hex[:8]}"
+        q = (out.writeStream.outputMode("append").format("memory")
+             .queryName(qname).start())
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        numbered = spark.sql(f"SELECT user_id, sess FROM {qname}")
+        per_session = numbered.groupBy("user_id", "sess") \
+            .agg(F.count("*").alias("cnt"))
+        return per_session.agg(
+            F.count_distinct("user_id").alias("n_users"),
+            F.count("*").cast("long").alias("total_sessions"),
+            F.sum("cnt").cast("long").alias("n_events"),
+            F.max("cnt").cast("long").alias("max_session_events"))
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
 def q_merge_lookup(spark, sf):
     """MapAlgebra.mergeLookup: broadcast-join the supplier dimension,
     sum quantity by the presented nation key (MapAlgebra.scala:183-188).

@@ -168,3 +168,53 @@ def sketch_state_stream_by_key(sdf: DataFrame, keys: Sequence[str],
     return sdf.groupBy(*keys).applyInPandasWithState(
         update, out_schema, state_schema, "update",
         GroupStateTimeout.NoTimeout)
+
+
+def scan_stream_fold(sdf: DataFrame, keys: Sequence[str],
+                     order: Sequence[str] | str, batch_kernel: Callable,
+                     output_col: str = "scan_out",
+                     output_type: str = "bigint") -> DataFrame:
+    """Streaming general ``Scan.from`` — the reference ``Scan`` is a
+    stream transform (Scan.scala:18-60); this is its Structured
+    Streaming form, sharing the EXACT kernel contract of
+    ``GeneralScan.apply_stream``: ``batch_kernel(pdf, carry) ->
+    (values, carry)``. The carry (arbitrary picklable fold state) is
+    the per-key ``GroupState``, persisted across micro-batches, so a
+    kernel law-tested in batch (split-invariance) runs unchanged on a
+    stream and produces identical numbering — batch==stream
+    equivalence is tested with the session kernel.
+
+    Every micro-batch emits its own rows with the fold output
+    appended (append mode). Ordering contract: rows sort by ``order``
+    WITHIN a micro-batch; ACROSS batches the source must deliver each
+    key's rows in fold order (the same append-order requirement every
+    streaming running fold has — the reference Scan likewise consumes
+    an ordered stream). State per key is O(carry), independent of
+    stream length."""
+    import pickle
+
+    from pyspark.sql.types import _parse_datatype_string
+
+    keys = list(keys)
+    order_cols = [order] if isinstance(order, str) else list(order)
+    out_schema = StructType(
+        list(sdf.schema.fields)
+        + [StructField(output_col, _parse_datatype_string(output_type))])
+    state_schema = StructType([StructField("carry", BinaryType(), True)])
+
+    def update(key, pdfs: Iterable[pd.DataFrame], state: GroupState):
+        carry = (pickle.loads(bytes(state.get[0]))
+                 if state.exists else None)
+        for pdf in pdfs:
+            if len(pdf) == 0:
+                continue
+            pdf = pdf.sort_values(order_cols, kind="mergesort") \
+                .reset_index(drop=True)
+            vals, carry = batch_kernel(pdf, carry)
+            pdf[output_col] = vals
+            yield pdf
+        state.update((pickle.dumps(carry),))
+
+    return sdf.groupBy(*keys).applyInPandasWithState(
+        update, out_schema, state_schema, "append",
+        GroupStateTimeout.NoTimeout)

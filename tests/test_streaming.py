@@ -156,3 +156,61 @@ def test_stateful_eventually_stream_matches_batch(spark, events_stream):
     for k, est in got.items():
         tol = max(2.0, 3.5 * 1.04 / np.sqrt(2**12) * exact[k])
         assert abs(est - exact[k]) <= tol, (k, est, exact[k])
+
+
+def test_scan_stream_fold_sessionization_matches_batch(spark, tmp_path):
+    """Streaming general Scan.from: the SAME session kernel used by
+    GeneralScan.apply_stream, with carry persisted as group state
+    across micro-batches (3 time-sliced files, maxFilesPerTrigger=1),
+    numbers sessions identically to the batch fold."""
+    import os
+    import uuid
+
+    from algebird_spark.operators.scan import (GeneralScan,
+                                               session_numbers_kernel)
+    from algebird_spark.streaming.stateful import scan_stream_fold
+
+    ev = (spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+          .select("user_id", "event_id",
+                  F.col("ts").cast("timestamp").cast("double")
+                  .alias("tsec")))
+    cuts = ev.approxQuantile("tsec", [0.33, 0.66], 0.0)
+    d = tmp_path / "slices"
+    d.mkdir()
+    slices = [ev.filter(F.col("tsec") < cuts[0]),
+              ev.filter((F.col("tsec") >= cuts[0])
+                        & (F.col("tsec") < cuts[1])),
+              ev.filter(F.col("tsec") >= cuts[1])]
+    for i, sl in enumerate(slices):
+        p = str(d / f"slice-{i}")
+        sl.coalesce(1).write.parquet(p)
+        os.utime(p, (1_000_000 + i, 1_000_000 + i))
+        for f in os.listdir(p):
+            os.utime(os.path.join(p, f), (1_000_000 + i, 1_000_000 + i))
+
+    sdf = (spark.readStream.schema(ev.schema)
+           .option("maxFilesPerTrigger", 1)
+           .parquet(str(d / "slice-*")))
+    out = scan_stream_fold(sdf, ["user_id"], ["tsec", "event_id"],
+                           session_numbers_kernel("user_id", "tsec",
+                                                  1800.0),
+                           "sess", "bigint")
+    qname = f"scanstream_{uuid.uuid4().hex[:8]}"
+    q = (out.writeStream.outputMode("append").format("memory")
+         .queryName(qname).start())
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = (spark.sql(f"SELECT * FROM {qname}").toPandas()
+           .sort_values(["user_id", "tsec", "event_id"])
+           .reset_index(drop=True))
+
+    want = (GeneralScan.apply_stream(
+                ev, ["user_id"], ["tsec", "event_id"],
+                session_numbers_kernel("user_id", "tsec", 1800.0),
+                "sess", "bigint")
+            .toPandas().sort_values(["user_id", "tsec", "event_id"])
+            .reset_index(drop=True))
+    assert len(got) == len(want) == ev.count()
+    assert (got["sess"].to_numpy() == want["sess"].to_numpy()).all()
