@@ -101,6 +101,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "eventually_quantiles": Q.q_eventually_quantiles,
         "scan_compose": Q.q_scan_compose,
         "streaming_sessions": Q.q_streaming_sessions,      # NEW r5
+        "ngram_jaccard_dedup": Q.q_ngram_jaccard_dedup,    # NEW r5
 
         "interval_filter": Q.q_interval_filter,
         "stratified_sample": Q.q_stratified_sample,
@@ -490,6 +491,31 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(cnt) AS BIGINT) AS n_events,
                    CAST(MAX(cnt) AS BIGINT) AS max_session_events
             FROM c
+        """,
+        "ngram_jaccard_dedup": """
+            WITH toks AS (
+              SELECT doc_id,
+                     regexp_split_to_array(TRIM(lower(text)), '\\s+') AS t
+              FROM documents WHERE TRIM(text) <> ''),
+            sh AS (
+              SELECT doc_id,
+                     list_distinct([array_to_string(t[i:i+2], ' ')
+                                    FOR i IN generate_series(
+                                        1, greatest(len(t)-2, 1))]) AS sh
+              FROM toks),
+            ex AS (SELECT doc_id, len(sh) AS n, unnest(sh) AS s FROM sh),
+            j AS (SELECT a.doc_id AS id_a, a.n AS n_a,
+                         b.doc_id AS id_b, b.n AS n_b
+                  FROM ex a JOIN ex b
+                    ON a.s = b.s AND a.doc_id < b.doc_id),
+            c AS (SELECT id_a, id_b, COUNT(*) AS common,
+                         MIN(n_a) AS n_a, MIN(n_b) AS n_b
+                  FROM j GROUP BY id_a, id_b)
+            SELECT id_a, id_b,
+                   CAST(FLOOR(common::DOUBLE / (n_a + n_b - common)
+                              * 10000 + 0.5) AS BIGINT) AS jaccard_m4
+            FROM c
+            WHERE common::DOUBLE / (n_a + n_b - common) >= 0.5
         """,
         "streaming_sessions": """
             WITH l AS (

@@ -155,7 +155,8 @@ def dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     (optional) near-dup pairs -> connected-component clustering ->
     one survivor (min id) per cluster. Returns the surviving rows.
     ``near``: 'minhash' (shingle-Jaccard >= threshold), 'simhash'
-    (Hamming <= 3), or None for exact-only. ``approx_rows``: cheap
+    (Hamming <= 3), 'ngram' (EXACT inverted-index shingle-Jaccard >=
+    threshold, recall 1.0), or None for exact-only. ``approx_rows``: cheap
     corpus-size hint (catalog statistic) that sizes simhash banding —
     pass it at >= 2M docs."""
     from .operators.pipeline import dedup_pipeline

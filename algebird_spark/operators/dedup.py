@@ -483,6 +483,74 @@ def jaccard_verify(df: DataFrame, pairs: DataFrame, id_col: str = "doc_id",
                   .filter(F.col("jaccard") >= threshold))
 
 
+def near_dup_pairs_ngram(df: DataFrame, id_col: str = "doc_id",
+                         text_col: str = "text", shingle_n: int = 3,
+                         threshold: float = 0.5,
+                         max_df: int | None = None) -> DataFrame:
+    """EXACT word n-gram Jaccard near-dup over the whole corpus via an
+    inverted shingle index — the third dedup family of the pipeline
+    brief (exact-hash / MinHash-LSH / SimHash / n-gram Jaccard /
+    embedding-cosine). Unlike the MinHash path there is no probabilistic
+    candidate stage: any pair with Jaccard >= t > 0 shares at least one
+    shingle, so recall is 1.0 by construction and the returned
+    ``jaccard`` values are exact set Jaccards (same word-shingle
+    semantics as :func:`jaccard_verify` / reference MinHasher
+    similarity, MinHasher.scala:112-130 — computed exactly instead of
+    estimated from signatures).
+
+    Shape (two shuffles, never all-pairs): shingle kernel -> explode
+    (id, n_shingles) per shingle -> groupBy(shingle) [shuffle 1] ->
+    in-bucket pair expansion JVM-side (the single-shuffle bucket
+    pattern of :func:`lsh_candidate_pairs_from_bands`) -> groupBy
+    (id_a, id_b) [shuffle 2] with ``common = COUNT(*)`` (shingle sets
+    are distinct per doc) -> ``jaccard = common / (n_a + n_b -
+    common)``. The pair rows carry both set sizes, so no second pass
+    over the corpus and no join back to it.
+
+    ``max_df``: drop shingles appearing in more than ``max_df`` docs
+    (stop-shingle pruning — the 100 TB guard bounding the quadratic
+    in-bucket expansion on boilerplate shingles). Pruning only LOWERS
+    computed Jaccard (``common`` shrinks while the set sizes stay
+    full), so it never creates a false positive. ``None`` = fully
+    exact. Exact-duplicate clusters make every one of their shingle
+    buckets quadratic: run :func:`dedup_exact` first at scale."""
+    sh = (df.filter(has_tokens(text_col))
+          .select(F.col(id_col),
+                  shingle_hashes_udf(shingle_n)(F.col(text_col))
+                  .alias("sh"))
+          .filter(F.size("sh") > 0))
+    ex = sh.select(
+        F.struct(F.col(id_col).alias("id"), F.size("sh").alias("n"))
+        .alias("d"),
+        F.explode("sh").alias("shingle"))
+    buckets = (ex.groupBy("shingle")
+               .agg(F.sort_array(F.collect_list("d")).alias("ds"))
+               .filter(F.size("ds") > 1))
+    if max_df is not None:
+        buckets = buckets.filter(F.size("ds") <= max_df)
+    # all (ds[i], ds[j]) with i < j — structs sort by id first, so
+    # id_a < id_b falls out of sort_array
+    pairs = F.flatten(F.transform(
+        "ds",
+        lambda x, i: F.transform(
+            F.slice("ds", i + F.lit(2),
+                    F.greatest(F.size("ds") - i - 1, F.lit(0))),
+            lambda y: F.struct(x.alias("a"), y.alias("b")))))
+    pe = (buckets.select(F.explode(pairs).alias("p"))
+          .select(F.col("p.a.id").alias("id_a"),
+                  F.col("p.a.n").alias("n_a"),
+                  F.col("p.b.id").alias("id_b"),
+                  F.col("p.b.n").alias("n_b")))
+    agg = (pe.groupBy("id_a", "id_b")
+           .agg(F.count("*").alias("common"),
+                F.first("n_a").alias("n_a"),
+                F.first("n_b").alias("n_b")))
+    jac = F.col("common") / (F.col("n_a") + F.col("n_b")
+                             - F.col("common"))
+    return (agg.select("id_a", "id_b", jac.alias("jaccard"))
+            .filter(F.col("jaccard") >= threshold))
+
+
 def near_dup_pairs_minhash(df: DataFrame, id_col: str = "doc_id",
                            text_col: str = "text", num_perm: int = 64,
                            bands: int = 16, shingle_n: int = 3,

@@ -87,6 +87,11 @@ def dedup_pipeline(df: DataFrame, text_col: str = "text",
         pairs = _d.near_dup_pairs_simhash(exact_kept, id_col, text_col,
                                           max_hamming=max_hamming,
                                           approx_rows=approx_rows)
+    elif near == "ngram":
+        # exact inverted-index Jaccard: recall 1.0, no signature stage;
+        # exact dedup upstream already removed the quadratic clusters
+        pairs = _d.near_dup_pairs_ngram(exact_kept, id_col, text_col,
+                                        threshold=threshold)
     else:
         raise ValueError(f"unknown near-dup mode {near!r}")
 

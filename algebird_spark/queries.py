@@ -628,6 +628,22 @@ def q_minhash_lsh_recall(spark, sf):
         (F.count("__f") >= 0.9 * F.count("*")).alias("recall_ok"))
 
 
+def q_ngram_jaccard_dedup(spark, sf):
+    """EXACT n-gram Jaccard near-dup (inverted shingle index, no
+    probabilistic candidate stage) — full pair set value-checked
+    against a DuckDB string-shingle inverted index. jaccard_m4 =
+    floor(jaccard*10000 + 0.5): the Jaccard doubles are bit-identical
+    on both sides (same int inputs, one IEEE division), the fixed
+    rounding just gives the hash a stable integer column."""
+    docs = _t(spark, sf, "documents")
+    out = dedup.near_dup_pairs_ngram(docs, "doc_id", "text",
+                                     shingle_n=3, threshold=0.5)
+    return out.select(
+        "id_a", "id_b",
+        F.floor(F.col("jaccard") * 10000 + 0.5).cast("long")
+        .alias("jaccard_m4"))
+
+
 def q_simhash_near_dup(spark, sf):
     """SimHash near-dup pairs (hamming <= 3). Non-SQL-expressible
     (xxhash64 banding) -> rows-only oracle check."""

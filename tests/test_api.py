@@ -80,6 +80,11 @@ def test_api_dedup_exact_and_near(spark):
     full = api.dedup(view, near="minhash")
     assert full.count() <= 50
     assert full.filter(F.col("doc_id") >= 9000).count() == 0
+    # exact-Jaccard mode: recall 1.0, so it removes AT LEAST whatever
+    # the probabilistic minhash pass removed at the same threshold
+    ng = api.dedup(view, near="ngram")
+    assert ng.count() <= full.count()
+    assert ng.filter(F.col("doc_id") >= 9000).count() == 0
 
 
 def test_api_ann_topk_methods_agree_on_clusters(spark):

@@ -462,3 +462,21 @@ def test_ivf_index_spill_written_matches_in_memory(spark, tmp_path):
            for r in ivf_topk(emb, queries, k=5, centroids=cents,
                              nprobe=3, spill_margin=0.05).collect()}
     assert got == mem and len(got) == 15
+
+
+def test_ngram_jaccard_two_exchanges_no_join(spark):
+    """near_dup_pairs_ngram shuffles exactly twice — groupBy(shingle)
+    and groupBy(id_a, id_b) — and contains NO join: the pair rows
+    carry both set sizes, so there is no join back to the corpus and
+    never a cartesian/all-pairs stage."""
+    import re
+
+    from algebird_spark.operators.dedup import near_dup_pairs_ngram
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    out = near_dup_pairs_ngram(docs, "doc_id", "text", shingle_n=3,
+                               threshold=0.5)
+    plan = plan_of(out)
+    tree = plan.split("\n\n")[0]
+    assert len(re.findall(r"Exchange \(\d+\)", tree)) == 2, tree
+    assert "Join" not in tree and "Cartesian" not in tree, tree

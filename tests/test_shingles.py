@@ -104,3 +104,76 @@ def test_short_doc_identical_texts_still_collide():
     hv, starts, _ = _shingle_hashes_batch(["x y", "x y"], 3, 42)
     assert (set(hv[starts[0]:starts[1]].tolist())
             == set(hv[starts[1]:starts[2]].tolist()))
+
+
+def _naive_jaccard_pairs(texts, n, threshold):
+    """All-pairs exact word-shingle Jaccard >= threshold."""
+    sets = {i: set(_naive_shingles(t, n)) for i, t in enumerate(texts)
+            if _naive_shingles(t, n)}
+    out = {}
+    ids = sorted(sets)
+    for x in range(len(ids)):
+        for y in range(x + 1, len(ids)):
+            a, b = ids[x], ids[y]
+            j = len(sets[a] & sets[b]) / len(sets[a] | sets[b])
+            if j >= threshold:
+                out[(a, b)] = j
+    return out
+
+
+def test_ngram_near_dup_matches_naive_all_pairs(spark):
+    """near_dup_pairs_ngram (inverted index, never all-pairs) returns
+    the EXACT all-pairs Jaccard result: same pair set, same values."""
+    from algebird_spark.operators.dedup import near_dup_pairs_ngram
+
+    texts = [
+        "the quick brown fox jumps over the lazy dog today",
+        "the quick brown fox jumps over the lazy cat today",   # near-dup of 0
+        "the quick brown fox jumps over the lazy dog today",   # exact dup of 0
+        "completely different words in this particular document here",
+        "one two",                                              # short doc
+        "one two",                                              # short dup
+        "",                                                     # no shingles
+        "alpha beta gamma delta epsilon zeta eta theta iota kappa",
+    ]
+    df = spark.createDataFrame(
+        [Row(doc_id=i, text=t) for i, t in enumerate(texts)])
+    got = {(r.id_a, r.id_b): r.jaccard
+           for r in near_dup_pairs_ngram(df, "doc_id", "text",
+                                         shingle_n=3,
+                                         threshold=0.3).collect()}
+    want = _naive_jaccard_pairs(texts, 3, 0.3)
+    assert set(got) == set(want)
+    for k in want:
+        assert got[k] == pytest.approx(want[k], abs=1e-12), k
+    assert got[(0, 2)] == 1.0          # exact dup
+    assert got[(4, 5)] == 1.0          # short-doc exact dup
+    assert 0.3 <= got[(0, 1)] < 1.0    # near-dup
+
+
+def test_ngram_near_dup_max_df_only_lowers_jaccard(spark):
+    """Stop-shingle pruning (max_df) is conservative: every surviving
+    pair's jaccard is <= its exact value, and no pair appears that the
+    exact run does not contain (given the same threshold filter is
+    applied after)."""
+    from algebird_spark.operators.dedup import near_dup_pairs_ngram
+
+    texts = [
+        "common boiler plate common boiler plate unique alpha one",
+        "common boiler plate common boiler plate unique beta two",
+        "common boiler plate common boiler plate unique gamma three",
+        "totally unrelated text goes here with other words",
+    ]
+    df = spark.createDataFrame(
+        [Row(doc_id=i, text=t) for i, t in enumerate(texts)])
+    exact = {(r.id_a, r.id_b): r.jaccard
+             for r in near_dup_pairs_ngram(df, "doc_id", "text",
+                                           shingle_n=3,
+                                           threshold=0.0).collect()}
+    pruned = {(r.id_a, r.id_b): r.jaccard
+              for r in near_dup_pairs_ngram(df, "doc_id", "text",
+                                            shingle_n=3, threshold=0.0,
+                                            max_df=2).collect()}
+    assert set(pruned) <= set(exact)
+    for k, v in pruned.items():
+        assert v <= exact[k] + 1e-12, k
