@@ -177,3 +177,25 @@ def test_ngram_near_dup_max_df_only_lowers_jaccard(spark):
     assert set(pruned) <= set(exact)
     for k, v in pruned.items():
         assert v <= exact[k] + 1e-12, k
+
+
+def test_ngram_near_dup_randomized_corpus_parity(spark):
+    """Seeded random corpus over a 6-word vocabulary (maximal shingle
+    sharing, many short docs) — inverted-index result must equal naive
+    all-pairs exactly, including pairs exactly AT the threshold."""
+    from algebird_spark.operators.dedup import near_dup_pairs_ngram
+
+    rng = np.random.RandomState(20260817)
+    vocab = ["alpha", "beta", "gamma", "delta", "eps", "zeta"]
+    texts = [" ".join(rng.choice(vocab, size=rng.randint(1, 12)))
+             for _ in range(60)]
+    df = spark.createDataFrame(
+        [Row(doc_id=i, text=t) for i, t in enumerate(texts)])
+    got = {(r.id_a, r.id_b): r.jaccard
+           for r in near_dup_pairs_ngram(df, "doc_id", "text",
+                                         shingle_n=3,
+                                         threshold=0.25).collect()}
+    want = _naive_jaccard_pairs(texts, 3, 0.25)
+    assert set(got) == set(want), (set(got) ^ set(want))
+    for k in want:
+        assert got[k] == pytest.approx(want[k], abs=1e-12), k
