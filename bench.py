@@ -40,6 +40,8 @@ HEADLINE = [
     # round 5: SketchMapHLL + general Scan.from
     "sketchmap_hll_distinct",
     "scan_state",
+    # round 5 (late): exact inverted-index Jaccard dedup
+    "ngram_jaccard_dedup",
 ]
 
 
