@@ -114,3 +114,22 @@ def test_approximate_contains_exact():
 def test_bits_for_error():
     assert bits_for_error(0.0163) in (12, 13)
     assert 1.04 / np.sqrt(2 ** bits_for_error(0.01)) <= 0.01
+
+
+def test_three_way_intersection():
+    """n=3 exercises the recursive inclusion-exclusion branch
+    (HyperLogLog.scala:626-644 is n-way; n=2 alone never recurses).
+    Overlap design: A∩B∩C = [40k, 50k) -> true 10k."""
+    a = build(12, np.arange(0, 50_000, dtype=np.int32))
+    b = build(12, np.arange(40_000, 90_000, dtype=np.int32))
+    c = build(12, np.arange(30_000, 60_000, dtype=np.int32))
+    ap = HLL.intersection_size([a, b, c])
+    true = 10_000
+    # inclusion-exclusion at n=3 compounds the per-sketch error; the
+    # reference documents accuracy only for small n / large overlap
+    assert ap.low <= true <= ap.high or abs(ap.estimate - true) / true < 0.3
+    # disjoint third set drives the estimate to ~0 (bounds clamp at 0)
+    d = build(12, np.arange(900_000, 950_000, dtype=np.int32))
+    ap0 = HLL.intersection_size([a, b, d])
+    assert ap0.low == 0.0
+    assert ap0.estimate <= 0.05 * 50_000
