@@ -11,7 +11,8 @@ Outputs one JSON line per stage (collected into BENCH/scale_rehearsal
 and the premerge shuffle-row deltas.
 
 Usage: python scripts/scale_rehearsal.py [stage ...]
-  stages: gen multisketch dedup   (default: all)
+  stages: gen multisketch docfreq dedup ngram
+  (default: gen multisketch dedup)
 """
 
 from __future__ import annotations
@@ -231,6 +232,86 @@ def main():
         emit("dedup_pipeline", docs=n_docs, survivors=n_surv,
              keepers=n_clusters, wall_s=round(wall, 1),
              docs_per_sec=int(n_docs / wall))
+
+    # --------------------------------------------------------- ngram dedup
+    if "ngram" in stages:
+        # exact inverted-index Jaccard at 16x the bench corpus with a
+        # deterministic planted answer: each sf0.1 doc gets 16 replicas,
+        # replica r appending one unique token "xr{r}" — replicas of one
+        # base share ALL s base shingles and differ in ONE, so
+        # intra-clique jaccard is EXACTLY s/(s+2) and every base doc
+        # with s >= 5 distinct shingles forms a guaranteed 16-clique at
+        # threshold 0.7 (s/(s+2) >= 0.7 <=> s >= 14/3). Cross-clique
+        # pairs come only from bases that are already near-dups.
+        from algebird_spark.operators.dedup import (near_dup_pairs_ngram,
+                                                    shingle_hashes_udf,
+                                                    has_tokens)
+        reps = 16
+        docs0 = spark.read.parquet(
+            "/root/testdata/sf0.1/documents.parquet")
+        parts = [docs0.filter(has_tokens("text"))
+                 .select((F.col("doc_id") + F.lit(r * 10_000_000))
+                         .alias("doc_id"),
+                         F.concat("text", F.lit(f" xr{r}")).alias("text"))
+                 for r in range(reps)]
+        docs = parts[0]
+        for p in parts[1:]:
+            docs = docs.unionByName(p)
+        docs = docs.repartition(cpus).persist()
+        n_docs = docs.count()
+        # expected intra-clique pairs from per-base distinct-shingle
+        # counts (one tiny aggregate over the 5k base docs)
+        s_counts = (docs0.filter(has_tokens("text"))
+                    .select(F.size(shingle_hashes_udf(3)(F.col("text")))
+                            .alias("s"))
+                    .filter("s >= 5").count())
+        expected_intra = s_counts * reps * (reps - 1) // 2
+        def run(max_df):
+            t0 = time.time()
+            pairs = near_dup_pairs_ngram(docs, "doc_id", "text",
+                                         shingle_n=3, threshold=0.7,
+                                         max_df=max_df).persist()
+            got = (pairs.select(
+                       (F.col("id_a") % 10_000_000 ==
+                        F.col("id_b") % 10_000_000).alias("intra"))
+                   .groupBy("intra").count().collect())
+            wall = time.time() - t0
+            by = {bool(r["intra"]): r["count"] for r in got}
+            return pairs, by.get(True, 0), by.get(False, 0), wall
+
+        # exact mode: the fixture's planted duplicate passages are
+        # boilerplate shingles shared by ~1/8 of all docs — their
+        # buckets expand quadratically, which is exactly the
+        # documented reason max_df exists
+        exact_pairs, intra, cross, wall = run(None)
+        assert intra >= expected_intra, (intra, expected_intra)
+        emit("ngram_dedup", docs=n_docs, pairs_intra=intra,
+             pairs_cross=cross, expected_intra_min=expected_intra,
+             planted_recall=1.0 if intra >= expected_intra else
+             round(intra / expected_intra, 4),
+             wall_s=round(wall, 1), docs_per_sec=int(n_docs / wall),
+             note="exact jaccard s/(s+2) cliques; cross pairs are "
+                  "base-corpus near-dups diluted by the marker token; "
+                  "wall is dominated by planted-passage boilerplate "
+                  "buckets (~1/8 of docs) — the max_df row prunes them")
+        # stop-shingle pruning: passage shingles (df ~ docs/8) prune,
+        # clique shingles (df = reps or 2*reps) survive; the result
+        # must be a SUBSET of the exact pairs (pruning only lowers
+        # jaccard) — verified with a left_anti count
+        p_pairs, p_intra, p_cross, p_wall = run(1000)
+        extra = p_pairs.join(exact_pairs.select("id_a", "id_b"),
+                             ["id_a", "id_b"], "left_anti").count()
+        assert extra == 0, f"{extra} pruned pairs not in exact result"
+        exact_pairs.unpersist()
+        p_pairs.unpersist()
+        docs.unpersist()
+        emit("ngram_dedup_maxdf", docs=n_docs, max_df=1000,
+             pairs_intra=p_intra, pairs_cross=p_cross,
+             intra_retained=round(p_intra / max(intra, 1), 4),
+             subset_of_exact=True,
+             wall_s=round(p_wall, 1),
+             docs_per_sec=int(n_docs / p_wall),
+             speedup_vs_exact=round(wall / p_wall, 1))
 
     # merge into the existing record by stage key (a partial re-run of
     # one stage must not clobber the other stages' results)
