@@ -214,3 +214,59 @@ def test_scan_stream_fold_sessionization_matches_batch(spark, tmp_path):
             .reset_index(drop=True))
     assert len(got) == len(want) == ev.count()
     assert (got["sess"].to_numpy() == want["sess"].to_numpy()).all()
+
+
+def test_scan_stream_fold_accepts_any_conforming_kernel(spark, tmp_path):
+    """Protocol proof (like the streaming-Eventually one): a SECOND,
+    independently written kernel — per-key running sum with carry =
+    plain float — runs through the same scan_stream_fold plumbing and
+    matches an exact SQL window aggregate across micro-batch splits."""
+    import os
+    import uuid
+
+    from algebird_spark.streaming.stateful import scan_stream_fold
+
+    def running_sum_kernel(pdf, carry):
+        vals = pdf["amount"].cumsum() + (carry or 0.0)
+        return vals, float(vals.iloc[-1])
+
+    ev = (spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+          .select("user_id", "event_id",
+                  F.col("ts").cast("timestamp").cast("double")
+                  .alias("tsec"),
+                  (F.col("event_id") % 7).cast("double").alias("amount")))
+    cuts = ev.approxQuantile("tsec", [0.5], 0.0)
+    d = tmp_path / "slices2"
+    d.mkdir()
+    slices = [ev.filter(F.col("tsec") < cuts[0]),
+              ev.filter(F.col("tsec") >= cuts[0])]
+    for i, sl in enumerate(slices):
+        p = str(d / f"slice-{i}")
+        sl.coalesce(1).write.parquet(p)
+        os.utime(p, (1_000_000 + i, 1_000_000 + i))
+        for f in os.listdir(p):
+            os.utime(os.path.join(p, f), (1_000_000 + i, 1_000_000 + i))
+    sdf = (spark.readStream.schema(ev.schema)
+           .option("maxFilesPerTrigger", 1)
+           .parquet(str(d / "slice-*")))
+    out = scan_stream_fold(sdf, ["user_id"], ["tsec", "event_id"],
+                           running_sum_kernel, "rsum", "double")
+    qname = f"rsum_{uuid.uuid4().hex[:8]}"
+    q = (out.writeStream.outputMode("append").format("memory")
+         .queryName(qname).start())
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = (spark.sql(f"SELECT user_id, tsec, event_id, rsum FROM {qname}")
+           .toPandas().sort_values(["user_id", "tsec", "event_id"])
+           .reset_index(drop=True))
+    from pyspark.sql import Window
+    w = (Window.partitionBy("user_id").orderBy("tsec", "event_id")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    want = (ev.withColumn("rsum", F.sum("amount").over(w))
+            .select("user_id", "tsec", "event_id", "rsum").toPandas()
+            .sort_values(["user_id", "tsec", "event_id"])
+            .reset_index(drop=True))
+    assert len(got) == len(want)
+    assert np.allclose(got["rsum"].to_numpy(), want["rsum"].to_numpy())
