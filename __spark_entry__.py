@@ -102,6 +102,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scan_compose": Q.q_scan_compose,
         "streaming_sessions": Q.q_streaming_sessions,      # NEW r5
         "ngram_jaccard_dedup": Q.q_ngram_jaccard_dedup,    # NEW r5
+        "hll_scan": Q.q_hll_scan,                          # NEW r5
 
         "interval_filter": Q.q_interval_filter,
         "stratified_sample": Q.q_stratified_sample,
@@ -491,6 +492,25 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(cnt) AS BIGINT) AS n_events,
                    CAST(MAX(cnt) AS BIGINT) AS max_session_events
             FROM c
+        """,
+        "hll_scan": """
+            WITH e AS (
+              SELECT user_id, event_type,
+                     CAST(FLOOR(EPOCH_US(ts) / 1e6 / 604800) * 604800
+                          AS BIGINT) AS week
+              FROM events),
+            f AS (SELECT event_type, user_id, MIN(week) AS week
+                  FROM e GROUP BY 1, 2),
+            nu AS (SELECT event_type, week, COUNT(*) AS nu
+                   FROM f GROUP BY 1, 2),
+            wk AS (SELECT DISTINCT event_type, week FROM e)
+            SELECT wk.event_type, wk.week AS week_sec,
+                   CAST(SUM(COALESCE(nu.nu, 0)) OVER (
+                        PARTITION BY wk.event_type ORDER BY wk.week
+                        ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                     AS exact_cum_distinct,
+                   TRUE AS hll_ok
+            FROM wk LEFT JOIN nu USING (event_type, week)
         """,
         "ngram_jaccard_dedup": """
             WITH toks AS (

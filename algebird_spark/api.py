@@ -239,6 +239,22 @@ def distinct_count_per_key(df: DataFrame, key_col: str, value_col: str,
     return from_bytes(bytes(states.collect()[0]["sketch_state"]))
 
 
+def cumulative_distinct(df: DataFrame, col: str, by: Sequence[str],
+                        step_col: str, bits: int = 12) -> DataFrame:
+    """Cumulative distinct count per key over an ordered step column —
+    the "HLL scan" (reference ``Scan.fromMonoidAggregator``): one row
+    per (keys, step) estimating distinct ``col`` values seen through
+    that step. Build cost = one keyed sketch build + a state-sized
+    cumulative fold; never an expanding exact window."""
+    from .agg import sketch_by_key
+    from .operators.scan import sketch_scan
+    from .sketches import HLL
+
+    states = sketch_by_key(df, list(by) + [step_col], col,
+                           lambda: HLL(p=bits))
+    return sketch_scan(states, list(by), step_col)
+
+
 def scan_fold(df: DataFrame, keys: Sequence[str], order, step, init,
               output_col: str = "scan_out",
               output_type: str = "double") -> DataFrame:

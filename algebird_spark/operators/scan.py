@@ -33,6 +33,8 @@ from __future__ import annotations
 
 from typing import Any, Callable, Sequence
 
+import pandas as pd
+
 from pyspark.sql import Column, DataFrame, Window, functions as F
 from pyspark.sql.types import StructField, StructType, _parse_datatype_string
 
@@ -281,6 +283,52 @@ class GeneralScan:
         return (df.repartition(*key_cols)
                   .sortWithinPartitions(*key_cols, *order_cols)
                   .mapInPandas(run, schema))
+
+
+def sketch_scan(states: DataFrame, keys: Sequence[str], step_col: str,
+                presenter: Callable[[Any], float] | None = None,
+                out_col: str = "estimate",
+                out_type: str = "double") -> DataFrame:
+    """Expanding (cumulative) merge of per-step sketch states along
+    step order within each key — ``Scan.fromMonoidAggregator`` over a
+    time/step dimension (Scan.scala:61-90), i.e. the "cumulative
+    distinct = HLL scan" mapping of SURVEY §2.2. Input is the
+    ``keys + [step_col]``-grouped state table from ``sketch_by_key``;
+    output has one row per (keys, step) carrying the running
+    ``present()`` over all steps <= step.
+
+    Scale shape: the group fed to applyInPandas is one key's STEP
+    rows (a bounded time dimension — days/weeks), never raw data
+    rows, and each group folds sketch states sequentially — the same
+    O(steps x state) work any engine must do. ``presenter`` maps the
+    running sketch to the output value (default ``present()`` as
+    float). Works for any Sketch: the fold is the monoid plus, so
+    cumulative values equal a fresh build over the prefix (law-tested
+    with HLL against exact first-occurrence counting)."""
+    from ..agg import STATE_COL
+    from ..sketches import from_bytes
+
+    keys = list(keys)
+    present_fn = presenter or (lambda sk: float(sk.present()))
+    key_ddl = ", ".join(f"{f.name} {f.dataType.simpleString()}"
+                        for f in states.schema.fields
+                        if f.name in keys or f.name == step_col)
+    schema = f"{key_ddl}, {out_col} {out_type}"
+
+    def fold(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(step_col, kind="mergesort") \
+                 .reset_index(drop=True)
+        acc = None
+        out = []
+        for raw in pdf[STATE_COL]:
+            sk = from_bytes(bytes(raw))
+            acc = sk if acc is None else acc.merge_in_place(sk)
+            out.append(present_fn(acc))
+        res = pdf[keys + [step_col]].copy()
+        res[out_col] = out
+        return res
+
+    return states.groupBy(*keys).applyInPandas(fold, schema)
 
 
 def session_numbers_kernel(user_col: str, ts_col: str, gap: float):

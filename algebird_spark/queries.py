@@ -1219,6 +1219,51 @@ def q_streaming_sessions(spark, sf):
         shutil.rmtree(d, ignore_errors=True)
 
 
+def q_hll_scan(spark, sf):
+    """Cumulative distinct = HLL scan (SURVEY §2.2; reference
+    Scan.fromMonoidAggregator, Scan.scala:61-90): per-(event_type,
+    week) HLL states fold cumulatively over weeks via sketch_scan, so
+    week W answers 'distinct users seen through W' from state-sized
+    work. Exact side uses first-occurrence counting (each user's
+    MIN(week) contributes 1 from then on — a running sum, no expanding
+    collect_set). Emits exact values + per-row HLL bound verdicts."""
+    from pyspark.sql import Window
+
+    from .agg import sketch_by_key
+    from .operators.scan import sketch_scan
+    from .sketches import HLL
+
+    p = 12
+    ev = _t(spark, sf, "events").select(
+        "user_id", "event_type",
+        (F.floor(F.col("ts").cast("timestamp").cast("double") / 604800)
+         * 604800).cast("long").alias("week"))
+    states = sketch_by_key(ev, ["event_type", "week"], "user_id",
+                           lambda: HLL(p=p))
+    est = sketch_scan(states, ["event_type"], "week")
+    first = ev.groupBy("event_type", "user_id") \
+              .agg(F.min("week").alias("week"))
+    new_users = first.groupBy("event_type", "week") \
+                     .agg(F.count("*").alias("nu"))
+    weeks = ev.select("event_type", "week").distinct()
+    w = (Window.partitionBy("event_type").orderBy("week")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    exact = (weeks.join(new_users, ["event_type", "week"], "left")
+             .fillna(0, subset=["nu"])
+             .withColumn("exact_cum_distinct",
+                         F.sum("nu").over(w).cast("long"))
+             .drop("nu"))
+    tol = 3.5 * 1.04 / (2 ** (p / 2))
+    return (est.join(exact, ["event_type", "week"])
+            .select("event_type",
+                    F.col("week").alias("week_sec"),
+                    "exact_cum_distinct",
+                    (F.abs(F.col("estimate")
+                           - F.col("exact_cum_distinct"))
+                     <= F.lit(tol) * F.col("exact_cum_distinct"))
+                    .alias("hll_ok")))
+
+
 def q_merge_lookup(spark, sf):
     """MapAlgebra.mergeLookup: broadcast-join the supplier dimension,
     sum quantity by the presented nation key (MapAlgebra.scala:183-188).

@@ -230,3 +230,32 @@ def test_session_kernel_batch_split_invariance_property():
         assert np.array_equal(np.concatenate(parts), np.asarray(whole))
 
     run()
+
+
+def test_sketch_scan_prefix_equals_fresh_build(spark):
+    """Monoid law behind sketch_scan: the cumulative fold at step k
+    must estimate exactly what a fresh single sketch built over the
+    whole prefix (steps <= k) estimates — HLL register max is
+    associative, so fold-of-parts == build-of-whole."""
+    from algebird_spark.agg import sketch_by_key, sketch_global
+    from algebird_spark.operators.scan import sketch_scan
+    from algebird_spark.sketches import HLL
+
+    ev = (spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+          .select("user_id", "event_type",
+                  (F.floor(F.col("ts").cast("timestamp").cast("double")
+                           / 604800) * 604800).cast("long").alias("week")))
+    states = sketch_by_key(ev, ["event_type", "week"], "user_id",
+                           lambda: HLL(p=12))
+    got = {(r["event_type"], r["week"]): r["estimate"]
+           for r in sketch_scan(states, ["event_type"], "week").collect()}
+    weeks = sorted({k[1] for k in got})
+    etypes = sorted({k[0] for k in got})
+    for et in etypes:
+        for wk in weeks:
+            if (et, wk) not in got:
+                continue
+            prefix = ev.filter((F.col("event_type") == et)
+                               & (F.col("week") <= wk))
+            fresh = sketch_global(prefix, "user_id", lambda: HLL(p=12))
+            assert got[(et, wk)] == pytest.approx(float(fresh.present()))
