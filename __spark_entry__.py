@@ -145,6 +145,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     }
 
 
+# shared by scan_state (batch fold) and streaming_sessions (streaming
+# fold): both MUST verify against the identical session definition, so
+# the SQL exists exactly once
+_SESSIONS_ORACLE = """
+    WITH l AS (
+      SELECT user_id, event_id, epoch(ts) AS tsec,
+             LAG(epoch(ts)) OVER (PARTITION BY user_id
+                                  ORDER BY epoch(ts), event_id) AS prev
+      FROM events),
+    s AS (
+      SELECT user_id,
+             SUM(CASE WHEN prev IS NULL OR tsec - prev > 1800
+                      THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id
+                     ORDER BY tsec, event_id
+                     ROWS UNBOUNDED PRECEDING) AS sess
+      FROM l),
+    c AS (SELECT user_id, sess, COUNT(*) AS cnt
+          FROM s GROUP BY user_id, sess)
+    SELECT COUNT(DISTINCT user_id) AS n_users,
+           CAST(COUNT(*) AS BIGINT) AS total_sessions,
+           CAST(SUM(cnt) AS BIGINT) AS n_events,
+           CAST(MAX(cnt) AS BIGINT) AS max_session_events
+    FROM c
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     ps = "0.05, 0.25, 0.5, 0.75, 0.95"
     return {
@@ -471,28 +498,7 @@ def oracle_sql() -> dict[str, str]:
                    TRUE AS min_never_over, TRUE AS min_globally_bounded
             FROM lineitem
         """,
-        "scan_state": """
-            WITH l AS (
-              SELECT user_id, event_id, epoch(ts) AS tsec,
-                     LAG(epoch(ts)) OVER (PARTITION BY user_id
-                                          ORDER BY epoch(ts), event_id) AS prev
-              FROM events),
-            s AS (
-              SELECT user_id,
-                     SUM(CASE WHEN prev IS NULL OR tsec - prev > 1800
-                              THEN 1 ELSE 0 END)
-                       OVER (PARTITION BY user_id
-                             ORDER BY tsec, event_id
-                             ROWS UNBOUNDED PRECEDING) AS sess
-              FROM l),
-            c AS (SELECT user_id, sess, COUNT(*) AS cnt
-                  FROM s GROUP BY user_id, sess)
-            SELECT COUNT(DISTINCT user_id) AS n_users,
-                   CAST(COUNT(*) AS BIGINT) AS total_sessions,
-                   CAST(SUM(cnt) AS BIGINT) AS n_events,
-                   CAST(MAX(cnt) AS BIGINT) AS max_session_events
-            FROM c
-        """,
+        "scan_state": _SESSIONS_ORACLE,
         "hll_scan": """
             WITH e AS (
               SELECT user_id, event_type,
@@ -537,28 +543,7 @@ def oracle_sql() -> dict[str, str]:
             FROM c
             WHERE common::DOUBLE / (n_a + n_b - common) >= 0.5
         """,
-        "streaming_sessions": """
-            WITH l AS (
-              SELECT user_id, event_id, epoch(ts) AS tsec,
-                     LAG(epoch(ts)) OVER (PARTITION BY user_id
-                                          ORDER BY epoch(ts), event_id) AS prev
-              FROM events),
-            s AS (
-              SELECT user_id,
-                     SUM(CASE WHEN prev IS NULL OR tsec - prev > 1800
-                              THEN 1 ELSE 0 END)
-                       OVER (PARTITION BY user_id
-                             ORDER BY tsec, event_id
-                             ROWS UNBOUNDED PRECEDING) AS sess
-              FROM l),
-            c AS (SELECT user_id, sess, COUNT(*) AS cnt
-                  FROM s GROUP BY user_id, sess)
-            SELECT COUNT(DISTINCT user_id) AS n_users,
-                   CAST(COUNT(*) AS BIGINT) AS total_sessions,
-                   CAST(SUM(cnt) AS BIGINT) AS n_events,
-                   CAST(MAX(cnt) AS BIGINT) AS max_session_events
-            FROM c
-        """,
+        "streaming_sessions": _SESSIONS_ORACLE,
         "sketchmap_hll_distinct": """
             WITH g AS (SELECT l_suppkey, COUNT(DISTINCT l_partkey) AS d
                        FROM lineitem GROUP BY l_suppkey)

@@ -232,11 +232,13 @@ def distinct_count_per_key(df: DataFrame, key_col: str, value_col: str,
     from .agg import sketch_by_key_multi
     from .sketches import SketchMapHLL, from_bytes
 
-    states = sketch_by_key_multi(
-        df, [], [key_col, value_col],
-        lambda: SketchMapHLL(eps=eps, delta=delta, p=p,
-                             heavy_hitters_count=heavy_hitters_count))
-    return from_bytes(bytes(states.collect()[0]["sketch_state"]))
+    factory = lambda: SketchMapHLL(eps=eps, delta=delta, p=p,  # noqa: E731
+                                   heavy_hitters_count=heavy_hitters_count)
+    rows = sketch_by_key_multi(df, [], [key_col, value_col],
+                               factory).collect()
+    if not rows:  # monoid zero on empty input, like sketch_global
+        return factory()
+    return from_bytes(bytes(rows[0]["sketch_state"]))
 
 
 def cumulative_distinct(df: DataFrame, col: str, by: Sequence[str],

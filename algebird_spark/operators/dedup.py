@@ -376,6 +376,21 @@ def add_minhash_bands(df: DataFrame, text_col: str = "text",
     return df.withColumn(alias, bk(F.col(text_col)))
 
 
+def _ordered_pairs(arr_col: str, make_pair) -> "F.Column":
+    """All (arr[i], arr[j]) pairs with i < j of a SORTED array column,
+    as one flat array: each element pairs with the tail after it.
+    ``make_pair(x, y) -> struct Column``. This is the single shared
+    copy of the off-by-one-prone slice arithmetic (1-based ``i + 2``
+    start, ``size - i - 1`` length) every bucket-expansion candidate
+    generator uses."""
+    return F.flatten(F.transform(
+        arr_col,
+        lambda x, i: F.transform(
+            F.slice(arr_col, i + F.lit(2),
+                    F.greatest(F.size(arr_col) - i - 1, F.lit(0))),
+            lambda y: make_pair(x, y))))
+
+
 def lsh_candidate_pairs(df: DataFrame, id_col: str = "doc_id",
                         sig_col: str = "minhash", bands: int = 16) -> DataFrame:
     """Docs sharing any LSH band bucket. Returns (id_a, id_b) with
@@ -433,14 +448,9 @@ def lsh_candidate_pairs_from_bands(df: DataFrame, id_col: str = "doc_id",
     buckets = (banded.groupBy("bucket")
                .agg(F.sort_array(F.collect_list(id_col)).alias("ids"))
                .filter(F.size("ids") > 1))
-    # all (ids[i], ids[j]) with i < j: for each element, pair it with
-    # the tail of the (sorted, so id_a < id_b) array after it
-    pairs = F.flatten(F.transform(
-        "ids",
-        lambda x, i: F.transform(
-            F.slice("ids", i + F.lit(2),
-                    F.greatest(F.size("ids") - i - 1, F.lit(0))),
-            lambda y: F.struct(x.alias("id_a"), y.alias("id_b")))))
+    # sorted array, so id_a < id_b falls out of pair order
+    pairs = _ordered_pairs(
+        "ids", lambda x, y: F.struct(x.alias("id_a"), y.alias("id_b")))
     return (buckets.select(F.explode(pairs).alias("p"))
             .select("p.id_a", "p.id_b")
             .distinct())
@@ -512,30 +522,39 @@ def near_dup_pairs_ngram(df: DataFrame, id_col: str = "doc_id",
     in-bucket expansion on boilerplate shingles). Pruning only LOWERS
     computed Jaccard (``common`` shrinks while the set sizes stay
     full), so it never creates a false positive. ``None`` = fully
-    exact. Exact-duplicate clusters make every one of their shingle
+    exact. The guard fires BEFORE collect_list (document-frequency
+    count + broadcast anti-join on the tiny hot set), so a df ~ N
+    bucket never materializes as one unbounded row; this adds one
+    cheap count aggregation over the (scoped-persisted) shingle
+    table. Exact-duplicate clusters make every one of their shingle
     buckets quadratic: run :func:`dedup_exact` first at scale."""
     sh = (df.filter(has_tokens(text_col))
           .select(F.col(id_col),
                   shingle_hashes_udf(shingle_n)(F.col(text_col))
                   .alias("sh"))
           .filter(F.size("sh") > 0))
+    if max_df is not None:
+        # the document-frequency guard must fire BEFORE collect_list —
+        # a df ~ N shingle bucket would otherwise materialize as one
+        # unbounded struct-array row (OOM / 2 GB row limit) before
+        # being dropped. Persist the shingle table so the kernel runs
+        # once across the count and the index pass; the hot set is
+        # tiny by definition, so AQE broadcasts the anti-join.
+        sh = _cache_scoped("ngram_shingles", sh)
     ex = sh.select(
         F.struct(F.col(id_col).alias("id"), F.size("sh").alias("n"))
         .alias("d"),
         F.explode("sh").alias("shingle"))
+    if max_df is not None:
+        hot = (ex.groupBy("shingle").count()
+               .filter(F.col("count") > max_df).select("shingle"))
+        ex = ex.join(hot, "shingle", "left_anti")
     buckets = (ex.groupBy("shingle")
                .agg(F.sort_array(F.collect_list("d")).alias("ds"))
                .filter(F.size("ds") > 1))
-    if max_df is not None:
-        buckets = buckets.filter(F.size("ds") <= max_df)
-    # all (ds[i], ds[j]) with i < j — structs sort by id first, so
-    # id_a < id_b falls out of sort_array
-    pairs = F.flatten(F.transform(
-        "ds",
-        lambda x, i: F.transform(
-            F.slice("ds", i + F.lit(2),
-                    F.greatest(F.size("ds") - i - 1, F.lit(0))),
-            lambda y: F.struct(x.alias("a"), y.alias("b")))))
+    # structs sort by id first, so id_a < id_b falls out of sort_array
+    pairs = _ordered_pairs(
+        "ds", lambda x, y: F.struct(x.alias("a"), y.alias("b")))
     pe = (buckets.select(F.explode(pairs).alias("p"))
           .select(F.col("p.a.id").alias("id_a"),
                   F.col("p.a.n").alias("n_a"),
@@ -665,28 +684,33 @@ def near_dup_pairs_simhash(df: DataFrame, id_col: str = "doc_id",
     # ONE shuffle (round 5, like lsh_candidate_pairs_from_bands):
     # groupBy(bucket) collects each bucket's sorted (id, simhash)
     # structs — the old self-join shuffled the banded table twice for
-    # the identical candidate set — and the skew guard becomes a free
-    # size filter instead of an extra groupBy + join. Hamming verifies
-    # inside the pair-expansion lambda, so only true near-dup pairs
-    # reach the final distinct, exactly as before.
+    # the identical candidate set. Hamming verifies inside the
+    # pair-expansion lambda, so only true near-dup pairs reach the
+    # final distinct, exactly as before.
+    if max_bucket is not None:
+        # the guard must fire BEFORE collect_list: a pathological
+        # bucket (millions of colliding boilerplate docs) would
+        # otherwise materialize as ONE unbounded struct array row —
+        # executor OOM / 2 GB row limit — before being discarded. The
+        # count aggregation shuffles only (bucket, partial count) and
+        # the hot set is tiny by definition, so AQE broadcasts the
+        # anti-join; banded recomputes cheaply from the persisted
+        # fingerprint table.
+        hot = (banded.groupBy("bucket").count()
+               .filter(F.col("count") > max_bucket).select("bucket"))
+        banded = banded.join(hot, "bucket", "left_anti")
     buckets = (banded.groupBy("bucket")
                .agg(F.sort_array(F.collect_list(F.struct(
                    F.col(id_col).alias("i"),
                    F.col("simhash").alias("s")))).alias("ds"))
                .filter(F.size("ds") > 1))
-    if max_bucket is not None:
-        buckets = buckets.filter(F.size("ds") <= max_bucket)
-    pair_structs = F.flatten(F.transform(
-        "ds",
-        lambda x, i: F.filter(
-            F.transform(
-                F.slice("ds", i + F.lit(2),
-                        F.greatest(F.size("ds") - i - 1, F.lit(0))),
-                lambda y: F.struct(
-                    x["i"].alias("id_a"), y["i"].alias("id_b"),
-                    F.bit_count(x["s"].bitwiseXOR(y["s"]))
-                     .alias("hamming"))),
-            lambda p: p["hamming"] <= max_hamming)))
+    # Hamming verifies in-expression so only true near-dup pairs
+    # survive the expansion
+    pair_structs = F.filter(
+        _ordered_pairs("ds", lambda x, y: F.struct(
+            x["i"].alias("id_a"), y["i"].alias("id_b"),
+            F.bit_count(x["s"].bitwiseXOR(y["s"])).alias("hamming"))),
+        lambda p: p["hamming"] <= max_hamming)
     out = (buckets.select(F.explode(pair_structs).alias("p"))
            .select("p.id_a", "p.id_b", "p.hamming")
            .distinct())

@@ -94,6 +94,15 @@ def default_image_codec(feat_dim: int = 16):
         return DeterministicFakeCodec(feat_dim)
 
 
+def _clamp_unit_f32(arr: np.ndarray) -> np.ndarray:
+    """Clamp a float32 array to the strict [0, 1) codec contract.
+    Must run on the FLOAT32 values: any float64-side margin smaller
+    than float32's spacing at 1.0 (~6e-8) rounds back to exactly 1.0f
+    during the cast."""
+    hi = np.nextafter(np.float32(1.0), np.float32(0.0))
+    return np.clip(arr, np.float32(0.0), hi)
+
+
 class ByteHistogramCodec:
     """Second dependency-free codec: normalized byte-value histogram of
     the payload, folded to ``feat_dim`` bins. A genuinely different
@@ -111,8 +120,11 @@ class ByteHistogramCodec:
         folded = counts.reshape(self.feat_dim, -1).sum(axis=1) \
             if 256 % self.feat_dim == 0 else np.resize(counts, self.feat_dim)
         total = folded.sum()
-        out = folded / (total + 1.0)  # strict [0, 1): never hits 1
-        return out.astype(np.float32)
+        out = folded / (total + 1.0)  # strict [0, 1) in float64...
+        # ...but the float32 CAST can round 1-eps back up to exactly
+        # 1.0f (float64 margins below ~6e-8 vanish at float32 spacing;
+        # a >~32 MB single-byte payload hits this) — clamp AFTER cast
+        return _clamp_unit_f32(out.astype(np.float32))
 
 
 class SoundfileAudioCodec:
@@ -136,8 +148,12 @@ class SoundfileAudioCodec:
         pad = (-mono.size) % self.feat_dim
         mono = np.pad(mono, (0, pad))
         bins = mono.reshape(self.feat_dim, -1).mean(axis=1)
-        return np.clip(bins / (bins.max() + 1e-9), 0.0,
-                       np.nextafter(1.0, 0.0)).astype(np.float32)
+        # clamp AFTER the float32 cast: the max bin is ~1-2e-9 in
+        # float64, which .astype(np.float32) rounds to exactly 1.0f
+        # (float32 spacing at 1.0 is ~6e-8) — clipping in float64
+        # first violated the [0, 1) contract for every non-silent clip
+        scaled = (bins / (bins.max() + 1e-9)).astype(np.float32)
+        return _clamp_unit_f32(scaled)
 
 
 class AVVideoCodec:

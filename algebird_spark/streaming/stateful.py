@@ -205,9 +205,15 @@ def scan_stream_fold(sdf: DataFrame, keys: Sequence[str],
     def update(key, pdfs: Iterable[pd.DataFrame], state: GroupState):
         carry = (pickle.loads(bytes(state.get[0]))
                  if state.exists else None)
-        for pdf in pdfs:
-            if len(pdf) == 0:
-                continue
+        # the group's micro-batch rows arrive as an ITERATOR of
+        # Arrow-sized chunks in shuffle order — sorting each chunk
+        # independently would fold across-chunk rows out of order, so
+        # materialize the whole (key, micro-batch) slice and sort ONCE;
+        # its size is bounded by one key's one-trigger data
+        chunks = [p for p in pdfs if len(p)]
+        if chunks:
+            pdf = (chunks[0] if len(chunks) == 1
+                   else pd.concat(chunks, ignore_index=True))
             pdf = pdf.sort_values(order_cols, kind="mergesort") \
                 .reset_index(drop=True)
             vals, carry = batch_kernel(pdf, carry)

@@ -250,3 +250,18 @@ def test_ann_topk_ivf_indexed_method(spark, tmp_path):
     rows = out.collect()
     assert {r["q_id"] for r in rows} == {r["q_id"] for r in q.collect()}
     assert all(1 <= r["rank"] <= 3 for r in rows)
+
+
+def test_distinct_count_per_key_empty_input(spark):
+    """Monoid zero on empty input (like sketch_global) instead of an
+    IndexError from collect()[0]."""
+    import numpy as np
+    import pyspark.sql.functions as F
+
+    from algebird_spark import api
+
+    li = (spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+          .filter(F.lit(False)))
+    sk = api.distinct_count_per_key(li, "l_suppkey", "l_partkey")
+    vals = sk.values(np.array([1, 2, 3], dtype=np.int64))
+    assert (np.asarray(vals) == 0).all()

@@ -105,3 +105,20 @@ def test_audio_video_codecs_probe_at_construction():
             assert isinstance(codec, cls)
         else:
             assert isinstance(codec, mm.DeterministicFakeCodec)
+
+
+def test_byte_histogram_codec_huge_payload_stays_below_one():
+    """float32-cast regression: a single-byte payload large enough
+    that total/(total+1) is within float32 spacing of 1.0 must still
+    satisfy the strict [0,1) contract after the cast."""
+    import numpy as np
+
+    from algebird_spark.operators.multimodal import ByteHistogramCodec
+
+    codec = ByteHistogramCodec(feat_dim=16)
+    feats = codec.decode_features(b"\x00" * 50_000_000)
+    assert feats.dtype == np.float32
+    assert (feats < np.float32(1.0)).all(), feats.max()
+    assert (feats >= 0).all()
+    # sanity: the hot bin is still ~1
+    assert feats.max() > 0.999

@@ -270,3 +270,59 @@ def test_scan_stream_fold_accepts_any_conforming_kernel(spark, tmp_path):
             .reset_index(drop=True))
     assert len(got) == len(want)
     assert np.allclose(got["rsum"].to_numpy(), want["rsum"].to_numpy())
+
+
+def test_scan_stream_fold_group_spanning_many_arrow_chunks(spark, tmp_path):
+    """Regression: applyInPandasWithState hands each (key, micro-batch)
+    slice to the update fn as an ITERATOR of Arrow chunks in shuffle
+    order. With maxRecordsPerBatch=64 a key's slice spans many chunks;
+    the fold must sort the WHOLE slice once (per-chunk sorting folds
+    across-chunk rows out of order and mis-numbers sessions)."""
+    import os
+    import uuid
+
+    from algebird_spark.operators.scan import (GeneralScan,
+                                               session_numbers_kernel)
+    from algebird_spark.streaming.stateful import scan_stream_fold
+
+    ev = (spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+          .select("user_id", "event_id",
+                  F.col("ts").cast("timestamp").cast("double")
+                  .alias("tsec"))
+          # one hot key so a single group spans dozens of 64-row chunks
+          .withColumn("user_id", F.col("user_id") % 3))
+    d = tmp_path / "one_batch"
+    d.mkdir()
+    # shuffle row order inside the file so chunks arrive unsorted
+    ev.orderBy(F.xxhash64("event_id")).coalesce(1) \
+        .write.parquet(str(d / "slice-0"))
+    sdf = (spark.readStream.schema(ev.schema)
+           .parquet(str(d / "slice-*")))
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "64")
+    try:
+        out = scan_stream_fold(sdf, ["user_id"], ["tsec", "event_id"],
+                               session_numbers_kernel("user_id", "tsec",
+                                                      1800.0),
+                               "sess", "bigint")
+        qname = f"chunked_{uuid.uuid4().hex[:8]}"
+        q = (out.writeStream.outputMode("append").format("memory")
+             .queryName(qname).start())
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        got = (spark.sql(f"SELECT user_id, tsec, event_id, sess "
+                         f"FROM {qname}").toPandas()
+               .sort_values(["user_id", "tsec", "event_id"])
+               .reset_index(drop=True))
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+    want = (GeneralScan.apply_stream(
+                ev, ["user_id"], ["tsec", "event_id"],
+                session_numbers_kernel("user_id", "tsec", 1800.0),
+                "sess", "bigint")
+            .toPandas().sort_values(["user_id", "tsec", "event_id"])
+            .reset_index(drop=True))
+    assert len(got) == len(want) == ev.count()
+    assert (got["sess"].to_numpy() == want["sess"].to_numpy()).all()
