@@ -103,6 +103,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_sessions": Q.q_streaming_sessions,      # NEW r5
         "ngram_jaccard_dedup": Q.q_ngram_jaccard_dedup,    # NEW r5
         "hll_scan": Q.q_hll_scan,                          # NEW r5
+        "bloom_join": Q.q_bloom_join,                      # NEW r5
+        "skew_join": Q.q_skew_join,                        # NEW r5
 
         "interval_filter": Q.q_interval_filter,
         "stratified_sample": Q.q_stratified_sample,
@@ -517,6 +519,23 @@ def oracle_sql() -> dict[str, str]:
                      AS exact_cum_distinct,
                    TRUE AS hll_ok
             FROM wk LEFT JOIN nu USING (event_type, week)
+        """,
+        "bloom_join": """
+            SELECT s_nationkey, COUNT(*) AS n_items,
+                   ROUND(SUM(l_extendedprice), 4) AS revenue
+            FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+            WHERE s_nationkey < 9
+            GROUP BY s_nationkey
+        """,
+        "skew_join": """
+            WITH big AS (
+              SELECT CASE WHEN l_orderkey % 10 < 7 THEN 1
+                          ELSE l_partkey END AS jk, l_quantity
+              FROM lineitem)
+            SELECT p_brand, COUNT(*) AS n_items,
+                   ROUND(SUM(l_quantity), 4) AS total_qty
+            FROM big JOIN part ON jk = p_partkey
+            GROUP BY p_brand
         """,
         "ngram_jaccard_dedup": """
             WITH toks AS (

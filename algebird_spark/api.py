@@ -290,3 +290,35 @@ def sessionize(df: DataFrame, user_col: str, ts_col: str,
         df, [user_col], list(order) if order else [ts_col],
         session_numbers_kernel(user_col, ts_col, gap),
         output_col, "bigint")
+
+
+def semi_join_prune(big: DataFrame, keys: DataFrame, big_key: str,
+                    keys_key: str | None = None,
+                    fp_prob: float = 0.01) -> DataFrame:
+    """Bloom-prune ``big`` to rows whose key may appear in ``keys``:
+    a no-false-negative superset filter evaluated in the scan stage
+    (see operators/joins.py — follow with a real join to drop the
+    bounded false-positive residue)."""
+    from .operators.joins import bloom_prune
+    return bloom_prune(big, keys, big_key, keys_key or big_key,
+                       fp_prob=fp_prob)
+
+
+def join_pruned(big: DataFrame, small: DataFrame, big_key: str,
+                small_key: str | None = None, how: str = "inner",
+                fp_prob: float = 0.01) -> DataFrame:
+    """Exact inner/semi join with the big side Bloom-pruned before the
+    shuffle (operators/joins.py:bloom_join)."""
+    from .operators.joins import bloom_join
+    return bloom_join(big, small, big_key, small_key, how=how,
+                      fp_prob=fp_prob)
+
+
+def join_skewed(big: DataFrame, small: DataFrame, big_key: str,
+                small_key: str | None = None, how: str = "inner",
+                min_share: float = 0.005) -> DataFrame:
+    """Exact join with SpaceSaver-detected hot keys routed through a
+    broadcast path so they never shuffle (operators/joins.py:skew_join)."""
+    from .operators.joins import skew_join
+    return skew_join(big, small, big_key, small_key, how=how,
+                     min_share=min_share)

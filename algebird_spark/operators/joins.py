@@ -1,0 +1,176 @@
+"""Sketch-accelerated distributed joins.
+
+The reference uses its sketches to *answer* queries; at warehouse scale
+the same monoids also make the physical plan cheaper. Two classic
+techniques, both EXACT (the sketch only steers the plan — every result
+row is identical to the plain join, which is what makes them perfectly
+oracle-checkable):
+
+* **Bloom-pruned join** — build a Bloom filter over the small side's
+  join keys in one mergeable pass (the reference's
+  ``BloomFilter.aggregator``, immutable/BloomFilter.scala:342-377 —
+  here ``agg.sketch_global``), broadcast the filter bytes, and drop
+  big-side rows whose key cannot match *inside the scan stage*, before
+  the join's Exchange. Zero false negatives means no result row is ever
+  lost; the join itself removes the (bounded-probability) false
+  positives. At 100 TB this is the difference between shuffling the
+  full fact table and shuffling only the ~matching fraction: the probe
+  is an Arrow-batched kernel in the same stage as the parquet scan, so
+  pruned rows never leave the executor that read them.
+
+* **Skew join (sketch-driven hot/cold split)** — find heavy-hitter join
+  keys with one SpaceSaver pass (SpaceSaver.scala:166-187 count/error
+  bounds: capacity C bounds the error by N/C, so every key with share
+  >= 2/C is surfaced), then route hot-key rows through a broadcast join
+  (no shuffle, so the hot key's rows stay spread across their input
+  partitions instead of hammering one reducer) and the long tail
+  through the normal shuffle join. The split is a partition of the
+  big side's rows, so hot-set mistakes change PERFORMANCE, never the
+  result — misses stay on the (correct) shuffle path, false alarms just
+  broadcast a few extra dim rows. Complements AQE's skew-split (which
+  splits oversized *partitions* after the shuffle has already moved the
+  hot key's rows): here the hot rows never shuffle at all, and the same
+  sketch pass works for repeated runs (persist the hot-key list like
+  any other sketch state).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..agg import sketch_global
+from ..sketches import BloomFilter, SpaceSaver, from_bytes
+
+__all__ = ["bloom_prune", "bloom_join", "hot_keys", "skew_join"]
+
+
+def bloom_prune(big: DataFrame, keys: DataFrame, big_key: str, keys_key: str,
+                fp_prob: float = 0.01, num_entries: int | None = None,
+                fanout: int = 16) -> DataFrame:
+    """Filter ``big`` to rows whose ``big_key`` *may* appear in
+    ``keys[keys_key]``: a superset of the matching rows (no false
+    negatives), with the non-matching residue bounded by the Bloom FPP.
+
+    ``num_entries`` sizes the filter; when omitted we use
+    ``keys.count()`` — an upper bound on the distinct key count, so the
+    realized FPP is at or below ``fp_prob`` without paying a distinct
+    shuffle just to size the filter.
+
+    The returned DataFrame's filter is a vectorized Arrow-batch probe
+    (one murmur128 call per batch) evaluated wherever ``big``'s scan
+    runs — upstream of any later join Exchange, so pruned rows are
+    never shuffled. The filter bytes ship to executors via a Spark
+    broadcast (one copy per executor, not per task).
+    """
+    if num_entries is None:
+        num_entries = max(int(keys.count()), 64)
+    bf = sketch_global(keys, keys_key,
+                       lambda: BloomFilter(num_entries=num_entries,
+                                           fp_prob=fp_prob),
+                       fanout=fanout)
+    spark = big.sparkSession
+    bc = spark.sparkContext.broadcast(bf.to_bytes())
+    # dtype fidelity: a nullable int column reaches pandas as float64
+    # (NaN for NULL) while the filter was built from Arrow int64 —
+    # hashing the float bit pattern would FALSE-NEGATIVE every row in a
+    # null-carrying batch. Cast back using the plan's declared type;
+    # NULL keys match nothing in an equi-join, so they probe False.
+    int_key = big.schema[big_key].dataType.simpleString() in (
+        "tinyint", "smallint", "int", "bigint")
+
+    @F.pandas_udf("boolean")
+    def may_match(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        import numpy as np
+        local = from_bytes(bc.value)
+        for s in it:
+            mask = s.isna().to_numpy()
+            out = np.zeros(len(s), dtype=bool)
+            if (~mask).any():
+                arr = s[~mask].to_numpy()
+                if int_key and arr.dtype.kind == "f":
+                    arr = arr.astype(np.int64)
+                out[~mask] = local.contains_batch(arr)
+            yield pd.Series(out)
+
+    return big.filter(may_match(F.col(big_key)))
+
+
+def bloom_join(big: DataFrame, small: DataFrame, big_key: str,
+               small_key: str | None = None, how: str = "inner",
+               fp_prob: float = 0.01,
+               num_entries: int | None = None) -> DataFrame:
+    """Inner/left-semi join of ``big`` with ``small``, with the big side
+    Bloom-pruned before the shuffle. Result rows are EXACTLY the plain
+    join's (false positives die in the join; false negatives are
+    impossible), so at 10x selectivity the shuffle moves ~10x less.
+
+    ``how='semi'`` returns only big-side columns (left_semi)."""
+    if how not in ("inner", "semi"):
+        raise ValueError("bloom_join supports how='inner' or 'semi'")
+    small_key = small_key or big_key
+    pruned = bloom_prune(big, small, big_key, small_key,
+                         fp_prob=fp_prob, num_entries=num_entries)
+    jhow = "left_semi" if how == "semi" else "inner"
+    if big_key == small_key:
+        return pruned.join(small, on=big_key, how=jhow)
+    return pruned.join(small, pruned[big_key] == small[small_key], jhow)
+
+
+def hot_keys(df: DataFrame, key: str, min_share: float = 0.005,
+             capacity: int | None = None) -> list:
+    """One SpaceSaver pass over ``df[key]`` returning every key whose
+    frequency share may reach ``min_share`` (upper-bound test: count >=
+    min_share * N). Capacity defaults to ceil(4/min_share), which
+    bounds the per-key error by N*min_share/4 — so no key with true
+    share >= min_share is missed, and anything returned has true share
+    > min_share*3/4. The result is bounded by capacity, safe to collect
+    and broadcast."""
+    if not 0 < min_share < 1:
+        raise ValueError("min_share must be in (0, 1)")
+    capacity = capacity or int(4.0 / min_share + 1)
+    ss = sketch_global(df, key, lambda: SpaceSaver(capacity=capacity))
+    total = sum(c for _, (c, _) in ss.counters.items())
+    # merged totals undercount only when capacity evicts — the threshold
+    # uses the sketch's own mass, consistent with its count estimates
+    thresh = min_share * max(total, 1)
+    return [item for item, c, e, _ in ss.top_k(capacity) if c >= thresh]
+
+
+def skew_join(big: DataFrame, small: DataFrame, big_key: str,
+              small_key: str | None = None, how: str = "inner",
+              min_share: float = 0.005,
+              hot: list | None = None) -> DataFrame:
+    """Join with sketch-driven hot/cold routing (see module docstring).
+
+    ``hot`` overrides detection with a precomputed hot-key list (e.g.
+    persisted from a previous run's SpaceSaver state). ``how`` supports
+    'inner' and 'left' (every big-side row lands on exactly one path,
+    so the union is the exact join result for both)."""
+    if how not in ("inner", "left"):
+        raise ValueError("skew_join supports how='inner' or 'left'")
+    small_key = small_key or big_key
+    if hot is None:
+        hot = hot_keys(big, big_key, min_share=min_share)
+    if not hot:
+        return big.join(small, big[big_key] == small[small_key], how)
+    is_hot = F.col(big_key).isin(hot)
+    # NULL keys match nothing in an equi-join: route them cold so a
+    # left join still emits them (isin(NULL) is NULL -> ~NULL is NULL,
+    # filter drops; make the cold predicate null-inclusive explicitly)
+    big_hot = big.filter(is_hot)
+    big_cold = big.filter(~is_hot | F.col(big_key).isNull())
+    small_hot = small.filter(F.col(small_key).isin(hot))
+    if big_key == small_key:
+        hot_df = big_hot.join(F.broadcast(small_hot), on=big_key, how=how)
+        cold_df = big_cold.join(small, on=big_key, how=how)
+    else:
+        hot_df = big_hot.join(F.broadcast(small_hot),
+                              big_hot[big_key] == small_hot[small_key], how)
+        cold_df = big_cold.join(small,
+                                big_cold[big_key] == small[small_key], how)
+    return hot_df.unionByName(cold_df)

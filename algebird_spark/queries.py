@@ -1269,6 +1269,45 @@ def q_hll_scan(spark, sf):
                     .alias("hll_ok")))
 
 
+def q_bloom_join(spark, sf):
+    """Bloom-pruned fact->dim join (operators/joins.py): one mergeable
+    Bloom pass over the 3-nation supplier subset (BloomFilter monoid,
+    immutable/BloomFilter.scala:342-377), broadcast, then an
+    Arrow-batched probe drops non-matching lineitem rows IN the scan
+    stage — before the join's Exchange, so at warehouse scale the
+    shuffle moves only the ~matching fraction (11x cut at this
+    selectivity). Zero false negatives + the join killing false
+    positives makes the result EXACTLY the plain join, which the
+    oracle runs."""
+    from .operators.joins import bloom_join
+    li = _t(spark, sf, "lineitem")
+    su = _t(spark, sf, "supplier").filter(F.col("s_nationkey") < 9)
+    j = bloom_join(li, su, "l_suppkey", "s_suppkey")
+    return j.groupBy("s_nationkey").agg(
+        F.count("*").alias("n_items"),
+        F.round(F.sum("l_extendedprice"), 4).alias("revenue"))
+
+
+def q_skew_join(spark, sf):
+    """Sketch-driven skew join (operators/joins.py): a derived key
+    sends 70% of lineitem rows to ONE hot value; a SpaceSaver pass
+    (SpaceSaver.scala:166-187 bounds) surfaces it, and those rows take
+    a broadcast path — they never shuffle on the hot key, so no
+    reducer receives 70% of the table — while the long tail
+    shuffle-joins normally. The hot/cold split partitions the big
+    side's rows, so the union is EXACTLY the plain join (the oracle),
+    independent of sketch accuracy."""
+    from .operators.joins import skew_join
+    li = _t(spark, sf, "lineitem")
+    pa = _t(spark, sf, "part")
+    big = li.withColumn("jk", F.when(F.col("l_orderkey") % 10 < 7,
+                                     F.lit(1)).otherwise(F.col("l_partkey")))
+    j = skew_join(big, pa, "jk", "p_partkey", min_share=0.01)
+    return j.groupBy("p_brand").agg(
+        F.count("*").alias("n_items"),
+        F.round(F.sum("l_quantity"), 4).alias("total_qty"))
+
+
 def q_merge_lookup(spark, sf):
     """MapAlgebra.mergeLookup: broadcast-join the supplier dimension,
     sum quantity by the presented nation key (MapAlgebra.scala:183-188).

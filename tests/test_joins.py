@@ -1,0 +1,148 @@
+"""Sketch-accelerated joins (operators/joins.py): exactness under every
+routing decision, plus plan gates for the scale claims (probe filter
+upstream of the join Exchange; hot path broadcast)."""
+
+from __future__ import annotations
+
+import io
+from contextlib import redirect_stdout
+
+import pytest
+from pyspark.sql import Row, functions as F
+
+from algebird_spark.operators.joins import (bloom_join, bloom_prune,
+                                            hot_keys, skew_join)
+
+
+def plan_of(df) -> str:
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+@pytest.fixture(scope="module")
+def tables(spark):
+    big = spark.createDataFrame(
+        [Row(k=i % 50, v=float(i)) for i in range(2000)]
+        + [Row(k=None, v=-1.0)] * 5)
+    small = spark.createDataFrame(
+        [Row(sk=i, name=f"dim{i}") for i in range(0, 50, 3)])
+    return big, small
+
+
+def _sorted(df, cols):
+    return sorted((tuple(r) for r in df.select(*cols).collect()), key=repr)
+
+
+def test_bloom_join_matches_plain_inner(tables):
+    big, small = tables
+    got = bloom_join(big, small, "k", "sk")
+    want = big.join(small, big["k"] == small["sk"], "inner")
+    assert _sorted(got, ["k", "v", "name"]) == _sorted(want, ["k", "v", "name"])
+
+
+def test_bloom_join_semi_mode(tables):
+    big, small = tables
+    got = bloom_join(big, small, "k", "sk", how="semi")
+    want = big.join(small, big["k"] == small["sk"], "left_semi")
+    assert got.columns == big.columns
+    assert _sorted(got, ["k", "v"]) == _sorted(want, ["k", "v"])
+
+
+def test_bloom_prune_no_false_negatives_and_prunes(tables):
+    big, small = tables
+    pruned = bloom_prune(big, small, "k", "sk", fp_prob=0.01)
+    keys = [r["sk"] for r in small.collect()]
+    matching = big.filter(F.col("k").isin(keys)).count()
+    n_pruned = pruned.count()
+    assert n_pruned < big.count()  # actually prunes
+    assert n_pruned >= matching    # superset of matches (no FNs)
+    # and every individual matching row survives (null-batch regression:
+    # an int64 key column carrying NULLs arrives as float64 and must
+    # still hash as int)
+    assert pruned.filter(F.col("k").isin(keys)).count() == matching
+
+
+def test_bloom_prune_is_shuffle_free(tables):
+    """The probe evaluates in the big side's scan stage: the pruned
+    DataFrame's plan contains the Arrow probe + filter and NO Exchange,
+    so pruned rows never leave the executor that read them — the whole
+    point of the operator at 100 TB."""
+    big, small = tables
+    plan = plan_of(bloom_prune(big, small, "k", "sk"))
+    assert "ArrowEvalPython" in plan
+    assert "Exchange" not in plan
+
+
+def test_skew_join_matches_plain_inner_and_left(tables):
+    big, small = tables
+    for how in ("inner", "left"):
+        got = skew_join(big, small, "k", "sk", how=how, min_share=0.02)
+        want = big.join(small, big["k"] == small["sk"], how)
+        assert _sorted(got, ["k", "v", "name"]) == \
+            _sorted(want, ["k", "v", "name"]), how
+
+
+def test_skew_join_left_keeps_null_keys(tables):
+    big, small = tables
+    got = skew_join(big, small, "k", "sk", how="left", min_share=0.02)
+    assert got.filter(F.col("k").isNull()).count() == 5
+
+
+def test_skew_join_hot_override_and_empty_hot(tables):
+    big, small = tables
+    want = _sorted(big.join(small, big["k"] == small["sk"], "inner"),
+                   ["k", "v", "name"])
+    got = skew_join(big, small, "k", "sk", hot=[0, 3, 6])
+    assert _sorted(got, ["k", "v", "name"]) == want
+    # detection finding nothing hot degrades to the plain join
+    got2 = skew_join(big, small, "k", "sk", hot=[])
+    assert _sorted(got2, ["k", "v", "name"]) == want
+
+
+def test_skew_join_hot_path_broadcasts(spark, tables):
+    big, small = tables
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = plan_of(skew_join(big, small, "k", "sk", hot=[0]))
+        # with auto-broadcast off, the only BroadcastHashJoin is the
+        # explicit hot path; the cold path shuffle-joins
+        assert "BroadcastHashJoin" in plan
+        assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_skew_join_same_key_name(spark):
+    big = spark.createDataFrame([Row(k=i % 5, v=i) for i in range(100)])
+    small = spark.createDataFrame([Row(k=i, w=i * 10) for i in range(5)])
+    got = skew_join(big, small, "k", min_share=0.05)
+    want = big.join(small, on="k", how="inner")
+    assert sorted((r["k"], r["v"], r["w"]) for r in got.collect()) == \
+        sorted((r["k"], r["v"], r["w"]) for r in want.collect())
+
+
+def test_hot_keys_finds_planted_heavy_hitter(spark):
+    # 60% of rows on key 7, the rest uniform over 1000 keys
+    df = spark.range(0, 10000).select(
+        F.when(F.col("id") % 10 < 6, F.lit(7))
+         .otherwise(F.col("id") % 1000 + 100).alias("k"))
+    hot = hot_keys(df, "k", min_share=0.05)
+    assert 7 in hot
+    assert len(hot) <= 4.0 / 0.05 + 1
+
+
+def test_hot_keys_rejects_bad_share(spark):
+    df = spark.range(10).select(F.col("id").alias("k"))
+    with pytest.raises(ValueError):
+        hot_keys(df, "k", min_share=0.0)
+
+
+def test_bloom_join_rejects_bad_how(tables):
+    big, small = tables
+    with pytest.raises(ValueError):
+        bloom_join(big, small, "k", "sk", how="left")
+    with pytest.raises(ValueError):
+        skew_join(big, small, "k", "sk", how="full")
