@@ -105,6 +105,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_scan": Q.q_hll_scan,                          # NEW r5
         "bloom_join": Q.q_bloom_join,                      # NEW r5
         "skew_join": Q.q_skew_join,                        # NEW r5
+        "streaming_kll": Q.q_streaming_kll,                # NEW r5
 
         "interval_filter": Q.q_interval_filter,
         "stratified_sample": Q.q_stratified_sample,
@@ -519,6 +520,15 @@ def oracle_sql() -> dict[str, str]:
                      AS exact_cum_distinct,
                    TRUE AS hll_ok
             FROM wk LEFT JOIN nu USING (event_type, week)
+        """,
+        "streaming_kll": f"""
+            WITH q AS (
+              SELECT event_type, quantile_cont(value, [{ps}]) AS qs
+              FROM events GROUP BY event_type),
+            ps(p, i) AS (VALUES (0.05, 1), (0.25, 2), (0.5, 3), (0.75, 4), (0.95, 5))
+            SELECT event_type, p, ROUND(qs[i], 4) AS exact_pct,
+                   TRUE AS stream_kll_ok
+            FROM q, ps
         """,
         "bloom_join": """
             SELECT s_nationkey, COUNT(*) AS n_items,

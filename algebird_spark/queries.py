@@ -1224,6 +1224,77 @@ def q_streaming_sessions(spark, sf):
         shutil.rmtree(d, ignore_errors=True)
 
 
+def q_streaming_kll(spark, sf):
+    """Streaming quantiles: KLL(k=200) per event_type updated across 3
+    time-sliced micro-batches (maxFilesPerTrigger=1, file mtimes pin
+    trigger order) via the serialized-state hand-off
+    (sketch_state_stream_by_key) — the same mergeable state a nightly
+    batch build would produce, proving the stream/batch equivalence the
+    KLL merge guarantees. Final per-type states must bracket the exact
+    batch percentiles with their published rank bounds."""
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    from .streaming.stateful import sketch_state_stream_by_key
+
+    ev = _t(spark, sf, "events").select("event_type", "value",
+                                        F.col("event_id").alias("eid"))
+    d = tempfile.mkdtemp(prefix="stream_kll_")
+    try:
+        n = ev.count()
+        slices = [ev.filter(F.col("eid") % 3 == i) for i in range(3)]
+        for i, sl in enumerate(slices):
+            p = os.path.join(d, f"slice-{i}")
+            sl.coalesce(1).write.parquet(p)
+            for f in [p] + [os.path.join(p, x) for x in os.listdir(p)]:
+                os.utime(f, (1_000_000 + i, 1_000_000 + i))
+        sdf = (spark.readStream.schema(ev.schema)
+               .option("maxFilesPerTrigger", 1)
+               .parquet(os.path.join(d, "slice-*")))
+        out = sketch_state_stream_by_key(sdf, ["event_type"], ["value"],
+                                         lambda: KLL(k=200))
+        qname = f"q_skll_{uuid.uuid4().hex[:8]}"
+        q = (out.writeStream.outputMode("update").format("memory")
+             .queryName(qname).start())
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        # final state per key = the emission with the largest n_values
+        # (monotone across micro-batches)
+        emitted = spark.sql(
+            f"SELECT * FROM {qname}").collect()
+        final: dict = {}
+        seen_n: dict = {}
+        for r in emitted:
+            if r["n_values"] >= seen_n.get(r["event_type"], -1):
+                seen_n[r["event_type"]] = r["n_values"]
+                final[r["event_type"]] = from_bytes(bytes(r["state"]))
+        # every value must be in some final state (no lost micro-batch)
+        assert sum(seen_n.values()) == n, (seen_n, n)
+        exact = {r["event_type"]: r["q"] for r in ev
+                 .groupBy("event_type").agg(
+                     F.expr(f"percentile(value, array({','.join(map(str, _QUANTILE_PS))}))")
+                     .alias("q")).collect()}
+        rows = []
+        for et in sorted(exact):
+            sk = final[et]
+            for p, ex in zip(_QUANTILE_PS, exact[et]):
+                lo, hi = sk.quantile_bounds(p)
+                rows.append(Row(event_type=et, p=float(p),
+                                exact_pct=float(round(ex, 4)),
+                                stream_kll_ok=bool(lo <= ex <= hi)))
+        return spark.createDataFrame(rows, StructType([
+            StructField("event_type", StringType(), False),
+            StructField("p", DoubleType(), False),
+            StructField("exact_pct", DoubleType(), False),
+            StructField("stream_kll_ok", BooleanType(), False)]))
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
 def q_hll_scan(spark, sf):
     """Cumulative distinct = HLL scan (SURVEY §2.2; reference
     Scan.fromMonoidAggregator, Scan.scala:61-90): per-(event_type,
