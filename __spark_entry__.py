@@ -106,6 +106,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_join": Q.q_bloom_join,                      # NEW r5
         "skew_join": Q.q_skew_join,                        # NEW r5
         "streaming_kll": Q.q_streaming_kll,                # NEW r5
+        "text_repetition": Q.q_text_repetition,            # NEW r5
 
         "interval_filter": Q.q_interval_filter,
         "stratified_sample": Q.q_stratified_sample,
@@ -529,6 +530,47 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type, p, ROUND(qs[i], 4) AS exact_pct,
                    TRUE AS stream_kll_ok
             FROM q, ps
+        """,
+        "text_repetition": """
+            WITH d AS (
+              SELECT doc_id, source,
+                     regexp_split_to_array(TRIM(lower(text)), '\\s+') AS t
+              FROM documents WHERE TRIM(text) <> ''),
+            base AS (SELECT doc_id, source, len(t) AS nt, t FROM d),
+            g2 AS (SELECT doc_id,
+                          unnest([array_to_string(t[i:i+1], ' ')
+                                  FOR i IN generate_series(1, len(t)-1)])
+                            AS gram
+                   FROM base),
+            c2 AS (SELECT doc_id, gram, COUNT(*) AS c
+                   FROM g2 GROUP BY 1, 2),
+            s2 AS (SELECT doc_id, MAX(c) AS mx,
+                          COALESCE(SUM(c) FILTER (WHERE c >= 2), 0) AS dup
+                   FROM c2 GROUP BY 1),
+            g3 AS (SELECT doc_id,
+                          unnest([array_to_string(t[i:i+2], ' ')
+                                  FOR i IN generate_series(1, len(t)-2)])
+                            AS gram
+                   FROM base),
+            c3 AS (SELECT doc_id, gram, COUNT(*) AS c
+                   FROM g3 GROUP BY 1, 2),
+            s3 AS (SELECT doc_id, MAX(c) AS mx,
+                          COALESCE(SUM(c) FILTER (WHERE c >= 2), 0) AS dup
+                   FROM c3 GROUP BY 1),
+            per AS (
+              SELECT b.source,
+                     COALESCE(s2.mx, 0) * 2.0 / b.nt AS top2_frac,
+                     COALESCE(s3.dup, 0) * 3.0 / b.nt AS dup3_frac
+              FROM base b
+              LEFT JOIN s2 USING (doc_id) LEFT JOIN s3 USING (doc_id))
+            SELECT source, COUNT(*) AS n_docs,
+                   CAST(SUM(CASE WHEN top2_frac > 0.2 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_top2_flagged,
+                   CAST(SUM(CASE WHEN dup3_frac > 0.1 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_dup3_flagged,
+                   ROUND(MAX(top2_frac), 6) AS max_top2_frac,
+                   ROUND(MAX(dup3_frac), 6) AS max_dup3_frac
+            FROM per GROUP BY source
         """,
         "bloom_join": """
             SELECT s_nationkey, COUNT(*) AS n_items,

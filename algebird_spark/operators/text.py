@@ -188,3 +188,60 @@ def text_profile(df: DataFrame, text_col: str = "text") -> DataFrame:
         "lang_guess": detect_language(t),
         "fingerprint": fingerprint(t),
     })
+
+
+def repetition_stats(df: DataFrame, id_col: str = "doc_id",
+                     text_col: str = "text",
+                     passthrough: tuple = ("source",),
+                     ns: tuple = (2, 3)) -> DataFrame:
+    """Gopher-style intra-document repetition signals (Rae et al. 2021,
+    "Scaling Language Models", appendix A — public quality-filter
+    spec; we measure token fractions where the paper measures
+    character fractions, a documented variant):
+
+    * ``top{n}_frac``  — occurrences of the single most frequent
+      token n-gram, times n, over the token count (overlapping
+      occurrences counted, so heavy loops can exceed 1);
+    * ``dup{n}_frac``  — total occurrences of n-grams appearing more
+      than once, times n, over the token count.
+
+    ZERO-shuffle: one ``mapInPandas`` pass; each document's statistics
+    come from its own tokens, so the operator scales with scan
+    bandwidth — there is no per-gram explode/groupBy exchange (compare
+    ``contamination.frequent_spans``, which is the CROSS-document
+    counterpart and must shuffle grams). Tokenization matches
+    ``regexp_split_to_array(TRIM(lower(text)), '\\s+')`` exactly (the
+    shingle-kernel convention, proven SQL-reproducible by the
+    ``ngram_jaccard_dedup`` oracle)."""
+    from collections import Counter
+
+    pt = [c for c in passthrough if c in df.columns]
+    fields = [f"{id_col} long"] + [f"{c} string" for c in pt] \
+        + ["n_tokens long"] \
+        + [f"top{n}_frac double" for n in ns] \
+        + [f"dup{n}_frac double" for n in ns]
+    schema = ", ".join(fields)
+
+    def gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out: dict[str, list] = {f.split()[0]: [] for f in fields}
+            for idx in range(len(pdf)):
+                toks = str(pdf[text_col].iloc[idx]).strip().lower().split()
+                nt = len(toks)
+                out[id_col].append(pdf[id_col].iloc[idx])
+                for c in pt:
+                    out[c].append(pdf[c].iloc[idx])
+                out["n_tokens"].append(nt)
+                for n in ns:
+                    if nt >= n:
+                        c = Counter(" ".join(toks[i:i + n])
+                                    for i in range(nt - n + 1))
+                        mx = max(c.values())
+                        dup = sum(v for v in c.values() if v >= 2)
+                    else:
+                        mx = dup = 0
+                    out[f"top{n}_frac"].append(mx * n / nt if nt else 0.0)
+                    out[f"dup{n}_frac"].append(dup * n / nt if nt else 0.0)
+            yield pd.DataFrame(out)
+
+    return df.select(id_col, *pt, text_col).mapInPandas(gen, schema)

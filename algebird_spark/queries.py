@@ -576,6 +576,28 @@ def q_text_quality(spark, sf):
         F.bool_and(F.col("bpe") >= F.col("ws")).alias("bpe_upper_bounds_ws"))
 
 
+def q_text_repetition(spark, sf):
+    """Gopher-style intra-document repetition filter signals
+    (operators/text.py:repetition_stats — zero-shuffle mapInPandas;
+    tokens never leave their scan task). Per-source: exact flag counts
+    at the paper-shaped thresholds (top-2-gram frac > 0.2, duplicate-
+    3-gram frac > 0.1) plus the per-source maxima — all integers or
+    identical int-ratio doubles, so the oracle reproduces them
+    value-for-value."""
+    docs = (_t(spark, sf, "documents")
+            .filter(F.trim(F.col("text")) != "")
+            .select("doc_id", "source", "text"))
+    st = text.repetition_stats(docs)
+    return st.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum((F.col("top2_frac") > 0.2).cast("long"))
+         .alias("n_top2_flagged"),
+        F.sum((F.col("dup3_frac") > 0.1).cast("long"))
+         .alias("n_dup3_flagged"),
+        F.round(F.max("top2_frac"), 6).alias("max_top2_frac"),
+        F.round(F.max("dup3_frac"), 6).alias("max_dup3_frac"))
+
+
 def q_doc_fingerprint(spark, sf):
     """Duplicate fingerprint groups over the planted-duplicate view —
     compares actual md5 fingerprints AND group sizes to the oracle."""

@@ -146,3 +146,35 @@ def test_bloom_join_rejects_bad_how(tables):
         bloom_join(big, small, "k", "sk", how="left")
     with pytest.raises(ValueError):
         skew_join(big, small, "k", "sk", how="full")
+
+
+# --- repetition_stats (text.py) lives here to avoid a new session-scoped
+# module; it shares the joins fixture session ------------------------------
+
+def test_repetition_stats_hand_computed(spark):
+    from algebird_spark.operators.text import repetition_stats
+    df = spark.createDataFrame(
+        [(1, "s", "a b a b a"), (2, "s", "x y z"), (3, "s", "w w w w"),
+         (4, "s", ""), (5, "s", "q")],
+        "doc_id long, source string, text string")
+    got = {r["doc_id"]: r for r in repetition_stats(df).collect()}
+    # "a b a b a": 2-grams [ab,ba,ab,ba] -> top 2*2/5, dup 4*2/5
+    assert abs(got[1]["top2_frac"] - 0.8) < 1e-12
+    assert abs(got[1]["dup2_frac"] - 1.6) < 1e-12
+    # 3-grams [aba,bab,aba] -> top 2*3/5, dup 2*3/5
+    assert abs(got[1]["top3_frac"] - 1.2) < 1e-12
+    assert abs(got[1]["dup3_frac"] - 1.2) < 1e-12
+    assert got[2]["dup2_frac"] == 0.0     # all unique
+    assert got[3]["top2_frac"] == 1.5     # "w w" x3 over 4 tokens
+    assert got[4]["n_tokens"] == 0 and got[4]["top2_frac"] == 0.0
+    assert got[5]["n_tokens"] == 1 and got[5]["top3_frac"] == 0.0
+
+
+def test_repetition_stats_partitioning_invariant(spark):
+    from algebird_spark.operators.text import repetition_stats
+    rows = [(i, "s", " ".join(f"t{j % (1 + i % 7)}" for j in range(30)))
+            for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    a = sorted(map(tuple, repetition_stats(df).collect()))
+    b = sorted(map(tuple, repetition_stats(df.repartition(13)).collect()))
+    assert a == b
