@@ -42,6 +42,9 @@ HEADLINE = [
     "scan_state",
     # round 5 (late): exact inverted-index Jaccard dedup
     "ngram_jaccard_dedup",
+    # round 5 continuation: repetition filter + sketch-routed skew join
+    "text_repetition",
+    "skew_join",
 ]
 
 
