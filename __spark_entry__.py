@@ -107,6 +107,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "skew_join": Q.q_skew_join,                        # NEW r5
         "streaming_kll": Q.q_streaming_kll,                # NEW r5
         "text_repetition": Q.q_text_repetition,            # NEW r5
+        "budget_sample": Q.q_budget_sample,                # NEW r5
 
         "interval_filter": Q.q_interval_filter,
         "stratified_sample": Q.q_stratified_sample,
@@ -530,6 +531,35 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type, p, ROUND(qs[i], 4) AS exact_pct,
                    TRUE AS stream_kll_ok
             FROM q, ps
+        """,
+        "budget_sample": """
+            WITH tok AS (
+              SELECT source, doc_id,
+                     CASE WHEN TRIM(text) = '' THEN 0
+                          ELSE len(regexp_split_to_array(TRIM(text), '\\s+'))
+                     END AS nt
+              FROM documents),
+            tot AS (SELECT source, CAST(SUM(nt) AS BIGINT) AS tot
+                    FROM tok GROUP BY source),
+            g AS (SELECT CAST(SUM(tot) AS DOUBLE) AS grand,
+                         CAST(COUNT(*) AS DOUBLE) AS n FROM tot),
+            thr AS (SELECT source, tot,
+                           (0.4 * grand) * (1.0 / n) AS target
+                    FROM tot, g),
+            thr2 AS (SELECT source,
+                            CASE WHEN target >= tot THEN 'zzzzzz'
+                                 ELSE printf('%06x',
+                                      CAST(FLOOR(target / tot * 16777216)
+                                           AS BIGINT)) END AS t6
+                     FROM thr),
+            keep AS (SELECT k.source, k.nt
+                     FROM tok k JOIN thr2 USING (source)
+                     WHERE SUBSTR(MD5(k.source || ':'
+                                      || CAST(k.doc_id AS VARCHAR)), 1, 6)
+                           < t6)
+            SELECT source, COUNT(*) AS n_docs_kept,
+                   CAST(SUM(nt) AS BIGINT) AS tokens_kept
+            FROM keep GROUP BY source
         """,
         "text_repetition": """
             WITH d AS (

@@ -322,3 +322,18 @@ def join_skewed(big: DataFrame, small: DataFrame, big_key: str,
     from .operators.joins import skew_join
     return skew_join(big, small, big_key, small_key, how=how,
                      min_share=min_share)
+
+
+def mix_by_budget(docs: DataFrame, total_budget: float | None = None,
+                  budget: dict | None = None, mix=None,
+                  by: str = "source", id_col: str = "doc_id",
+                  text_col: str = "text",
+                  token_col: str | None = None) -> DataFrame:
+    """Deterministic token-budget data mixing: downsample each group so
+    its expected token mass meets its budget; identical keep-set on any
+    engine and any rerun (operators/exact.py:token_budget_sample)."""
+    from .operators.exact import token_budget_sample
+    return token_budget_sample(docs, by=by, id_col=id_col,
+                               text_col=text_col, token_col=token_col,
+                               budget=budget, total_budget=total_budget,
+                               mix=mix)

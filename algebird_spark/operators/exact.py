@@ -206,3 +206,66 @@ def stratified_sample(df: DataFrame, strata_col: str,
                 & (prefix < format(ti, "04x"))
         expr = cond if expr is None else (expr | cond)
     return df.filter(expr if expr is not None else F.lit(False))
+
+
+def token_budget_sample(df: DataFrame, by: str = "source",
+                        id_col: str = "doc_id", text_col: str = "text",
+                        token_col: str | None = None,
+                        budget: dict | None = None,
+                        total_budget: float | None = None,
+                        mix=None) -> DataFrame:
+    """Deterministic token-budget sampler — the data-MIXING primitive of
+    a training pipeline: given per-group token budgets (or a total
+    budget split by ``mix`` weights, or proportionally), keep a
+    deterministic Bernoulli sample of each group sized so its expected
+    token mass meets the budget. The keep decision is the engine-
+    portable md5 6-hex-digit prefix test (``deterministic_sample``
+    scaled to 16^6 granularity) on ``group:doc_id``, so any engine —
+    and any RERUN — selects the identical rows: reproducible mixtures,
+    no RNG state to ship.
+
+    ``mix``: dict of weights, or ``"uniform"`` for equal token budgets
+    per observed group; omitted with ``total_budget`` = proportional
+    (every group downsampled by the same factor). Groups whose budget
+    exceeds their mass keep everything (no upsampling — repetition
+    policy belongs to the caller).
+
+    One aggregation pass computes group token totals (tiny: one row
+    per group); the filter itself is a pure expression on a literal
+    map, evaluated in the scan stage — nothing shuffles to sample."""
+    from .text import token_count
+
+    tok = F.col(token_col) if token_col else token_count(F.col(text_col))
+    t = df.withColumn("__nt", tok)
+    totals = {r[by]: int(r["tot"]) for r in
+              t.groupBy(by).agg(F.sum("__nt").alias("tot")).collect()}
+    if budget is None:
+        if total_budget is None:
+            raise ValueError("give budget= or total_budget=")
+        if mix == "uniform":
+            n = len(totals)
+            budget = {g: total_budget * (1.0 / n) for g in totals}
+        elif isinstance(mix, dict):
+            ws = float(sum(mix.values()))
+            budget = {g: total_budget * (mix.get(g, 0.0) / ws)
+                      for g in totals}
+        else:
+            grand = float(sum(totals.values()))
+            budget = {g: float(total_budget) * totals[g] / grand
+                      for g in totals}
+    scale = 0x1000000
+    thrs = {}
+    for g, tot in totals.items():
+        target = float(budget.get(g, 0.0))
+        if tot <= 0 or target >= tot:
+            thrs[g] = "zzzzzz"      # keep all ('z' > any hex digit)
+        elif target <= 0:
+            thrs[g] = "000000"      # keep none
+        else:
+            thrs[g] = format(int(target / tot * scale), "06x")
+    mapping = F.create_map(*[F.lit(x) for g, th in sorted(thrs.items())
+                             for x in (g, th)])
+    h = F.substring(
+        F.md5(F.concat_ws(":", F.col(by).cast("string"),
+                          F.col(id_col).cast("string"))), 1, 6)
+    return t.filter(h < mapping[F.col(by)]).drop("__nt")

@@ -598,6 +598,24 @@ def q_text_repetition(spark, sf):
         F.round(F.max("dup3_frac"), 6).alias("max_dup3_frac"))
 
 
+def q_budget_sample(spark, sf):
+    """Token-budget data mixing (operators/exact.py:
+    token_budget_sample): 40% of the corpus token mass split uniformly
+    across sources; the md5-prefix Bernoulli keep-set is engine-
+    portable, so the oracle reproduces the EXACT kept rows and token
+    masses — determinism is the point (reproducible mixtures across
+    engines and reruns)."""
+    docs = _t(spark, sf, "documents").select("doc_id", "source", "text")
+    grand = docs.select(F.sum(text.token_count(F.col("text")))
+                        .alias("g")).collect()[0]["g"]
+    out = exact.token_budget_sample(docs, total_budget=0.4 * float(grand),
+                                    mix="uniform")
+    return out.groupBy("source").agg(
+        F.count("*").alias("n_docs_kept"),
+        F.sum(text.token_count(F.col("text"))).cast("long")
+         .alias("tokens_kept"))
+
+
 def q_doc_fingerprint(spark, sf):
     """Duplicate fingerprint groups over the planted-duplicate view —
     compares actual md5 fingerprints AND group sizes to the oracle."""
