@@ -108,6 +108,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_kll": Q.q_streaming_kll,                # NEW r5
         "text_repetition": Q.q_text_repetition,            # NEW r5
         "budget_sample": Q.q_budget_sample,                # NEW r5
+        "pack_sequences": Q.q_pack_sequences,              # NEW r5
 
         "interval_filter": Q.q_interval_filter,
         "stratified_sample": Q.q_stratified_sample,
@@ -531,6 +532,30 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type, p, ROUND(qs[i], 4) AS exact_pct,
                    TRUE AS stream_kll_ok
             FROM q, ps
+        """,
+        "pack_sequences": """
+            WITH tok AS (
+              SELECT source, doc_id,
+                     CASE WHEN TRIM(text) = '' THEN 0
+                          ELSE len(regexp_split_to_array(TRIM(text), '\\s+'))
+                     END AS nt
+              FROM documents),
+            p AS (SELECT source, nt,
+                         COALESCE(SUM(nt) OVER (
+                             PARTITION BY source ORDER BY doc_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND 1 PRECEDING), 0) AS so
+                  FROM tok),
+            b AS (SELECT source, nt,
+                         FLOOR(so / 512) AS bs,
+                         FLOOR((so + GREATEST(nt - 1, 0)) / 512) AS be
+                  FROM p)
+            SELECT source, COUNT(*) AS n_docs,
+                   CAST(SUM(nt) AS BIGINT) AS total_tokens,
+                   CAST(FLOOR((SUM(nt) - 1) / 512) + 1 AS BIGINT) AS n_bins,
+                   CAST(SUM(CASE WHEN be > bs THEN 1 ELSE 0 END) AS BIGINT)
+                     AS n_spanning
+            FROM b GROUP BY source
         """,
         "budget_sample": """
             WITH tok AS (

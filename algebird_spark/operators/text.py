@@ -245,3 +245,39 @@ def repetition_stats(df: DataFrame, id_col: str = "doc_id",
             yield pd.DataFrame(out)
 
     return df.select(id_col, *pt, text_col).mapInPandas(gen, schema)
+
+
+def pack_sequences(df: DataFrame, seq_len: int, by: str = "source",
+                   id_col: str = "doc_id", text_col: str = "text",
+                   token_col: str | None = None) -> DataFrame:
+    """GPT-style token-stream packing: concatenate documents in
+    deterministic ``id_col`` order per group into one token stream and
+    cut it into fixed ``seq_len`` training sequences (documents span
+    sequence boundaries — the standard causal-LM packing, no padding
+    waste). Adds per-document columns:
+
+    * ``n_tokens``      — the document's token count;
+    * ``start_offset``  — its first token's position in the stream;
+    * ``bin_start`` / ``bin_end`` — the first/last training sequence
+      touching it (``bin_end > bin_start`` = boundary-spanning doc).
+
+    Pure window arithmetic (one Exchange on ``by``, JVM-side cumsum —
+    no Python): at warehouse scale this IS the plan you want, since
+    packing is a prefix-sum, not a bin-packing search. Empty documents
+    (0 tokens) get ``bin_end = bin_start`` at their offset."""
+    from pyspark.sql import Window
+
+    if seq_len < 1:
+        raise ValueError("seq_len must be >= 1")
+    tok = F.col(token_col) if token_col else token_count(F.col(text_col))
+    w = (Window.partitionBy(by).orderBy(id_col)
+         .rowsBetween(Window.unboundedPreceding, -1))
+    t = df.withColumn("n_tokens", tok.cast("long"))
+    t = t.withColumn("start_offset",
+                     F.coalesce(F.sum("n_tokens").over(w), F.lit(0)))
+    return (t.withColumn("bin_start",
+                         F.floor(F.col("start_offset") / seq_len))
+             .withColumn("bin_end",
+                         F.floor((F.col("start_offset")
+                                  + F.greatest(F.col("n_tokens") - 1,
+                                               F.lit(0))) / seq_len)))

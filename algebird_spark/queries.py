@@ -616,6 +616,22 @@ def q_budget_sample(spark, sf):
          .alias("tokens_kept"))
 
 
+def q_pack_sequences(spark, sf):
+    """GPT-style token-stream packing (operators/text.py:
+    pack_sequences — prefix-sum window, JVM-side): pack each source's
+    documents into 512-token training sequences and report exact
+    packing facts (doc/bin/boundary-spanning counts) the oracle
+    reproduces from the same window cumsum."""
+    docs = _t(spark, sf, "documents").select("doc_id", "source", "text")
+    packed = text.pack_sequences(docs, 512)
+    return packed.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        (F.floor((F.sum("n_tokens") - 1) / 512) + 1).alias("n_bins"),
+        F.sum((F.col("bin_end") > F.col("bin_start")).cast("long"))
+         .alias("n_spanning"))
+
+
 def q_doc_fingerprint(spark, sf):
     """Duplicate fingerprint groups over the planted-duplicate view —
     compares actual md5 fingerprints AND group sizes to the oracle."""

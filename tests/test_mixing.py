@@ -70,3 +70,36 @@ def test_rerun_and_partitioning_determinism(docs):
 def test_requires_some_budget(docs):
     with pytest.raises(ValueError):
         token_budget_sample(docs)
+
+
+# --- pack_sequences (text.py) ---------------------------------------------
+
+def test_pack_sequences_hand_computed(spark):
+    from algebird_spark.operators.text import pack_sequences
+    df = spark.createDataFrame(
+        [(1, "a", "t " * 5), (2, "a", "t " * 3), (3, "a", ""),
+         (4, "a", "t " * 10), (10, "b", "t " * 4)],
+        "doc_id long, source string, text string")
+    got = {r["doc_id"]: r for r in pack_sequences(df, 8).collect()}
+    assert (got[1]["start_offset"], got[1]["bin_start"], got[1]["bin_end"]) \
+        == (0, 0, 0)
+    assert (got[2]["start_offset"], got[2]["bin_end"]) == (5, 0)
+    assert got[3]["n_tokens"] == 0 and got[3]["bin_start"] == got[3]["bin_end"]
+    # doc 4: tokens 8..17 -> spans bins 1 and 2
+    assert (got[4]["bin_start"], got[4]["bin_end"]) == (1, 2)
+    assert got[10]["start_offset"] == 0  # fresh stream per group
+
+
+def test_pack_sequences_offsets_are_a_prefix_sum(spark):
+    from algebird_spark.operators.text import pack_sequences
+    import pytest as _pt
+    rows = [(i, "s", "w " * (1 + i % 13)) for i in range(500)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    out = sorted((r["doc_id"], r["n_tokens"], r["start_offset"])
+                 for r in pack_sequences(df, 64).collect())
+    acc = 0
+    for _, nt, so in out:
+        assert so == acc
+        acc += nt
+    with _pt.raises(ValueError):
+        pack_sequences(df, 0)
