@@ -109,6 +109,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_repetition": Q.q_text_repetition,            # NEW r5
         "budget_sample": Q.q_budget_sample,                # NEW r5
         "pack_sequences": Q.q_pack_sequences,              # NEW r5
+        "range_pruned": Q.q_range_pruned,                  # NEW r5
 
         "interval_filter": Q.q_interval_filter,
         "stratified_sample": Q.q_stratified_sample,
@@ -532,6 +533,14 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type, p, ROUND(qs[i], 4) AS exact_pct,
                    TRUE AS stream_kll_ok
             FROM q, ps
+        """,
+        "range_pruned": """
+            SELECT COUNT(*) AS n_rows,
+                   ROUND(SUM(l_extendedprice), 4) AS sum_price,
+                   ROUND(MIN(l_extendedprice), 4) AS min_price,
+                   ROUND(MAX(l_extendedprice), 4) AS max_price
+            FROM lineitem
+            WHERE l_extendedprice >= 1000.0 AND l_extendedprice <= 5000.0
         """,
         "pack_sequences": """
             WITH tok AS (

@@ -1435,6 +1435,35 @@ def q_skew_join(spark, sf):
         F.round(F.sum("l_quantity"), 4).alias("total_qty"))
 
 
+def q_range_pruned(spark, sf):
+    """KLL-split range layout + Interval partition pruning
+    (sources/range_layout.py): one mergeable KLL pass picks balanced
+    splits, the table is written partitionBy(__bucket), and a range
+    read scans only the overlapping bucket directories (PartitionFilters
+    — plan-gated in test_plans.py) with the exact Interval predicate as
+    the residual, so the aggregate equals the plain WHERE the oracle
+    runs. Aggregates materialize before the temp layout is removed."""
+    import shutil
+    import tempfile
+
+    from .functions.interval import Interval
+    from .sources.range_layout import (read_range_pruned,
+                                       write_range_partitioned)
+    li = _t(spark, sf, "lineitem").select("l_orderkey", "l_extendedprice")
+    d = tempfile.mkdtemp(prefix="range_layout_")
+    try:
+        write_range_partitioned(li, "l_extendedprice", d, 16)
+        got = read_range_pruned(spark, d, Interval.closed(1000.0, 5000.0))
+        row = got.agg(
+            F.count("*").alias("n_rows"),
+            F.round(F.sum("l_extendedprice"), 4).alias("sum_price"),
+            F.round(F.min("l_extendedprice"), 4).alias("min_price"),
+            F.round(F.max("l_extendedprice"), 4).alias("max_price")).collect()[0]
+        return spark.createDataFrame([row])
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
 def q_merge_lookup(spark, sf):
     """MapAlgebra.mergeLookup: broadcast-join the supplier dimension,
     sum quantity by the presented nation key (MapAlgebra.scala:183-188).

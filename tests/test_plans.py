@@ -480,3 +480,39 @@ def test_ngram_jaccard_two_exchanges_no_join(spark):
     tree = plan.split("\n\n")[0]
     assert len(re.findall(r"Exchange \(\d+\)", tree)) == 2, tree
     assert "Join" not in tree and "Cartesian" not in tree, tree
+
+
+def test_range_layout_balance_parity_and_pruning(spark, tmp_path):
+    from algebird_spark.functions.interval import Interval
+    from algebird_spark.sources.range_layout import (read_range_pruned,
+                                                     write_range_partitioned)
+    li = (spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+          .select("l_orderkey", "l_extendedprice"))
+    path = str(tmp_path / "range")
+    splits = write_range_partitioned(li, "l_extendedprice", path, 8)
+    assert splits == sorted(splits) and len(splits) <= 7
+    # KLL splits balance the buckets without sampling reshuffles
+    sizes = [r["n"] for r in spark.read.parquet(path)
+             .groupBy("__bucket").agg(F.count("*").alias("n")).collect()]
+    assert max(sizes) <= 2 * min(sizes)
+    itv = Interval.closed(float(splits[0]), float(splits[1]))
+    got = read_range_pruned(spark, path, itv)
+    want = li.filter((F.col("l_extendedprice") >= splits[0])
+                     & (F.col("l_extendedprice") <= splits[1]))
+    assert got.count() == want.count()
+    # and the bucket restriction is a PLANNING-time partition filter
+    plan = plan_of(got)
+    pf = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+    assert pf and "__bucket" in pf[0]
+
+
+def test_range_layout_open_ended_interval_reads_all(spark, tmp_path):
+    from algebird_spark.functions.interval import Interval
+    from algebird_spark.sources.range_layout import (read_range_pruned,
+                                                     write_range_partitioned)
+    li = (spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+          .select("l_orderkey", "l_extendedprice"))
+    path = str(tmp_path / "range2")
+    write_range_partitioned(li, "l_extendedprice", path, 4)
+    got = read_range_pruned(spark, path, Interval.at_least(0.0))
+    assert got.count() == li.count()
