@@ -110,6 +110,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "budget_sample": Q.q_budget_sample,                # NEW r5
         "pack_sequences": Q.q_pack_sequences,              # NEW r5
         "range_pruned": Q.q_range_pruned,                  # NEW r5
+        "train_splits": Q.q_train_splits,                  # NEW r5
 
         "interval_filter": Q.q_interval_filter,
         "stratified_sample": Q.q_stratified_sample,
@@ -533,6 +534,25 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type, p, ROUND(qs[i], 4) AS exact_pct,
                    TRUE AS stream_kll_ok
             FROM q, ps
+        """,
+        "train_splits": """
+            WITH h AS (
+              SELECT source,
+                     SUBSTR(MD5('split:' || CAST(doc_id AS VARCHAR)), 1, 6)
+                       AS h6
+              FROM documents),
+            a AS (
+              SELECT source,
+                     CASE WHEN h6 < printf('%06x',
+                              CAST(FLOOR(0.8 * 16777216) AS BIGINT))
+                            THEN 'train'
+                          WHEN h6 < printf('%06x',
+                              CAST(FLOOR((0.8 + 0.1) * 16777216) AS BIGINT))
+                            THEN 'val'
+                          ELSE 'test' END AS __split
+              FROM h)
+            SELECT source, __split, COUNT(*) AS n_docs
+            FROM a GROUP BY source, __split
         """,
         "range_pruned": """
             SELECT COUNT(*) AS n_rows,

@@ -337,3 +337,14 @@ def mix_by_budget(docs: DataFrame, total_budget: float | None = None,
                                text_col=text_col, token_col=token_col,
                                budget=budget, total_budget=total_budget,
                                mix=mix)
+
+
+def train_val_test(df: DataFrame, fractions: dict | None = None,
+                   id_col: str = "doc_id", salt: str = "split") -> DataFrame:
+    """Deterministic, engine-portable split assignment (adds
+    ``__split``); stable under corpus growth
+    (operators/exact.py:assign_splits)."""
+    from .operators.exact import assign_splits
+    return assign_splits(df, fractions or {"train": 0.9, "val": 0.05,
+                                           "test": 0.05},
+                         id_col=id_col, salt=salt)

@@ -269,3 +269,35 @@ def token_budget_sample(df: DataFrame, by: str = "source",
         F.md5(F.concat_ws(":", F.col(by).cast("string"),
                           F.col(id_col).cast("string"))), 1, 6)
     return t.filter(h < mapping[F.col(by)]).drop("__nt")
+
+
+def assign_splits(df: DataFrame, fractions: dict, id_col: str = "doc_id",
+                  salt: str = "split") -> DataFrame:
+    """Deterministic train/val/test assignment: adds ``__split`` by
+    cutting the md5 6-hex-digit prefix of ``salt:id`` at cumulative-
+    fraction thresholds. Disjoint and exhaustive by construction (one
+    hash, consecutive half-open intervals), engine-portable and stable
+    across reruns/engines like ``deterministic_sample`` — membership
+    never silently changes when the corpus grows, because the decision
+    depends only on the row's own id. ``salt`` decorrelates this
+    assignment from every other md5-prefix decision (sampling, mixing)
+    made on the same ids."""
+    fr = list(fractions.items())
+    if not fr or any(f < 0 for _, f in fr) or abs(sum(f for _, f in fr) - 1.0) > 1e-9:
+        raise ValueError("fractions must be nonnegative and sum to 1")
+    scale = 0x1000000
+    h = F.substring(
+        F.md5(F.concat_ws(":", F.lit(salt), F.col(id_col).cast("string"))),
+        1, 6)
+    cum = 0.0
+    bounds = []
+    for name, f in fr[:-1]:
+        cum += f
+        bounds.append((name, format(min(int(cum * scale), scale - 1), "06x")))
+    expr = None
+    for name, b in bounds:  # first matching threshold wins
+        cond = h < b
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    expr = (expr.otherwise(fr[-1][0]) if expr is not None
+            else F.lit(fr[-1][0]))
+    return df.withColumn("__split", expr)

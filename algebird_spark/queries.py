@@ -632,6 +632,19 @@ def q_pack_sequences(spark, sf):
          .alias("n_spanning"))
 
 
+def q_train_splits(spark, sf):
+    """Deterministic train/val/test assignment (operators/exact.py:
+    assign_splits): one md5-prefix hash cut at cumulative-fraction
+    thresholds — disjoint + exhaustive by construction, stable across
+    engines/reruns/corpus growth. The oracle recomputes the identical
+    assignment, so per-(source, split) counts match exactly."""
+    docs = _t(spark, sf, "documents").select("doc_id", "source")
+    out = exact.assign_splits(docs, {"train": 0.8, "val": 0.1,
+                                     "test": 0.1})
+    return out.groupBy("source", "__split").agg(
+        F.count("*").alias("n_docs"))
+
+
 def q_doc_fingerprint(spark, sf):
     """Duplicate fingerprint groups over the planted-duplicate view —
     compares actual md5 fingerprints AND group sizes to the oracle."""

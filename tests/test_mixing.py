@@ -103,3 +103,50 @@ def test_pack_sequences_offsets_are_a_prefix_sum(spark):
         acc += nt
     with _pt.raises(ValueError):
         pack_sequences(df, 0)
+
+
+# --- assign_splits (exact.py) ---------------------------------------------
+
+def test_assign_splits_partition_of_rows(spark):
+    from algebird_spark.operators.exact import assign_splits
+    df = spark.range(50000).select(F.col("id").alias("doc_id"))
+    out = assign_splits(df, {"train": 0.8, "val": 0.1, "test": 0.1})
+    counts = {r["__split"]: r["n"] for r in
+              out.groupBy("__split").agg(F.count("*").alias("n")).collect()}
+    assert sum(counts.values()) == 50000          # exhaustive
+    assert out.select("doc_id").distinct().count() == 50000  # disjoint
+    assert abs(counts["train"] / 50000 - 0.8) < 0.01
+    assert abs(counts["val"] / 50000 - 0.1) < 0.01
+
+
+def test_assign_splits_deterministic_and_stable_under_growth(spark):
+    from algebird_spark.operators.exact import assign_splits
+    fr = {"train": 0.9, "test": 0.1}
+    small = spark.range(1000).select(F.col("id").alias("doc_id"))
+    big = spark.range(5000).select(F.col("id").alias("doc_id"))
+    a = {r["doc_id"]: r["__split"] for r in assign_splits(small, fr).collect()}
+    b = {r["doc_id"]: r["__split"] for r in assign_splits(big, fr).collect()}
+    # membership depends only on the row's own id: growing the corpus
+    # never flips an existing row's split
+    assert all(b[k] == v for k, v in a.items())
+
+
+def test_assign_splits_salt_decorrelates(spark):
+    from algebird_spark.operators.exact import assign_splits
+    df = spark.range(20000).select(F.col("id").alias("doc_id"))
+    a = assign_splits(df, {"x": 0.5, "y": 0.5}, salt="s1")
+    b = assign_splits(df, {"x": 0.5, "y": 0.5}, salt="s2") \
+        .withColumnRenamed("__split", "__split2")
+    both = a.join(b, "doc_id")
+    agree = both.filter(F.col("__split") == F.col("__split2")).count()
+    assert abs(agree / 20000 - 0.5) < 0.02   # independent coin flips
+
+
+def test_assign_splits_rejects_bad_fractions(spark):
+    from algebird_spark.operators.exact import assign_splits
+    df = spark.range(10).select(F.col("id").alias("doc_id"))
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        assign_splits(df, {"a": 0.5, "b": 0.4})
+    with _pt.raises(ValueError):
+        assign_splits(df, {"a": -0.1, "b": 1.1})
