@@ -178,3 +178,31 @@ def test_repetition_stats_partitioning_invariant(spark):
     a = sorted(map(tuple, repetition_stats(df).collect()))
     b = sorted(map(tuple, repetition_stats(df.repartition(13)).collect()))
     assert a == b
+
+
+def test_bloom_prune_string_keys_with_nulls(spark):
+    big = spark.createDataFrame(
+        [Row(k=f"key{i % 50}", v=i) for i in range(2000)]
+        + [Row(k=None, v=-1)] * 3)
+    small = spark.createDataFrame([Row(sk=f"key{i}") for i in range(0, 50, 3)])
+    pruned = bloom_prune(big, small, "k", "sk")
+    keys = [r["sk"] for r in small.collect()]
+    matching = big.filter(F.col("k").isin(keys)).count()
+    assert pruned.filter(F.col("k").isin(keys)).count() == matching
+    assert pruned.count() < big.count()
+
+
+def test_bloom_prune_composes_shuffle_free(tables):
+    """Star schema: pruning the fact side by TWO dimensions stacks two
+    Arrow probes in the SAME scan stage — still no Exchange, so a
+    multi-dim prune costs scan passes, never shuffles."""
+    big, small = tables
+    small2 = small.filter(F.col("sk") < 30)
+    pruned = bloom_prune(bloom_prune(big, small, "k", "sk"),
+                         small2, "k", "sk")
+    plan = plan_of(pruned)
+    assert plan.count("ArrowEvalPython") >= 2
+    assert "Exchange" not in plan
+    want = [r["sk"] for r in small2.collect()]
+    assert pruned.filter(F.col("k").isin(want)).count() == \
+        big.filter(F.col("k").isin(want)).count()
