@@ -78,8 +78,11 @@ def write_range_partitioned(df: DataFrame, col: str, path: str,
         splits = range_splits(df, col, n_buckets, k=k)
     out = df.withColumn("__bucket", bucket_expr(col, splits))
     out.write.partitionBy("__bucket").mode("overwrite").parquet(path)
-    with open(os.path.join(path, MANIFEST), "w") as f:
+    # atomic manifest publish (same convention as sources/checkpoint.py)
+    tmp = os.path.join(path, MANIFEST + ".tmp")
+    with open(tmp, "w") as f:
         json.dump({"col": col, "splits": splits}, f)
+    os.replace(tmp, os.path.join(path, MANIFEST))
     return splits
 
 
