@@ -150,3 +150,37 @@ def test_assign_splits_rejects_bad_fractions(spark):
         assign_splits(df, {"a": 0.5, "b": 0.4})
     with _pt.raises(ValueError):
         assign_splits(df, {"a": -0.1, "b": 1.1})
+
+
+# --- end-to-end mixing pipeline composition --------------------------------
+
+def test_mixing_pipeline_composes(spark):
+    """budget-sample -> split -> pack: the full data-mixing chain over
+    the real documents fixture, checking the cross-stage invariants a
+    pipeline relies on (all deterministic, so this is stable)."""
+    from algebird_spark.operators.exact import (assign_splits,
+                                                token_budget_sample)
+    from algebird_spark.operators.text import pack_sequences, token_count
+
+    docs = (spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+            .select("doc_id", "source", "text"))
+    grand = docs.select(F.sum(token_count(F.col("text"))).alias("g")) \
+        .collect()[0]["g"]
+    mixed = token_budget_sample(docs, total_budget=0.5 * float(grand))
+    kept = mixed.select(F.sum(token_count(F.col("text"))).alias("g")) \
+        .collect()[0]["g"]
+    assert 0.3 * grand <= kept <= 0.7 * grand   # proportional half-ish
+
+    split = assign_splits(mixed, {"train": 0.9, "test": 0.1})
+    n_mixed = mixed.count()
+    assert split.count() == n_mixed             # exhaustive
+    train = split.filter(F.col("__split") == "train")
+
+    packed = pack_sequences(train, 256)
+    # stream offsets are consistent: per source, total tokens ==
+    # max(start_offset + n_tokens)
+    per = packed.groupBy("source").agg(
+        F.sum("n_tokens").alias("tot"),
+        F.max(F.col("start_offset") + F.col("n_tokens")).alias("end")
+    ).collect()
+    assert per and all(r["tot"] == r["end"] for r in per)
