@@ -1,0 +1,86 @@
+"""Throughput rehearsal for the round-5 continuation text/mixing ops at
+~1M documents (sf0.1 documents replicated 256x with distinct doc_ids —
+the per-doc kernels don't care about cross-doc duplication, so the
+replica corpus exercises the same work a real 1M-doc corpus would).
+
+Run EXCLUSIVELY. Writes BENCH/text_ops_rehearsal.json.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import SparkSession, functions as F  # noqa: E402
+
+
+def main():
+    spark = (SparkSession.builder.master(
+        f"local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}]")
+        .appName("text_ops_rehearsal")
+        .config("spark.driver.memory", "24g")
+        .config("spark.sql.shuffle.partitions", "64")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate())
+    spark.sparkContext.setLogLevel("ERROR")
+    from algebird_spark.operators.exact import (assign_splits,
+                                                token_budget_sample)
+    from algebird_spark.operators.text import (pack_sequences,
+                                               repetition_stats,
+                                               token_count)
+
+    docs = spark.read.parquet("/root/testdata/sf0.1/documents.parquet") \
+        .select("doc_id", "source", "text")
+    reps = spark.range(256).select(F.col("id").alias("rep"))
+    corpus = (docs.crossJoin(reps)
+              .select((F.col("doc_id") * 256 + F.col("rep")).alias("doc_id"),
+                      "source", "text")
+              .repartition(64).persist())
+    n_docs = corpus.count()
+    n_tokens = int(corpus.select(F.sum(token_count(F.col("text")))
+                                 .alias("t")).collect()[0]["t"])
+    rec = {"n_docs": n_docs, "n_tokens": n_tokens,
+           "cpus": spark.sparkContext.defaultParallelism, "stages": {}}
+
+    def timed(name, fn):
+        t0 = time.time()
+        out = fn()
+        el = time.time() - t0
+        rec["stages"][name] = {
+            "wall_s": round(el, 2),
+            "docs_per_sec": int(n_docs / el),
+            "tokens_per_sec": int(n_tokens / el),
+            "result": out}
+        print(name, rec["stages"][name])
+
+    # per-doc Python Counter kernel — the honest cost of the zero-shuffle
+    # repetition filter at corpus scale
+    timed("repetition_stats", lambda: int(
+        repetition_stats(corpus).filter(
+            (F.col("top2_frac") > 0.2) | (F.col("dup3_frac") > 0.1))
+        .count()))
+    # pure-expression ops
+    timed("budget_sample", lambda: int(
+        token_budget_sample(corpus, total_budget=0.5 * n_tokens)
+        .count()))
+    timed("assign_splits", lambda: int(
+        assign_splits(corpus, {"train": 0.9, "val": 0.05, "test": 0.05})
+        .filter("__split = 'train'").count()))
+    timed("pack_sequences", lambda: int(
+        pack_sequences(corpus, 2048).agg(
+            F.max("bin_end").alias("m")).collect()[0]["m"]))
+
+    with open(os.path.join(os.path.dirname(__file__), "..",
+                           "BENCH", "text_ops_rehearsal.json"), "w") as f:
+        json.dump(rec, f, indent=1)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
