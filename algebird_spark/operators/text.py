@@ -272,7 +272,8 @@ def pack_sequences(df: DataFrame, seq_len: int, by: str = "source",
     tok = F.col(token_col) if token_col else token_count(F.col(text_col))
     w = (Window.partitionBy(by).orderBy(id_col)
          .rowsBetween(Window.unboundedPreceding, -1))
-    t = df.withColumn("n_tokens", tok.cast("long"))
+    # NULL text/token counts would poison the prefix sum: count as 0
+    t = df.withColumn("n_tokens", F.coalesce(tok.cast("long"), F.lit(0)))
     t = t.withColumn("start_offset",
                      F.coalesce(F.sum("n_tokens").over(w), F.lit(0)))
     return (t.withColumn("bin_start",

@@ -184,3 +184,13 @@ def test_mixing_pipeline_composes(spark):
         F.max(F.col("start_offset") + F.col("n_tokens")).alias("end")
     ).collect()
     assert per and all(r["tot"] == r["end"] for r in per)
+
+
+def test_pack_sequences_null_text_counts_zero(spark):
+    from algebird_spark.operators.text import pack_sequences
+    df = spark.createDataFrame(
+        [(1, "a", "x y z"), (2, "a", None), (3, "a", "p q")],
+        "doc_id long, source string, text string")
+    got = {r["doc_id"]: r for r in pack_sequences(df, 4).collect()}
+    assert got[2]["n_tokens"] == 0
+    assert got[3]["start_offset"] == 3  # null doc advances nothing
