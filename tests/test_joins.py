@@ -206,3 +206,36 @@ def test_bloom_prune_composes_shuffle_free(tables):
     want = [r["sk"] for r in small2.collect()]
     assert pruned.filter(F.col("k").isin(want)).count() == \
         big.filter(F.col("k").isin(want)).count()
+
+
+def test_join_parity_randomized_configs(spark):
+    """Seeded random sweep: bloom_join and skew_join must equal the
+    plain join across key dtypes, null rates, and selectivities."""
+    import numpy as np
+    rng = np.random.default_rng(20260817)
+    for trial, (dtype, null_rate, nkeys) in enumerate(
+            [("long", 0.0, 40), ("long", 0.1, 12), ("string", 0.05, 25),
+             ("long", 0.0, 200)]):
+        keys = rng.integers(-1000, 1000, size=400)
+        if dtype == "string":
+            big_rows = [(None if rng.random() < null_rate
+                         else f"s{int(k)}", int(i))
+                        for i, k in enumerate(keys)]
+            small_rows = [(f"s{int(k)}",)
+                          for k in rng.choice(keys, size=nkeys)]
+            bschema, sschema = "k string, v long", "sk string"
+        else:
+            big_rows = [(None if rng.random() < null_rate
+                         else int(k), int(i))
+                        for i, k in enumerate(keys)]
+            small_rows = [(int(k),) for k in rng.choice(keys, size=nkeys)]
+            bschema, sschema = "k long, v long", "sk long"
+        big = spark.createDataFrame(big_rows, bschema)
+        small = spark.createDataFrame(small_rows, sschema).distinct()
+        want = _sorted(big.join(small, big["k"] == small["sk"], "inner"),
+                       ["k", "v"])
+        got_b = _sorted(bloom_join(big, small, "k", "sk"), ["k", "v"])
+        got_s = _sorted(skew_join(big, small, "k", "sk",
+                                  min_share=0.05), ["k", "v"])
+        assert got_b == want, f"bloom trial {trial}"
+        assert got_s == want, f"skew trial {trial}"
