@@ -111,6 +111,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_sequences": Q.q_pack_sequences,              # NEW r5
         "range_pruned": Q.q_range_pruned,                  # NEW r5
         "train_splits": Q.q_train_splits,                  # NEW r5
+        "cdf_normalize": Q.q_cdf_normalize,                # NEW r5
 
         "interval_filter": Q.q_interval_filter,
         "stratified_sample": Q.q_stratified_sample,
@@ -534,6 +535,10 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type, p, ROUND(qs[i], 4) AS exact_pct,
                    TRUE AS stream_kll_ok
             FROM q, ps
+        """,
+        "cdf_normalize": """
+            SELECT l_returnflag, COUNT(*) AS n_rows, TRUE AS rank_err_ok
+            FROM lineitem GROUP BY l_returnflag
         """,
         "train_splits": """
             WITH h AS (

@@ -111,3 +111,51 @@ def test_bpe_ish_count_upper_bounds_whitespace(spark):
     by = {r["id"]: r for r in rows}
     assert by[1]["bpe"] > by[1]["ws"]  # punctuation split out
     assert by[2]["bpe"] == by[2]["ws"] == 3
+
+
+# --- t-digest CDF normalization -------------------------------------------
+
+def test_tdigest_rank_batch_matches_scalar():
+    import numpy as np
+    from algebird_spark.operators.features import tdigest_rank_batch
+    from algebird_spark.sketches import TDigest
+    rng = np.random.default_rng(7)
+    sk = TDigest(100)
+    sk.update_batch(rng.normal(size=5000))
+    probe = np.concatenate([rng.normal(size=300),
+                            [-100.0, 100.0],            # beyond extremes
+                            [sk.min_v, sk.max_v]])      # exact endpoints
+    batch = tdigest_rank_batch(sk, probe)
+    scalar = np.array([sk.rank(float(v)) for v in probe])
+    assert np.array_equal(batch, scalar)  # identical, not just close
+
+
+def test_tdigest_rank_batch_empty_sketch():
+    import numpy as np
+    from algebird_spark.operators.features import tdigest_rank_batch
+    from algebird_spark.sketches import TDigest
+    out = tdigest_rank_batch(TDigest(50), np.array([1.0, 2.0]))
+    assert np.isnan(out).all()
+
+
+def test_cdf_normalize_global_and_grouped(spark):
+    import numpy as np
+    from pyspark.sql import Row, functions as F
+    from algebird_spark.operators.features import cdf_normalize
+    rng = np.random.default_rng(11)
+    rows = [Row(g="a", x=float(v)) for v in rng.normal(0, 1, 4000)] + \
+           [Row(g="b", x=float(v)) for v in rng.normal(50, 5, 4000)]
+    df = spark.createDataFrame(rows)
+    out = cdf_normalize(df, "x", ["g"])
+    med = out.filter((F.col("cdf") > 0.45) & (F.col("cdf") < 0.55)) \
+        .groupBy("g").agg(F.avg("x").alias("m")).collect()
+    meds = {r["g"]: r["m"] for r in med}
+    assert abs(meds["a"]) < 0.5 and abs(meds["b"] - 50) < 2.5
+    # grouped normalization is per-group: both groups span [0, 1]
+    spans = out.groupBy("g").agg(F.min("cdf").alias("lo"),
+                                 F.max("cdf").alias("hi")).collect()
+    assert all(r["lo"] <= 0.01 and r["hi"] >= 0.99 for r in spans)
+    # global mode ranks group b's values near the top
+    gl = cdf_normalize(df, "x")
+    top = gl.filter(F.col("cdf") > 0.9).groupBy("g").count().collect()
+    assert {r["g"] for r in top} == {"b"}
