@@ -265,9 +265,11 @@ def token_budget_sample(df: DataFrame, by: str = "source",
             thrs[g] = format(int(target / tot * scale), "06x")
     mapping = F.create_map(*[F.lit(x) for g, th in sorted(thrs.items())
                              for x in (g, th)])
+    # strict concat (not concat_ws): a NULL id nulls the hash and the
+    # row drops, matching the SQL `||` semantics engines agree on
     h = F.substring(
-        F.md5(F.concat_ws(":", F.col(by).cast("string"),
-                          F.col(id_col).cast("string"))), 1, 6)
+        F.md5(F.concat(F.col(by).cast("string"), F.lit(":"),
+                       F.col(id_col).cast("string"))), 1, 6)
     return t.filter(h < mapping[F.col(by)]).drop("__nt")
 
 
@@ -286,8 +288,10 @@ def assign_splits(df: DataFrame, fractions: dict, id_col: str = "doc_id",
     if not fr or any(f < 0 for _, f in fr) or abs(sum(f for _, f in fr) - 1.0) > 1e-9:
         raise ValueError("fractions must be nonnegative and sum to 1")
     scale = 0x1000000
+    # strict concat: NULL ids hash NULL -> fall to the last split
+    # (deterministic), same as SQL `||`
     h = F.substring(
-        F.md5(F.concat_ws(":", F.lit(salt), F.col(id_col).cast("string"))),
+        F.md5(F.concat(F.lit(salt + ":"), F.col(id_col).cast("string"))),
         1, 6)
     cum = 0.0
     bounds = []

@@ -141,7 +141,8 @@ def cdf_normalize(df: DataFrame, col: str, by=(), k: int = 200,
             out = np.full(len(v), np.nan)
             if keys:
                 kf = pd.DataFrame({i: s for i, s in enumerate(keys)})
-                for key, idx in kf.groupby(list(kf.columns)).indices.items():
+                for key, idx in kf.groupby(list(kf.columns),
+                                           dropna=False).indices.items():
                     key = key if isinstance(key, tuple) else (key,)
                     if key not in local:
                         blob = bc.value.get(key)
