@@ -40,22 +40,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     (scripts/check_oracles.py) every round regardless of position."""
     return {
         # === driver window (first 50): hard-signal priority ==============
-        # --- core sketches ------------------------------------------------
+        # --- flagship core sketch (entry() query) -------------------------
         "hll_distinct_per_group": Q.q_hll_distinct_per_group,
-        "hll_global_distinct": Q.q_hll_global_distinct,
-        "hll_intersection": Q.q_hll_intersection,
-        "cms_point_queries": Q.q_cms_point_queries,
-        "cms_heavy_hitters": Q.q_cms_heavy_hitters,
-        "cms_inner_product": Q.q_cms_inner_product,
-        "bloom_membership": Q.q_bloom_membership,
-        "kll_quantiles": Q.q_kll_quantiles,
-        "tdigest_quantiles": Q.q_tdigest_quantiles,
-        "minhash_jaccard": Q.q_minhash_jaccard,
-        "qtree_quantile_bounds": Q.q_qtree_quantile_bounds,
-        "spacesaver_topk": Q.q_spacesaver_topk,
-        "sketchmap_sums": Q.q_sketchmap_sums,
-        "sketchmap_minmax": Q.q_sketchmap_minmax,
-        "decaying_cms": Q.q_decaying_cms,
+        # --- round-5 additions rotated in for hard signal (r5 VERDICT #1) -
+        "bloom_join": Q.q_bloom_join,
+        "skew_join": Q.q_skew_join,
+        "range_pruned": Q.q_range_pruned,
+        "ngram_jaccard_dedup": Q.q_ngram_jaccard_dedup,
+        "hll_scan": Q.q_hll_scan,
+        "streaming_kll": Q.q_streaming_kll,
+        "streaming_sessions": Q.q_streaming_sessions,
+        "text_repetition": Q.q_text_repetition,
+        "budget_sample": Q.q_budget_sample,
+        "pack_sequences": Q.q_pack_sequences,
+        "train_splits": Q.q_train_splits,
+        "cdf_normalize": Q.q_cdf_normalize,
+        "eventually_quantiles": Q.q_eventually_quantiles,
+        "scan_compose": Q.q_scan_compose,
         # --- string-key sketches (CMSHasher[K] surface) -------------------
         "hll_string_distinct": Q.q_hll_string_distinct,
         "cms_string_keys": Q.q_cms_string_keys,
@@ -97,21 +98,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sketchmap_hll_distinct": Q.q_sketchmap_hll_distinct,  # NEW r5
         "scan_state": Q.q_scan_state,                          # NEW r5
         "ivf_indexed_topk": Q.q_ivf_indexed_topk,              # NEW r5
-        # === tail (51+): driver-green since r1-r4; local gate covers =====
-        "eventually_quantiles": Q.q_eventually_quantiles,
-        "scan_compose": Q.q_scan_compose,
-        "streaming_sessions": Q.q_streaming_sessions,      # NEW r5
-        "ngram_jaccard_dedup": Q.q_ngram_jaccard_dedup,    # NEW r5
-        "hll_scan": Q.q_hll_scan,                          # NEW r5
-        "bloom_join": Q.q_bloom_join,                      # NEW r5
-        "skew_join": Q.q_skew_join,                        # NEW r5
-        "streaming_kll": Q.q_streaming_kll,                # NEW r5
-        "text_repetition": Q.q_text_repetition,            # NEW r5
-        "budget_sample": Q.q_budget_sample,                # NEW r5
-        "pack_sequences": Q.q_pack_sequences,              # NEW r5
-        "range_pruned": Q.q_range_pruned,                  # NEW r5
-        "train_splits": Q.q_train_splits,                  # NEW r5
-        "cdf_normalize": Q.q_cdf_normalize,                # NEW r5
+        # === tail (51+): driver-green since r1-r5; local gate covers =====
+        # core sketches rotated out in r6 (driver-green r1-r5)
+        "hll_global_distinct": Q.q_hll_global_distinct,
+        "hll_intersection": Q.q_hll_intersection,
+        "cms_point_queries": Q.q_cms_point_queries,
+        "cms_heavy_hitters": Q.q_cms_heavy_hitters,
+        "cms_inner_product": Q.q_cms_inner_product,
+        "bloom_membership": Q.q_bloom_membership,
+        "kll_quantiles": Q.q_kll_quantiles,
+        "tdigest_quantiles": Q.q_tdigest_quantiles,
+        "minhash_jaccard": Q.q_minhash_jaccard,
+        "qtree_quantile_bounds": Q.q_qtree_quantile_bounds,
+        "spacesaver_topk": Q.q_spacesaver_topk,
+        "sketchmap_sums": Q.q_sketchmap_sums,
+        "sketchmap_minmax": Q.q_sketchmap_minmax,
+        "decaying_cms": Q.q_decaying_cms,
 
         "interval_filter": Q.q_interval_filter,
         "stratified_sample": Q.q_stratified_sample,

@@ -17,6 +17,11 @@ DRIVER_WINDOW = 50
 # every training-data / dedup / ANN / string-key / streaming op, per
 # VERDICT r3 next-round item #1.
 MUST_BE_IN_WINDOW = {
+    # round-5 additions rotated in for hard signal (r5 VERDICT #1)
+    "bloom_join", "skew_join", "range_pruned", "ngram_jaccard_dedup",
+    "hll_scan", "streaming_kll", "streaming_sessions", "text_repetition",
+    "budget_sample", "pack_sequences", "train_splits", "cdf_normalize",
+    "eventually_quantiles", "scan_compose",
     # string-key sketches
     "hll_string_distinct", "cms_string_keys", "spacesaver_string_topk",
     # training-data pipeline
