@@ -96,9 +96,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "trending_topk": Q.q_trending_topk,
         # --- remaining window slots (48-50): newest surfaces rotate in --
         "sketchmap_hll_distinct": Q.q_sketchmap_hll_distinct,  # NEW r5
-        "scan_state": Q.q_scan_state,                          # NEW r5
+        "skew_join_outer": Q.q_skew_join_outer,                # NEW r6
         "ivf_indexed_topk": Q.q_ivf_indexed_topk,              # NEW r5
         # === tail (51+): driver-green since r1-r5; local gate covers =====
+        "scan_state": Q.q_scan_state,  # driver-green r5; rotated out r6
         # core sketches rotated out in r6 (driver-green r1-r5)
         "hll_global_distinct": Q.q_hll_global_distinct,
         "hll_intersection": Q.q_hll_intersection,
@@ -706,6 +707,22 @@ def oracle_sql() -> dict[str, str]:
             WHERE common::DOUBLE / (n_a + n_b - common) >= 0.5
         """,
         "streaming_sessions": _SESSIONS_ORACLE,
+        "skew_join_outer": """
+            WITH big AS (
+              SELECT CASE WHEN l_orderkey % 10 < 7 THEN 1
+                          WHEN l_orderkey % 10 = 9 THEN -l_partkey
+                          ELSE l_partkey END AS jk,
+                     l_quantity
+              FROM lineitem WHERE l_orderkey % 3 = 0)
+            SELECT COUNT(*) AS n_rows,
+                   CAST(SUM(CASE WHEN jk IS NULL THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_small_only,
+                   CAST(SUM(CASE WHEN p_partkey IS NULL THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_big_only,
+                   ROUND(SUM(l_quantity), 4) AS total_qty,
+                   COUNT(p_brand) AS n_with_part
+            FROM big FULL OUTER JOIN part ON jk = p_partkey
+        """,
         "sketchmap_hll_distinct": """
             WITH g AS (SELECT l_suppkey, COUNT(DISTINCT l_partkey) AS d
                        FROM lineitem GROUP BY l_suppkey)

@@ -55,11 +55,18 @@ def bloom_prune(big: DataFrame, keys: DataFrame, big_key: str, keys_key: str,
     """Filter ``big`` to rows whose ``big_key`` *may* appear in
     ``keys[keys_key]``: a superset of the matching rows (no false
     negatives), with the non-matching residue bounded by the Bloom FPP.
+    NULL keys match nothing in an equi-join and are dropped by the
+    prune (they are not matching rows, so the superset contract holds).
 
-    ``num_entries`` sizes the filter; when omitted we use
-    ``keys.count()`` — an upper bound on the distinct key count, so the
-    realized FPP is at or below ``fp_prob`` without paying a distinct
-    shuffle just to size the filter.
+    Sizing: pass ``num_entries`` (e.g. from a checkpoint manifest) to
+    build the filter distributed via ``sketch_global`` with zero sizing
+    job. When omitted, ONE job collects the small side's distinct
+    non-null keys (the distinct collapses map-side) and the driver
+    builds an exactly-sized filter — one fewer job than a count-then-
+    build, and multiple rows per key no longer oversize the filter.
+    Driver traffic is O(distinct keys), the same order as the Bloom
+    bytes it must hold and broadcast anyway; this path assumes the
+    ``keys`` side is dim-scale, which is the operator's premise.
 
     The returned DataFrame's filter is a vectorized Arrow-batch probe
     (one murmur128 call per batch) evaluated wherever ``big``'s scan
@@ -68,18 +75,27 @@ def bloom_prune(big: DataFrame, keys: DataFrame, big_key: str, keys_key: str,
     broadcast (one copy per executor, not per task).
     """
     if num_entries is None:
-        num_entries = max(int(keys.count()), 64)
-    bf = sketch_global(keys, keys_key,
-                       lambda: BloomFilter(num_entries=num_entries,
-                                           fp_prob=fp_prob),
-                       fanout=fanout)
+        pdk = (keys.select(keys_key)
+               .where(F.col(keys_key).isNotNull())
+               .distinct().toPandas())
+        arr = pdk[keys_key].to_numpy()
+        bf = BloomFilter(num_entries=max(len(arr), 64), fp_prob=fp_prob)
+        bf.update_batch(arr)
+    else:
+        bf = sketch_global(keys.where(F.col(keys_key).isNotNull()), keys_key,
+                           lambda: BloomFilter(num_entries=num_entries,
+                                               fp_prob=fp_prob),
+                           fanout=fanout)
     spark = big.sparkSession
     bc = spark.sparkContext.broadcast(bf.to_bytes())
     # dtype fidelity: a nullable int column reaches pandas as float64
-    # (NaN for NULL) while the filter was built from Arrow int64 —
-    # hashing the float bit pattern would FALSE-NEGATIVE every row in a
-    # null-carrying batch. Cast back using the plan's declared type;
-    # NULL keys match nothing in an equi-join, so they probe False.
+    # (NaN for NULL) while the filter was built from Arrow int64. The
+    # isNotNull prefilter below sits UNDER the Arrow eval (Spark's
+    # ExtractPythonUDFs keeps pure-JVM conjuncts below the Python
+    # projection), so probe batches stay int64. If a float batch ever
+    # reaches the probe anyway, casting is only safe below 2**53 —
+    # beyond that the float64 round-trip corrupts the key and would
+    # silently FALSE-NEGATIVE (e.g. snowflake ids), so fail loudly.
     int_key = big.schema[big_key].dataType.simpleString() in (
         "tinyint", "smallint", "int", "bigint")
 
@@ -93,11 +109,17 @@ def bloom_prune(big: DataFrame, keys: DataFrame, big_key: str, keys_key: str,
             if (~mask).any():
                 arr = s[~mask].to_numpy()
                 if int_key and arr.dtype.kind == "f":
+                    if np.abs(arr).max() >= 2.0 ** 53:
+                        raise ValueError(
+                            "bloom_prune: int64 key batch arrived as "
+                            "float64 with values >= 2**53; the round-"
+                            "trip is lossy and would drop matches")
                     arr = arr.astype(np.int64)
                 out[~mask] = local.contains_batch(arr)
             yield pd.Series(out)
 
-    return big.filter(may_match(F.col(big_key)))
+    return big.filter(F.col(big_key).isNotNull()).filter(
+        may_match(F.col(big_key)))
 
 
 def bloom_join(big: DataFrame, small: DataFrame, big_key: str,
@@ -164,30 +186,75 @@ def skew_join(big: DataFrame, small: DataFrame, big_key: str,
     scale skew is a property of the DATA, stable across runs, so
     detect once and reuse). Default detection samples 2% of the big
     side (``detect_sample``; None = full pass): sampling error can
-    only misroute keys, never change results. ``how`` supports
-    'inner' and 'left' (every big-side row lands on exactly one path,
-    so the union is the exact join result for both)."""
-    if how not in ("inner", "left"):
-        raise ValueError("skew_join supports how='inner' or 'left'")
+    only misroute keys, never change results.
+
+    ``how`` supports 'inner', 'left', 'right', and 'full'. Big-side
+    rows partition exactly onto the hot/broadcast or cold/shuffle path,
+    so inner/left are exact by construction. For right/full the small
+    side's unmatched rows must also appear exactly once: the cold path
+    joins only the NON-hot small rows (null-inclusive), and hot small
+    rows that match no big row are emitted once, null-extended on the
+    big side, via an anti-join against the distinct hot big keys (a
+    bounded-size set: <= len(hot))."""
+    if how not in ("inner", "left", "right", "full"):
+        raise ValueError(
+            "skew_join supports how='inner'/'left'/'right'/'full'")
     small_key = small_key or big_key
+    same = big_key == small_key
+
+    def plain(b: DataFrame, s: DataFrame, h: str) -> DataFrame:
+        # mirror the split path's schema: a shared key name collapses
+        # to ONE key column regardless of whether hot keys were found
+        return b.join(s, on=big_key, how=h) if same else \
+            b.join(s, b[big_key] == s[small_key], h)
+
     if hot is None:
         hot = hot_keys(big, big_key, min_share=min_share,
                        sample_fraction=detect_sample)
     if not hot:
-        return big.join(small, big[big_key] == small[small_key], how)
+        return plain(big, small, how)
     is_hot = F.col(big_key).isin(hot)
-    # NULL keys match nothing in an equi-join: route them cold so a
-    # left join still emits them (isin(NULL) is NULL -> ~NULL is NULL,
-    # filter drops; make the cold predicate null-inclusive explicitly)
+    # NULL keys match nothing in an equi-join: route them cold so an
+    # outer join still emits them (isin(NULL) is NULL -> ~NULL is NULL,
+    # filter drops; make the cold predicates null-inclusive explicitly)
     big_hot = big.filter(is_hot)
     big_cold = big.filter(~is_hot | F.col(big_key).isNull())
-    small_hot = small.filter(F.col(small_key).isin(hot))
-    if big_key == small_key:
-        hot_df = big_hot.join(F.broadcast(small_hot), on=big_key, how=how)
-        cold_df = big_cold.join(small, on=big_key, how=how)
+    s_is_hot = F.col(small_key).isin(hot)
+    small_hot = small.filter(s_is_hot)
+    small_cold = small.filter(~s_is_hot | F.col(small_key).isNull())
+    # hot path: big side outer-ness is preserved ('left'/'full' keep
+    # unmatched big rows); unmatched SMALL hot rows are handled below,
+    # so 'right'/'full' run the hot join as inner/left respectively
+    hot_how = "left" if how in ("left", "full") else "inner"
+    if same:
+        hot_df = big_hot.join(F.broadcast(small_hot), on=big_key,
+                              how=hot_how)
+        cold_df = big_cold.join(small_cold, on=big_key, how=how)
     else:
         hot_df = big_hot.join(F.broadcast(small_hot),
-                              big_hot[big_key] == small_hot[small_key], how)
-        cold_df = big_cold.join(small,
-                                big_cold[big_key] == small[small_key], how)
-    return hot_df.unionByName(cold_df)
+                              big_hot[big_key] == small_hot[small_key],
+                              hot_how)
+        cold_df = big_cold.join(small_cold,
+                                big_cold[big_key] == small_cold[small_key],
+                                how)
+    out = hot_df.unionByName(cold_df)
+    if how in ("right", "full"):
+        # hot small rows with no hot big match: with detection from the
+        # big side these are rare (a detected key exists in big), but a
+        # user-supplied hot list makes them possible. distinct() over
+        # big_hot collapses map-side to <= len(hot) rows — broadcastable.
+        matched = big_hot.select(
+            F.col(big_key).alias(small_key)).distinct()
+        unmatched = small_hot.join(F.broadcast(matched), on=small_key,
+                                   how="left_anti")
+        if same:
+            ext = ([F.col(small_key).alias(big_key)]
+                   + [F.lit(None).cast(big.schema[c].dataType).alias(c)
+                      for c in big.columns if c != big_key]
+                   + [F.col(c) for c in small.columns if c != small_key])
+        else:
+            ext = ([F.lit(None).cast(big.schema[c].dataType).alias(c)
+                    for c in big.columns]
+                   + [F.col(c) for c in small.columns])
+        out = out.unionByName(unmatched.select(*ext))
+    return out

@@ -1448,6 +1448,35 @@ def q_skew_join(spark, sf):
         F.round(F.sum("l_quantity"), 4).alias("total_qty"))
 
 
+def q_skew_join_outer(spark, sf):
+    """skew_join right/full outer (r5 VERDICT #6): the hot/cold row
+    partition extends to outer joins — unmatched BIG rows survive on
+    whichever path they rode (negative jk values match no part), and
+    unmatched SMALL rows are emitted exactly once (the cold path joins
+    only non-hot small rows; hot small rows unmatched by hot big rows
+    are anti-joined back in, null-extended). The 1/3 orderkey filter
+    leaves most parts unreferenced so both unmatched sides are
+    non-trivial; result is EXACTLY the plain full join (the oracle)."""
+    from .operators.joins import skew_join
+    li = _t(spark, sf, "lineitem")
+    pa = _t(spark, sf, "part")
+    big = (li.filter(F.col("l_orderkey") % 3 == 0)
+             .withColumn("jk",
+                         F.when(F.col("l_orderkey") % 10 < 7, F.lit(1))
+                          .when(F.col("l_orderkey") % 10 == 9,
+                                -F.col("l_partkey"))
+                          .otherwise(F.col("l_partkey"))))
+    j = skew_join(big, pa, "jk", "p_partkey", how="full", min_share=0.01)
+    return j.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.when(F.col("jk").isNull(), 1).otherwise(0))
+         .cast("long").alias("n_small_only"),
+        F.sum(F.when(F.col("p_partkey").isNull(), 1).otherwise(0))
+         .cast("long").alias("n_big_only"),
+        F.round(F.sum("l_quantity"), 4).alias("total_qty"),
+        F.count("p_brand").alias("n_with_part"))
+
+
 def q_cdf_normalize(spark, sf):
     """Quantile feature normalization (operators/features.py:
     cdf_normalize — per-group t-digest states broadcast, every row

@@ -145,7 +145,77 @@ def test_bloom_join_rejects_bad_how(tables):
     with pytest.raises(ValueError):
         bloom_join(big, small, "k", "sk", how="left")
     with pytest.raises(ValueError):
-        skew_join(big, small, "k", "sk", how="full")
+        skew_join(big, small, "k", "sk", how="cross")
+
+
+@pytest.fixture(scope="module")
+def outer_tables(spark):
+    # big: keys 0..9 (0 heavily hot) + NULLs; small: 0..4 matched,
+    # 100/101 unmatched-in-big, plus a NULL key row
+    big = spark.createDataFrame(
+        [Row(k=0, v=float(i)) for i in range(300)]
+        + [Row(k=i % 10, v=float(-i)) for i in range(100)]
+        + [Row(k=None, v=-999.0)] * 4)
+    small = spark.createDataFrame(
+        [Row(sk=i, name=f"dim{i}") for i in (0, 1, 2, 3, 4, 100, 101)]
+        + [Row(sk=None, name="dimnull")])
+    return big, small
+
+
+def test_skew_join_right_full_parity(outer_tables):
+    big, small = outer_tables
+    for how in ("right", "full"):
+        got = skew_join(big, small, "k", "sk", how=how, hot=[0])
+        want = big.join(small, big["k"] == small["sk"], how)
+        assert _sorted(got, ["k", "v", "sk", "name"]) == \
+            _sorted(want, ["k", "v", "sk", "name"]), how
+
+
+def test_skew_join_outer_hot_key_missing_from_big(outer_tables):
+    """A user-supplied hot key that never occurs in big: its small rows
+    must still be emitted exactly once on the right/full paths."""
+    big, small = outer_tables
+    for how in ("right", "full"):
+        got = skew_join(big, small, "k", "sk", how=how, hot=[0, 100])
+        want = big.join(small, big["k"] == small["sk"], how)
+        assert _sorted(got, ["k", "v", "sk", "name"]) == \
+            _sorted(want, ["k", "v", "sk", "name"]), how
+
+
+def test_skew_join_outer_same_key_name(spark):
+    big = spark.createDataFrame(
+        [Row(k=i % 4, v=i) for i in range(100)] + [Row(k=None, v=-1)])
+    small = spark.createDataFrame(
+        [Row(k=i, w=i * 10) for i in (0, 1, 2, 7)] + [Row(k=None, w=-10)])
+    for how in ("inner", "left", "right", "full"):
+        got = skew_join(big, small, "k", how=how, hot=[0, 7])
+        want = big.join(small, on="k", how=how)
+        assert got.columns == want.columns, how
+        assert _sorted(got, got.columns) == _sorted(want, want.columns), how
+
+
+def test_skew_join_empty_hot_schema_matches_split_path(outer_tables):
+    """ADVICE r5: the empty-hot early return must produce the same
+    schema as the hot/cold path when big_key == small_key."""
+    big, _ = outer_tables
+    small = big.sparkSession.createDataFrame(
+        [Row(k=i, w=i * 10) for i in range(5)])
+    a = skew_join(big, small, "k", hot=[])
+    b = skew_join(big, small, "k", hot=[0])
+    assert a.columns == b.columns
+
+
+def test_bloom_prune_large_int64_keys(spark):
+    """Keys above 2**53 must never silently false-negative: with no
+    NULLs in the batch the int64 path is exact end-to-end."""
+    base = 1 << 60
+    big = spark.createDataFrame(
+        [Row(k=base + i, v=i) for i in range(500)])
+    small = spark.createDataFrame(
+        [Row(sk=base + i) for i in range(0, 500, 7)])
+    pruned = bloom_prune(big, small, "k", "sk")
+    keys = [r["sk"] for r in small.collect()]
+    assert pruned.filter(F.col("k").isin(keys)).count() == len(keys)
 
 
 # --- repetition_stats (text.py) lives here to avoid a new session-scoped
