@@ -423,7 +423,9 @@ def lsh_candidate_pairs(df: DataFrame, id_col: str = "doc_id",
 
 
 def lsh_candidate_pairs_from_bands(df: DataFrame, id_col: str = "doc_id",
-                                   bands_col: str = "mh_bands") -> DataFrame:
+                                   bands_col: str = "mh_bands",
+                                   max_bucket: int | None = None
+                                   ) -> DataFrame:
     """Docs sharing any precomputed band bucket (see
     :func:`add_minhash_bands`). Returns (id_a, id_b), id_a < id_b,
     deduped. Grouping keys on the bucket VALUE alone: the kernel
@@ -440,11 +442,22 @@ def lsh_candidate_pairs_from_bands(df: DataFrame, id_col: str = "doc_id",
     table TWICE (both sides) for the identical pair set; at 100 TB
     that halves the largest exchange of the dedup pipeline. In-bucket
     expansion is the same quadratic the join had; pathological
-    identical-doc clusters are exact dedup's job upstream."""
+    identical-doc clusters are exact dedup's job upstream.
+
+    ``max_bucket``: optional skew guard (same as
+    near_dup_pairs_simhash's) — buckets larger than the cap are
+    dropped BEFORE collect_list materializes them as one unbounded
+    array row (2 GB row limit / executor OOM). Costs recall only on
+    degenerate buckets (boilerplate shingle sets that collide across
+    thousands of docs); exact dedup upstream removes identical docs."""
     df = df.filter(F.col(bands_col).isNotNull()
                    & (F.size(bands_col) > 0))
     banded = df.select(F.col(id_col),
                        F.explode(bands_col).alias("bucket"))
+    if max_bucket is not None:
+        hot = (banded.groupBy("bucket").count()
+               .filter(F.col("count") > max_bucket).select("bucket"))
+        banded = banded.join(hot, "bucket", "left_anti")
     buckets = (banded.groupBy("bucket")
                .agg(F.sort_array(F.collect_list(id_col)).alias("ids"))
                .filter(F.size("ids") > 1))
@@ -573,7 +586,8 @@ def near_dup_pairs_ngram(df: DataFrame, id_col: str = "doc_id",
 def near_dup_pairs_minhash(df: DataFrame, id_col: str = "doc_id",
                            text_col: str = "text", num_perm: int = 64,
                            bands: int = 16, shingle_n: int = 3,
-                           threshold: float = 0.7) -> DataFrame:
+                           threshold: float = 0.7,
+                           max_bucket: int | None = None) -> DataFrame:
     """Full MinHash-LSH near-dup pipeline: sign+band (one kernel) ->
     bucket-join -> exact-Jaccard verify. Band buckets are computed
     inside the signature kernel (:func:`add_minhash_bands`), so the
@@ -599,7 +613,8 @@ def near_dup_pairs_minhash(df: DataFrame, id_col: str = "doc_id",
     # once (invocation-scoped lifetime; third live invocation evicts)
     cands = _cache_scoped(
         "minhash_cands",
-        lsh_candidate_pairs_from_bands(banded, id_col, "mh_bands"), gen=gen)
+        lsh_candidate_pairs_from_bands(banded, id_col, "mh_bands",
+                                       max_bucket=max_bucket), gen=gen)
     out = jaccard_verify(nonempty, cands, id_col, text_col, shingle_n,
                          threshold, cache_gen=gen)
     out._algebird_cache = CacheHandle(

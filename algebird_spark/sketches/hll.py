@@ -43,6 +43,19 @@ def _alpha(m: int) -> float:
     return 0.7213 / (1.0 + 1.079 / m)
 
 
+def idx_rho(values: np.ndarray, p: int, m: int,
+            seed: int = DEFAULT_SEED) -> tuple[np.ndarray, np.ndarray]:
+    """(register index, rank) derivation shared by HLL and the
+    HLL-celled SketchMap (one definition so the estimators cannot
+    drift; HyperLogLog.scala:93-122 j/rhoW split)."""
+    h = murmur64_any(values, seed)
+    idx = (h & np.uint64(m - 1)).astype(np.int64)
+    w = h >> np.uint64(p)
+    rho = trailing_zeros64(w).astype(np.int64) + 1
+    np.minimum(rho, 64 - p + 1, out=rho)
+    return idx, rho.astype(np.uint8)
+
+
 def bits_for_error(err: float) -> int:
     """Smallest p with 1.04/sqrt(2^p) <= err (HyperLogLog.scala:245-251)."""
     if not 0.0 < err < 1.0:
@@ -89,12 +102,7 @@ class HLL(Sketch):
 
     # ------------------------------------------------------------------
     def _idx_rho(self, values: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
-        h = murmur64_any(values, self.seed)
-        idx = (h & np.uint64(self.m - 1)).astype(np.int64)
-        w = h >> np.uint64(self.p)
-        rho = trailing_zeros64(w).astype(np.int64) + 1
-        np.minimum(rho, 64 - self.p + 1, out=rho)
-        return idx, rho.astype(np.uint8)
+        return idx_rho(values, self.p, self.m, self.seed)
 
     @staticmethod
     def _grouped_max(idx: np.ndarray, rho: np.ndarray) -> tuple[np.ndarray, np.ndarray]:

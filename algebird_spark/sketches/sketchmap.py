@@ -237,13 +237,12 @@ class SketchMapHLL(Sketch):
                 "seed": self.seed, "hh_count": self.hh_count}
 
     def _idx_rho(self, values: np.ndarray):
-        from ..functions.hashing import murmur64_any, trailing_zeros64
-        h = murmur64_any(values)
-        idx = (h & np.uint64(self.m - 1)).astype(np.int64)
-        w = h >> np.uint64(self.p)
-        rho = trailing_zeros64(w).astype(np.int64) + 1
-        np.minimum(rho, 64 - self.p + 1, out=rho)
-        return idx, rho.astype(np.uint8)
+        # value-register derivation pinned to the HLL DEFAULT seed
+        # (self.seed seeds only the CMS key hashing) so per-key
+        # estimates stay bit-identical to a default HLL's — one shared
+        # definition, no drift (ADVICE r5)
+        from .hll import idx_rho
+        return idx_rho(values, self.p, self.m)
 
     _CHUNK = 1 << 16
 
@@ -306,7 +305,8 @@ class SketchMapHLL(Sketch):
         n, m = regs.shape
         s = np.exp2(-regs.astype(np.float64)).sum(axis=1)
         zeros = (regs == 0).sum(axis=1)
-        est = _sm_alpha(m) * m * m / s
+        from .hll import _alpha
+        est = _alpha(m) * m * m / s
         small = (est <= 2.5 * m) & (zeros > 0)
         if small.any():
             with np.errstate(divide="ignore"):
@@ -368,16 +368,6 @@ class SketchMapHLL(Sketch):
         return (np.array([self.n_pairs, n], dtype=np.int64).tobytes()
                 + keys[o].tobytes() + vals[o].tobytes()
                 + self.table.tobytes())
-
-
-def _sm_alpha(m: int) -> float:
-    if m == 16:
-        return 0.673
-    if m == 32:
-        return 0.697
-    if m == 64:
-        return 0.709
-    return 0.7213 / (1.0 + 1.079 / m)
 
 
 @register(KIND_SKETCHMAP_HLL)

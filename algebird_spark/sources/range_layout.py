@@ -70,14 +70,39 @@ def bucket_expr(col: str, splits: list[float]) -> Column:
 
 def write_range_partitioned(df: DataFrame, col: str, path: str,
                             n_buckets: int = 16, k: int = 400,
-                            splits: list[float] | None = None) -> list[float]:
+                            splits: list[float] | None = None,
+                            mode: str = "overwrite") -> list[float]:
     """Write ``df`` range-partitioned by KLL splits of ``col``; returns
-    the splits (also persisted in the manifest). Pass ``splits`` to
-    append with a consistent layout."""
-    if splits is None:
+    the splits (also persisted in the manifest).
+
+    Incremental writes use ``mode='append'``: splits default to the
+    EXISTING manifest's (appends must keep bucket boundaries stable or
+    pruning breaks), and explicitly-passed splits are validated against
+    it — a static partition overwrite would silently wipe the table, so
+    appending with ``mode='overwrite'`` is never implied (ADVICE r5)."""
+    if mode not in ("overwrite", "append"):
+        raise ValueError("mode must be 'overwrite' or 'append'")
+    manifest_path = os.path.join(path, MANIFEST)
+    if mode == "append":
+        if not os.path.exists(manifest_path):
+            raise FileNotFoundError(
+                f"append requires an existing layout manifest at "
+                f"{manifest_path}; write with mode='overwrite' first")
+        with open(manifest_path) as f:
+            man = json.load(f)
+        if man["col"] != col:
+            raise ValueError(
+                f"append column {col!r} != layout column {man['col']!r}")
+        if splits is None:
+            splits = man["splits"]
+        elif [float(s) for s in splits] != [float(s) for s in man["splits"]]:
+            raise ValueError(
+                "append splits differ from the existing layout; "
+                "rewrite with mode='overwrite' to change boundaries")
+    elif splits is None:
         splits = range_splits(df, col, n_buckets, k=k)
     out = df.withColumn("__bucket", bucket_expr(col, splits))
-    out.write.partitionBy("__bucket").mode("overwrite").parquet(path)
+    out.write.partitionBy("__bucket").mode(mode).parquet(path)
     # atomic manifest publish (same convention as sources/checkpoint.py)
     tmp = os.path.join(path, MANIFEST + ".tmp")
     with open(tmp, "w") as f:

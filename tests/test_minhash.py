@@ -91,3 +91,27 @@ def test_candidate_pairs_from_bands_matches_signature_path(spark):
            lsh_candidate_pairs_from_bands(bnd, "doc_id", "mh_bands")
            .collect()}
     assert new == old
+
+
+def test_candidate_pairs_max_bucket_guard(spark):
+    """ADVICE r5: max_bucket drops pathological buckets BEFORE
+    collect_list materializes them; small buckets are unaffected."""
+    from algebird_spark.operators.dedup import (
+        add_minhash_bands, lsh_candidate_pairs_from_bands)
+    # 40 identical boilerplate docs (one giant bucket per band) + one
+    # genuinely similar pair
+    boiler = "the same boilerplate text repeated " * 10
+    pairtext = " ".join(f"u{i}" for i in range(60))
+    rows = ([(i, boiler) for i in range(40)]
+            + [(100, pairtext), (101, pairtext + " x")])
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    bnd = add_minhash_bands(df, "text")
+    unguarded = {(r["id_a"], r["id_b"]) for r in
+                 lsh_candidate_pairs_from_bands(bnd).collect()}
+    guarded = {(r["id_a"], r["id_b"]) for r in
+               lsh_candidate_pairs_from_bands(bnd, max_bucket=10)
+               .collect()}
+    assert (100, 101) in unguarded and (100, 101) in guarded
+    assert (0, 1) in unguarded          # boilerplate pairs exist...
+    assert (0, 1) not in guarded        # ...and the guard drops them
+    assert guarded < unguarded

@@ -516,3 +516,33 @@ def test_range_layout_open_ended_interval_reads_all(spark, tmp_path):
     write_range_partitioned(li, "l_extendedprice", path, 4)
     got = read_range_pruned(spark, path, Interval.at_least(0.0))
     assert got.count() == li.count()
+
+
+def test_range_layout_append_mode(spark, tmp_path):
+    """ADVICE r5: appending must not wipe the table, must reuse the
+    existing splits, and must reject inconsistent layouts."""
+    import pytest
+
+    from algebird_spark.functions.interval import Interval
+    from algebird_spark.sources.range_layout import (read_range_pruned,
+                                                     write_range_partitioned)
+    li = (spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+          .select("l_orderkey", "l_extendedprice"))
+    a = li.filter("l_orderkey % 2 = 0")
+    b = li.filter("l_orderkey % 2 = 1")
+    path = str(tmp_path / "range_append")
+    splits = write_range_partitioned(a, "l_extendedprice", path, 4)
+    # append reuses the manifest's splits when none are passed
+    got_splits = write_range_partitioned(b, "l_extendedprice", path,
+                                         mode="append")
+    assert got_splits == splits
+    got = read_range_pruned(spark, path, Interval.at_least(0.0))
+    assert got.count() == li.count()  # nothing was wiped
+    with pytest.raises(ValueError):
+        write_range_partitioned(b, "l_extendedprice", path,
+                                splits=[1.0, 2.0], mode="append")
+    with pytest.raises(ValueError):
+        write_range_partitioned(b, "l_orderkey", path, mode="append")
+    with pytest.raises(FileNotFoundError):
+        write_range_partitioned(b, "l_extendedprice",
+                                str(tmp_path / "nope"), mode="append")
