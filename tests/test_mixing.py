@@ -105,6 +105,50 @@ def test_pack_sequences_offsets_are_a_prefix_sum(spark):
         pack_sequences(df, 0)
 
 
+def test_pack_sequences_matches_window_reference(spark):
+    """The two-phase distributed prefix sum (r6) must equal the naive
+    window formulation exactly — many partitions, several groups, a
+    NULL group, ties broken by id."""
+    from pyspark.sql import Window, functions as F
+
+    from algebird_spark.operators.text import pack_sequences, token_count
+    rows = [(i, None if i % 11 == 10 else f"src{i % 3}",
+             "w " * (i % 17)) for i in range(3000)]
+    df = spark.createDataFrame(rows,
+                               "doc_id long, source string, text string")
+    got = sorted((r["doc_id"], r["start_offset"], r["bin_start"],
+                  r["bin_end"])
+                 for r in pack_sequences(df, 32, num_partitions=16)
+                 .collect())
+    w = (Window.partitionBy("source").orderBy("doc_id")
+         .rowsBetween(Window.unboundedPreceding, -1))
+    ref = (df.withColumn("n_tokens",
+                         F.coalesce(token_count(F.col("text"))
+                                    .cast("long"), F.lit(0)))
+           .withColumn("so", F.coalesce(F.sum("n_tokens").over(w),
+                                        F.lit(0))))
+    want = sorted((r["doc_id"], r["so"],
+                   r["so"] // 32,
+                   (r["so"] + max(r["n_tokens"] - 1, 0)) // 32)
+                  for r in ref.collect())
+    assert got == want
+
+
+def test_pack_sequences_no_per_group_window_task(spark):
+    """Plan gate (r5 VERDICT wrong #1): no Window over partitionBy(by)
+    may appear — one by-group must never serialize into one task."""
+    import io
+    from contextlib import redirect_stdout
+
+    from algebird_spark.operators.text import pack_sequences
+    df = spark.createDataFrame([(1, "s", "w w")],
+                               "doc_id long, source string, text string")
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        pack_sequences(df, 8).explain("formatted")
+    assert "Window" not in buf.getvalue()
+
+
 # --- assign_splits (exact.py) ---------------------------------------------
 
 def test_assign_splits_partition_of_rows(spark):
