@@ -97,9 +97,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- remaining window slots (48-50): newest surfaces rotate in --
         "sketchmap_hll_distinct": Q.q_sketchmap_hll_distinct,  # NEW r5
         "skew_join_outer": Q.q_skew_join_outer,                # NEW r6
-        "ivf_indexed_topk": Q.q_ivf_indexed_topk,              # NEW r5
+        "cdf_normalize_hicard": Q.q_cdf_normalize_hicard,      # NEW r6
         # === tail (51+): driver-green since r1-r5; local gate covers =====
         "scan_state": Q.q_scan_state,  # driver-green r5; rotated out r6
+        "ivf_indexed_topk": Q.q_ivf_indexed_topk,  # driver-green r5
         # core sketches rotated out in r6 (driver-green r1-r5)
         "hll_global_distinct": Q.q_hll_global_distinct,
         "hll_intersection": Q.q_hll_intersection,
@@ -542,6 +543,12 @@ def oracle_sql() -> dict[str, str]:
         "cdf_normalize": """
             SELECT l_returnflag, COUNT(*) AS n_rows, TRUE AS rank_err_ok
             FROM lineitem GROUP BY l_returnflag
+        """,
+        "cdf_normalize_hicard": """
+            SELECT COUNT(*) AS n_rows,
+                   COUNT(DISTINCT l_suppkey) AS n_groups,
+                   TRUE AS rank_err_ok
+            FROM lineitem
         """,
         "train_splits": """
             WITH h AS (
