@@ -212,9 +212,19 @@ def repetition_stats(df: DataFrame, id_col: str = "doc_id",
     counterpart and must shuffle grams). Tokenization matches
     ``regexp_split_to_array(TRIM(lower(text)), '\\s+')`` exactly (the
     shingle-kernel convention, proven SQL-reproducible by the
-    ``ngram_jaccard_dedup`` oracle)."""
-    from collections import Counter
+    ``ngram_jaccard_dedup`` oracle).
 
+    Counting is fully vectorized (r5 VERDICT wrong #3 — this was the
+    last per-row Python loop in the codebase): each batch's token
+    windows hash through the SAME murmur kernel the MinHash signatures
+    use (``dedup._shingle_hashes_batch``: one murmur call for every
+    token of every doc), then per-(doc, gram) occurrence counts fall
+    out of one lexsort's run lengths, and per-doc max / dup-sum reduce
+    over run segments. Gram identity is the kernel's mixed 64-bit
+    window hash — a within-doc collision (~nt^2 / 2^64) is the only
+    deviation from exact string grams, negligible at any real doc
+    length (and value-parity with the exact Counter reference is
+    law-tested)."""
     pt = [c for c in passthrough if c in df.columns]
     fields = [f"{id_col} long"] + [f"{c} string" for c in pt] \
         + ["n_tokens long"] \
@@ -223,26 +233,49 @@ def repetition_stats(df: DataFrame, id_col: str = "doc_id",
     schema = ", ".join(fields)
 
     def gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from .dedup import _shingle_hashes_batch
         for pdf in it:
-            out: dict[str, list] = {f.split()[0]: [] for f in fields}
-            for idx in range(len(pdf)):
-                toks = str(pdf[text_col].iloc[idx]).strip().lower().split()
-                nt = len(toks)
-                out[id_col].append(pdf[id_col].iloc[idx])
-                for c in pt:
-                    out[c].append(pdf[c].iloc[idx])
-                out["n_tokens"].append(nt)
-                for n in ns:
-                    if nt >= n:
-                        c = Counter(" ".join(toks[i:i + n])
-                                    for i in range(nt - n + 1))
-                        mx = max(c.values())
-                        dup = sum(v for v in c.values() if v >= 2)
-                    else:
-                        mx = dup = 0
-                    out[f"top{n}_frac"].append(mx * n / nt if nt else 0.0)
-                    out[f"dup{n}_frac"].append(dup * n / nt if nt else 0.0)
-            yield pd.DataFrame(out)
+            texts = pdf[text_col].tolist()
+            ndocs = len(texts)
+            out = pd.DataFrame({id_col: pdf[id_col].to_numpy()})
+            for c in pt:
+                out[c] = pdf[c].to_numpy()
+            nt = None
+            stats = {}
+            for n in ns:
+                hv, starts, lens = _shingle_hashes_batch(texts, n, 0)
+                if nt is None:
+                    nt = lens
+                # doc index per gram; docs with < n tokens emit one
+                # clamp-padded sentinel gram — masked out below
+                n_sh = np.diff(starts)
+                did = np.repeat(np.arange(ndocs, dtype=np.int64), n_sh)
+                valid = np.repeat(lens >= n, n_sh)
+                a, d = hv[valid], did[valid]
+                mx = np.zeros(ndocs, dtype=np.int64)
+                dup = np.zeros(ndocs, dtype=np.int64)
+                if len(a):
+                    o = np.lexsort((a, d))
+                    a, d = a[o], d[o]
+                    new = np.empty(len(a), dtype=bool)
+                    new[0] = True
+                    new[1:] = (a[1:] != a[:-1]) | (d[1:] != d[:-1])
+                    run_start = np.flatnonzero(new)
+                    counts = np.diff(np.append(run_start, len(a)))
+                    run_doc = d[run_start]
+                    np.maximum.at(mx, run_doc, counts)
+                    np.add.at(dup, run_doc,
+                              np.where(counts >= 2, counts, 0))
+                stats[n] = (mx, dup)
+            nt_safe = np.maximum(nt, 1).astype(np.float64)
+            out["n_tokens"] = nt
+            for n in ns:
+                out[f"top{n}_frac"] = stats[n][0] * n / nt_safe
+            for n in ns:
+                out[f"dup{n}_frac"] = stats[n][1] * n / nt_safe
+            yield out
 
     return df.select(id_col, *pt, text_col).mapInPandas(gen, schema)
 

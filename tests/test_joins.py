@@ -240,6 +240,44 @@ def test_repetition_stats_hand_computed(spark):
     assert got[5]["n_tokens"] == 1 and got[5]["top3_frac"] == 0.0
 
 
+def test_repetition_stats_matches_exact_counter_reference(spark):
+    """The vectorized hash-window counting (r6) must equal the exact
+    string-gram Counter computation value-for-value on a randomized
+    corpus with planted loops, short docs, empties, and unicode."""
+    from collections import Counter
+
+    import numpy as np
+
+    from algebird_spark.operators.text import repetition_stats
+    rng = np.random.default_rng(20260817)
+    vocab = [f"w{i}" for i in range(50)] + ["héllo", "мир", "a"]
+    rows = []
+    for i in range(300):
+        nt = int(rng.integers(0, 40))
+        toks = list(rng.choice(vocab, size=nt))
+        if i % 7 == 0 and nt >= 4:          # planted loop
+            toks = toks[:4] * 5
+        rows.append((i, "s", " ".join(toks)))
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    got = {r["doc_id"]: r for r in repetition_stats(df).collect()}
+    for i, _, text in rows:
+        toks = text.strip().lower().split()
+        nt = len(toks)
+        assert got[i]["n_tokens"] == nt, i
+        for n in (2, 3):
+            if nt >= n:
+                c = Counter(tuple(toks[j:j + n])
+                            for j in range(nt - n + 1))
+                mx, dup = max(c.values()), sum(v for v in c.values()
+                                               if v >= 2)
+            else:
+                mx = dup = 0
+            assert abs(got[i][f"top{n}_frac"]
+                       - (mx * n / nt if nt else 0.0)) < 1e-12, (i, n)
+            assert abs(got[i][f"dup{n}_frac"]
+                       - (dup * n / nt if nt else 0.0)) < 1e-12, (i, n)
+
+
 def test_repetition_stats_partitioning_invariant(spark):
     from algebird_spark.operators.text import repetition_stats
     rows = [(i, "s", " ".join(f"t{j % (1 + i % 7)}" for j in range(30)))
