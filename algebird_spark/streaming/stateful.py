@@ -173,7 +173,8 @@ def sketch_state_stream_by_key(sdf: DataFrame, keys: Sequence[str],
 def scan_stream_fold(sdf: DataFrame, keys: Sequence[str],
                      order: Sequence[str] | str, batch_kernel: Callable,
                      output_col: str = "scan_out",
-                     output_type: str = "bigint") -> DataFrame:
+                     output_type: str = "bigint",
+                     watermark_col: str | None = None) -> DataFrame:
     """Streaming general ``Scan.from`` — the reference ``Scan`` is a
     stream transform (Scan.scala:18-60); this is its Structured
     Streaming form, sharing the EXACT kernel contract of
@@ -190,7 +191,20 @@ def scan_stream_fold(sdf: DataFrame, keys: Sequence[str],
     key's rows in fold order (the same append-order requirement every
     streaming running fold has — the reference Scan likewise consumes
     an ordered stream). State per key is O(carry), independent of
-    stream length."""
+    stream length.
+
+    **Out-of-order sources** (r5 VERDICT #8): pass ``watermark_col``
+    (an event-time timestamp column the caller has declared with
+    ``withWatermark``) to turn on the reorder buffer — each key holds
+    its rows in state until the watermark passes their event time,
+    then folds them in ``order``; an event-time timeout flushes
+    buffered rows whose key receives no further data. Rows disordered
+    by at most the watermark delay fold in exactly the batch order
+    (rows later than the delay are dropped by Spark's late-record
+    filter upstream, the standard watermark contract). The first
+    ``order`` column should be consistent with event time, and output
+    latency becomes the watermark delay. Buffered state per key is
+    bounded by one delay-window of that key's rows."""
     import pickle
 
     from pyspark.sql.types import _parse_datatype_string
@@ -221,6 +235,42 @@ def scan_stream_fold(sdf: DataFrame, keys: Sequence[str],
             yield pdf
         state.update((pickle.dumps(carry),))
 
+    def update_reorder(key, pdfs: Iterable[pd.DataFrame],
+                       state: GroupState):
+        carry, buf = (pickle.loads(bytes(state.get[0]))
+                      if state.exists else (None, None))
+        parts = [p for p in pdfs if len(p)]
+        if buf is not None and len(buf):
+            parts.append(buf)
+        full = (parts[0] if len(parts) == 1
+                else pd.concat(parts, ignore_index=True)) if parts else None
+        rest = None
+        wm_ms = state.getCurrentWatermarkMs()
+        if full is not None and len(full):
+            ts_ms = (full[watermark_col].to_numpy()
+                     .astype("datetime64[ms]").astype("int64"))
+            ready_mask = ts_ms <= wm_ms
+            if ready_mask.any():
+                ready = (full[ready_mask]
+                         .sort_values(order_cols, kind="mergesort")
+                         .reset_index(drop=True))
+                vals, carry = batch_kernel(ready, carry)
+                ready[output_col] = vals
+                yield ready
+            rest = full[~ready_mask].reset_index(drop=True)
+            if len(rest):
+                # re-invoke this key once the watermark passes its
+                # oldest buffered row, even if no new data arrives
+                nxt = int(ts_ms[~ready_mask].min())
+                state.setTimeoutTimestamp(max(nxt, wm_ms + 1))
+            else:
+                rest = None
+        state.update((pickle.dumps((carry, rest)),))
+
+    if watermark_col is None:
+        return sdf.groupBy(*keys).applyInPandasWithState(
+            update, out_schema, state_schema, "append",
+            GroupStateTimeout.NoTimeout)
     return sdf.groupBy(*keys).applyInPandasWithState(
-        update, out_schema, state_schema, "append",
-        GroupStateTimeout.NoTimeout)
+        update_reorder, out_schema, state_schema, "append",
+        GroupStateTimeout.EventTimeTimeout)
