@@ -95,12 +95,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "outlier_detection": Q.q_outlier_detection,
         "trending_topk": Q.q_trending_topk,
         # --- remaining window slots (48-50): newest surfaces rotate in --
-        "sketchmap_hll_distinct": Q.q_sketchmap_hll_distinct,  # NEW r5
+        "sketchmap_set": Q.q_sketchmap_set,                    # NEW r6
         "skew_join_outer": Q.q_skew_join_outer,                # NEW r6
         "cdf_normalize_hicard": Q.q_cdf_normalize_hicard,      # NEW r6
         # === tail (51+): driver-green since r1-r5; local gate covers =====
         "scan_state": Q.q_scan_state,  # driver-green r5; rotated out r6
         "ivf_indexed_topk": Q.q_ivf_indexed_topk,  # driver-green r5
+        "sketchmap_hll_distinct": Q.q_sketchmap_hll_distinct,  # green r5
         # core sketches rotated out in r6 (driver-green r1-r5)
         "hll_global_distinct": Q.q_hll_global_distinct,
         "hll_intersection": Q.q_hll_intersection,
@@ -736,6 +737,15 @@ def oracle_sql() -> dict[str, str]:
             SELECT COUNT(*) AS n_keys,
                    CAST(SUM(d) AS BIGINT) AS total_distinct_pairs,
                    TRUE AS never_under, TRUE AS within_eps
+            FROM g
+        """,
+        "sketchmap_set": """
+            WITH g AS (SELECT l_suppkey, COUNT(DISTINCT l_partkey) AS d
+                       FROM lineitem WHERE l_partkey % 41 = 0
+                       GROUP BY l_suppkey)
+            SELECT COUNT(*) AS n_keys,
+                   CAST(SUM(d) AS BIGINT) AS total_distinct_pairs,
+                   TRUE AS sets_exact
             FROM g
         """,
         "decaying_cms": """

@@ -17,7 +17,7 @@ rows) are presented driver-side.
 from __future__ import annotations
 
 import math
-from typing import Iterator
+from typing import Iterator, Tuple
 
 import numpy as np
 import pandas as pd
@@ -1155,6 +1155,70 @@ def q_sketchmap_hll_distinct(spark, sf):
         F.sum("d").cast("long").alias("total_distinct_pairs"),
         F.bool_and("lo_ok").alias("never_under"),
         F.bool_and("hi_ok").alias("within_eps"))
+
+
+def q_sketchmap_set(spark, sf):
+    """SketchMap with V = Set[value] (SketchMap.scala:40-240 generic
+    V: Monoid under set-union, composed with Eventually.scala's
+    exact-then-approximate cells — the last generic-V instance, r5
+    VERDICT #9): approximate Map[suppkey -> {partkey}] in one
+    mergeable state. Values land on a sparse slice (partkey % 41 = 0)
+    so cells stay below max_exact and the EXACT surface is exercised:
+    for every key the recovered set (intersection of its exact row
+    cells — a foreign value must collide in ALL depth rows to
+    survive) must equal the exact distributed collect_set, value for
+    value. Promotion to HLL banks is law-tested in pytest; this query
+    pins the exact-recovery contract the HLL variant cannot offer."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from .agg import sketch_by_key_multi
+    from .sketches import SketchMapSet
+    li = _t(spark, sf, "lineitem")
+    slice_ = (li.filter(F.col("l_partkey") % 41 == 0)
+              .select("l_suppkey", "l_partkey"))
+
+    def build_state():
+        states = sketch_by_key_multi(
+            slice_, [], ["l_suppkey", "l_partkey"],
+            # a value here is held by MANY keys (a partkey ships from
+            # ~dozens of suppliers), so a foreign value survives key
+            # k's intersection if ANY of its holders collides with k
+            # in every row: P ~ (holders/width)^depth. width 680 x
+            # depth 7 puts the expected survivor count across all
+            # (key, value) pairs below 1e-6 at sf0.1.
+            lambda: SketchMapSet(eps=0.004, delta=0.001, max_exact=2048,
+                                 p=10))
+        return bytes(states.collect()[0][STATE_COL])
+
+    def exact_sets():
+        from .operators.dedup import _cache_scoped
+        g = (slice_.groupBy("l_suppkey")
+             .agg(F.sort_array(F.collect_set("l_partkey")).alias("pset"),
+                  F.count_distinct("l_partkey").alias("d")))
+        g = _cache_scoped("sketchmap_set_exact", g)
+        g.count()
+        return g
+
+    with ThreadPoolExecutor(2) as pool:
+        f_sk, f_g = pool.submit(build_state), pool.submit(exact_sets)
+        sk_bytes, g = f_sk.result(), f_g.result()
+
+    @F.pandas_udf("boolean")
+    def set_exact(it: Iterator[Tuple[pd.Series, pd.Series]]
+                  ) -> Iterator[pd.Series]:
+        local = from_bytes(sk_bytes)
+        for keys, psets in it:
+            rec = local.value_sets(keys.to_numpy(dtype="int64"))
+            ok = [r is not None and r == sorted(p)
+                  for r, p in zip(rec, psets)]
+            yield pd.Series(ok)
+
+    flags = g.withColumn("ok", set_exact(F.col("l_suppkey"),
+                                         F.col("pset")))
+    return flags.agg(
+        F.count("*").alias("n_keys"),
+        F.sum("d").cast("long").alias("total_distinct_pairs"),
+        F.bool_and("ok").alias("sets_exact"))
 
 
 def q_interval_filter(spark, sf):

@@ -10,7 +10,8 @@ from .kll import KLL, kll_rank_error
 from .minhash import MinHash, pick_bands_rows
 from .moments import Moments, SetSize
 from .qtree import QTree
-from .sketchmap import DecayingCMS, SketchMap, SketchMapHLL
+from .sketchmap import (DecayingCMS, SketchMap, SketchMapHLL,
+                        SketchMapSet)
 from .spacesaver import SpaceSaver
 from .tdigest import TDigest
 from .timeseries import DecayedValue, ExpHist, HLLSeries
@@ -24,5 +25,6 @@ __all__ = [
     "MinHash", "pick_bands_rows", "TDigest",
     "Moments", "SetSize", "QTree", "SpaceSaver",
     "DecayedValue", "ExpHist", "HLLSeries", "SketchMap", "SketchMapHLL",
+    "SketchMapSet",
     "DecayingCMS",
 ]

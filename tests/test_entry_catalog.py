@@ -22,6 +22,8 @@ MUST_BE_IN_WINDOW = {
     "hll_scan", "streaming_kll", "streaming_sessions", "text_repetition",
     "budget_sample", "pack_sequences", "train_splits", "cdf_normalize",
     "eventually_quantiles", "scan_compose",
+    # round-6 additions (hard signal on first appearance)
+    "skew_join_outer", "cdf_normalize_hicard", "sketchmap_set",
     # string-key sketches
     "hll_string_distinct", "cms_string_keys", "spacesaver_string_topk",
     # training-data pipeline
