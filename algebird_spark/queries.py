@@ -1114,10 +1114,19 @@ def q_sketchmap_hll_distinct(spark, sf):
     li = _t(spark, sf, "lineitem")
 
     def build_state():
+        # heavy_hitters_count=0: this query probes via values(), so
+        # per-partition serialize-time HH estimate flushes (a 5-row x
+        # 1024-register gather per pending key per partition state)
+        # would be pure waste — measured as the dominant build cost
+        # min_partitions=8: the update kernel clears ~3M pairs/s/core,
+        # so at sf-bench scale the build cost is SHIPPING the 1.4 MB
+        # partition states, not updating them — 8 states instead of 32
+        # quarters the merge traffic while the kernel stays unbound
         states = sketch_by_key_multi(
             li, [], ["l_suppkey", "l_partkey"],
             lambda: SketchMapHLL(eps=0.01, delta=0.01, p=10,
-                                 heavy_hitters_count=5))
+                                 heavy_hitters_count=0),
+            min_partitions=8)
         return from_bytes(bytes(states.collect()[0][STATE_COL]))
 
     def exact_counts():
@@ -1135,15 +1144,20 @@ def q_sketchmap_hll_distinct(spark, sf):
     with ThreadPoolExecutor(2) as pool:
         f_sk, f_g = pool.submit(build_state), pool.submit(exact_counts)
         sk, g = f_sk.result(), f_g.result()
-    sk_bytes, err, eps = sk.to_bytes(), sk.error, sk.eps
+    err, eps = sk.error, sk.eps
+    # the 1.4 MB state ships ONCE per executor as a broadcast, not
+    # once per task in the pickled closure; the probe side coalesces
+    # to one partition (<= a few thousand key rows) so a single python
+    # worker decodes the state once
+    bc_sk = spark.sparkContext.broadcast(sk.to_bytes())
 
     @F.pandas_udf("double")
     def smh_est(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
-        local = from_bytes(sk_bytes)  # decode once per task
+        local = from_bytes(bc_sk.value)  # decode once per task
         for s in it:
             yield pd.Series(local.values(s.to_numpy(dtype="int64")))
 
-    grouped = g.withColumn("est", smh_est(F.col("l_suppkey")))
+    grouped = g.coalesce(1).withColumn("est", smh_est(F.col("l_suppkey")))
     d_total = F.sum("d").over(Window.partitionBy())
     flags = grouped.select(
         "d",
