@@ -299,24 +299,35 @@ def pack_sequences(df: DataFrame, seq_len: int, by: str = "source",
     prefix sum over ``partitionBy(by)`` executes each group in ONE
     task, and ``by`` is typically a handful of sources over 10^10
     docs, so one task would walk ~10^9 rows sequentially (r5 VERDICT
-    wrong #1). This runs the textbook TWO-PHASE distributed prefix sum
-    instead: range-partition on (by, id) so every task holds a
-    contiguous slice of a group's id order; phase 1 aggregates one
-    (partition, group) token subtotal per slice (tiny: <= partitions +
-    groups rows collected); the driver prefix-sums the subtotals into
-    per-slice starting offsets; phase 2 is a map-only Arrow pass
-    adding each row's within-slice running total to its slice offset.
-    No task ever processes more than one partition's rows, at any
-    group cardinality. The range-partitioned table is persisted —
-    that also pins the sampled range boundaries, so phase 2 reads the
-    exact partitioning phase 1 measured (at warehouse scale, write it
-    to storage once and run both phases over the written files).
+    wrong #1). This runs the textbook TWO-PHASE distributed prefix
+    sum, expressed ENTIRELY in JVM DataFrame ops (a first cut pushed
+    phase 2 through an Arrow ``mapInPandas`` pass — correct, but the
+    Python round-trip of every row lost to even the single-task
+    window plan at 10^8 rows; see BENCH/pack_rehearsal.json):
+
+    * range-partition on ``(by, id)`` so every task holds a
+      contiguous slice of a group's id order (persisted — that pins
+      the sampled range boundaries, so both phases read the exact
+      same partitioning);
+    * phase 1: one ``(slice, group)`` token subtotal per slice
+      (map-side partial agg), prefix-summed across slices per group
+      by a window over the TINY subtotal table;
+    * phase 2: within-slice exclusive running sum via a window
+      partitioned by ``(slice, group)`` — every task is bounded by
+      one slice, at ANY group cardinality — plus the slice's
+      starting offset, broadcast-joined.
+
+    The broadcast stays tiny at any scale: rows are sorted by
+    ``(by, id)``, so a group's rows span ADJACENT slices and only
+    boundary-spanning (slice, group) pairs have nonzero offsets —
+    at most ``num_partitions - 1`` rows survive the ``!= 0`` filter,
+    whether there are 4 groups or 10^7. Cost at warehouse scale: two
+    full-data exchanges (range + hash), zero Python, no task ever
+    sees more than one slice's rows.
 
     Empty documents (0 tokens) get ``bin_end = bin_start`` at their
     offset."""
-    from typing import Iterator
-
-    import pandas as pd
+    from pyspark.sql.window import Window
 
     from .dedup import _cache_scoped, _new_generation
 
@@ -327,65 +338,36 @@ def pack_sequences(df: DataFrame, seq_len: int, by: str = "source",
     t = df.withColumn("n_tokens", F.coalesce(tok.cast("long"), F.lit(0)))
     parts = [num_partitions] if num_partitions else []
     rp = (t.repartitionByRange(*parts, F.col(by), F.col(id_col))
-           .sortWithinPartitions(by, id_col))
+          .withColumn("__pid", F.spark_partition_id()))
     rp = _cache_scoped("pack_sequences_rp", rp, gen=_new_generation())
-    subtotal_rows = (rp.select(F.spark_partition_id().alias("__pid"),
-                               F.col(by), F.col("n_tokens"))
-                     .groupBy("__pid", by)
-                     .agg(F.sum("n_tokens").alias("s")).collect())
-    acc: dict = {}
-    offsets: dict = {}
-    for r in sorted(subtotal_rows, key=lambda r: r["__pid"]):
-        g = r[by]
-        offsets[(r["__pid"], g)] = acc.get(g, 0)
-        acc[g] = acc.get(g, 0) + r["s"]
-    bc = df.sparkSession.sparkContext.broadcast(offsets)
-    out_schema = ", ".join(
-        f"{f.name} {f.dataType.simpleString()}" for f in rp.schema.fields
-    ) + ", start_offset long"
-
-    def kernel(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        import numpy as np
-        offs = bc.value
-
-        def norm(v):
-            return None if pd.isna(v) else v
-
-        carry_group, carry_val = object(), 0  # sentinel: matches nothing
-        for batch in it:
-            g = batch[by].to_numpy()
-            na = pd.isna(batch[by]).to_numpy()
-            n = batch["n_tokens"].to_numpy(dtype=np.int64)
-            pid = int(batch["__pid"].iloc[0])
-            cs = np.cumsum(n)
-            start_mask = np.empty(len(g), dtype=bool)
-            start_mask[0] = True
-            # a NULL group is ONE run (NaN != NaN would split it)
-            start_mask[1:] = (g[1:] != g[:-1]) & ~(na[1:] & na[:-1])
-            start_idx = np.flatnonzero(start_mask)
-            run_len = np.diff(np.append(start_idx, len(g)))
-            base = cs[start_idx] - n[start_idx]
-            local = cs - n - np.repeat(base, run_len)  # exclusive, per run
-            # per-run partition offset + cross-batch carry for the
-            # first run if it continues the previous batch's group
-            run_off = np.array(
-                [offs.get((pid, norm(gv)), 0) for gv in g[start_idx]],
-                dtype=np.int64)
-            add = np.repeat(run_off, run_len)
-            first = norm(g[0])
-            if first == carry_group:
-                add[:run_len[0]] += carry_val
-            local += add
-            last = norm(g[-1])
-            lv = int(local[-1] + n[-1] - offs.get((pid, last), 0))
-            carry_val = lv
-            carry_group = last
-            out = batch.drop(columns=["__pid"])
-            out["start_offset"] = local
-            yield out
-
-    packed = (rp.withColumn("__pid", F.spark_partition_id())
-                .mapInPandas(kernel, out_schema))
+    # phase 1: per-(slice, group) subtotals; exclusive prefix sum
+    # across slices per group. The window runs over <= P rows per
+    # group of a <= P x G row table — never over the data.
+    sub = rp.groupBy("__pid", by).agg(F.sum("n_tokens").alias("__s"))
+    w_off = (Window.partitionBy(by).orderBy("__pid")
+             .rowsBetween(Window.unboundedPreceding, -1))
+    off = (sub.withColumn("__off",
+                          F.coalesce(F.sum("__s").over(w_off), F.lit(0)))
+           .filter(F.col("__off") != 0)
+           .select(F.col("__pid").alias("__opid"),
+                   F.col(by).alias("__g"), "__off"))
+    # phase 2: within-slice exclusive running sum (each (__pid, by)
+    # window group is one slice's share of one group — bounded by the
+    # slice size) + the broadcast slice offset.
+    w_in = (Window.partitionBy("__pid", by).orderBy(id_col)
+            .rowsBetween(Window.unboundedPreceding, -1))
+    packed = (rp.withColumn(
+                  "__local", F.coalesce(F.sum("n_tokens").over(w_in),
+                                        F.lit(0)))
+              .join(F.broadcast(off),
+                    (F.col("__pid") == F.col("__opid"))
+                    & F.col(by).eqNullSafe(F.col("__g")),
+                    "left")
+              .withColumn("start_offset",
+                          (F.col("__local")
+                           + F.coalesce(F.col("__off"), F.lit(0)))
+                          .cast("long"))
+              .drop("__pid", "__opid", "__g", "__off", "__local"))
     return (packed
             .withColumn("bin_start",
                         F.floor(F.col("start_offset") / seq_len))

@@ -618,10 +618,10 @@ def q_budget_sample(spark, sf):
 
 def q_pack_sequences(spark, sf):
     """GPT-style token-stream packing (operators/text.py:
-    pack_sequences — prefix-sum window, JVM-side): pack each source's
-    documents into 512-token training sequences and report exact
-    packing facts (doc/bin/boundary-spanning counts) the oracle
-    reproduces from the same window cumsum."""
+    pack_sequences — all-JVM two-phase distributed prefix sum): pack
+    each source's documents into 512-token training sequences and
+    report exact packing facts (doc/bin/boundary-spanning counts) the
+    oracle reproduces from a plain window cumsum."""
     docs = _t(spark, sf, "documents").select("doc_id", "source", "text")
     packed = text.pack_sequences(docs, 512)
     return packed.groupBy("source").agg(

@@ -45,6 +45,11 @@ HEADLINE = [
     # round 5 continuation: repetition filter + sketch-routed skew join
     "text_repetition",
     "skew_join",
+    # round 6: two-phase packing prefix sum, t-digest CDF normalization,
+    # Bloom-pruned join (shuffle cut measured in BENCH/joins_rehearsal)
+    "pack_sequences",
+    "cdf_normalize",
+    "bloom_join",
 ]
 
 
