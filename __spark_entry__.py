@@ -152,6 +152,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decayed_vector": Q.q_decayed_vector,
         "merge_lookup": Q.q_merge_lookup,
         "set_diff": Q.q_set_diff,
+        "topk_pruned": Q.q_topk_pruned,                # NEW r6 (tail)
+        "weighted_sample": Q.q_weighted_sample,        # NEW r6 (tail)
         # --- rows-only by declared design (no SQL-expressible oracle) -----
         "simhash_near_dup": Q.q_simhash_near_dup,      # rows-only
         "minhash_near_dup": Q.q_minhash_near_dup,      # rows-only
@@ -1127,6 +1129,34 @@ def oracle_sql() -> dict[str, str]:
                    TRUE AS feat_dim_ok, TRUE AS feat_range_ok,
                    TRUE AS feat_batch_invariant
             FROM m GROUP BY kind
+        """,
+        "topk_pruned": """
+            SELECT l_returnflag, l_orderkey, l_linenumber, l_extendedprice
+            FROM (SELECT l_returnflag, l_orderkey, l_linenumber,
+                         l_extendedprice,
+                         ROW_NUMBER() OVER (
+                             PARTITION BY l_returnflag
+                             ORDER BY l_extendedprice DESC,
+                                      l_orderkey * 8 + l_linenumber) AS rn
+                  FROM lineitem)
+            WHERE rn <= 5
+            ORDER BY l_returnflag, l_orderkey, l_linenumber
+        """,
+        "weighted_sample": """
+            WITH t AS (
+              SELECT source, doc_id,
+                     ln((CAST('0x' || substr(md5('wsample:' ||
+                              CAST(doc_id AS VARCHAR)), 1, 12) AS UBIGINT)
+                         + 1) / 281474976710656.0)
+                     / (CAST(doc_id % 97 AS DOUBLE) + 1) AS wkey
+              FROM documents),
+            r AS (
+              SELECT source, doc_id,
+                     ROW_NUMBER() OVER (PARTITION BY source
+                                        ORDER BY wkey DESC, doc_id) AS rn
+              FROM t)
+            SELECT source, doc_id FROM r WHERE rn <= 3
+            ORDER BY source, doc_id
         """,
         # rows-only (no oracle): simhash_near_dup, minhash_near_dup,
         # embedding_lsh_recall

@@ -1,0 +1,208 @@
+"""Sketch-pruned exact top-k and deterministic weighted sampling.
+
+``top_k_per_group`` (operators/exact.py) is the textbook plan — a
+``row_number`` window — and at warehouse scale its Exchange ships EVERY
+row of every group to rank them, then throws away all but k. The same
+trick that powers ``bloom_join``/``skew_join`` (a sketch steers the
+physical plan; the answer stays exact) applies here with a quantile
+sketch:
+
+* **KLL-pruned top-k** — one mergeable KLL pass per group (the same
+  ``sketch_by_key`` every quantile query uses) yields a per-group
+  cutoff value whose true rank is, w.h.p., deep enough that at least
+  ``k`` rows survive ``order_col >= cutoff``. The prune is a broadcast
+  join + filter evaluated in the big side's scan stage, so the window's
+  Exchange ships ``~k + O(eps * n)`` rows per group instead of ``n``.
+  Because KLL's rank bound is probabilistic, the operator VERIFIES the
+  survivor count per group against min(k, n) — n is exact, the sketch
+  counts it — and falls back to the unpruned window for any shortfall
+  group (normally none), so the result is unconditionally EXACT: the
+  sketch can only change performance, never output. Reference
+  semantics: the result equals ``top_k_per_group`` row for row
+  (algebird's ``TopKMonoid``/``Aggregator.sortedTake``,
+  algebird-core .../TopKMonoid.scala — the reference computes top-k by
+  total order; the KLL prune is this repo's scale path for it).
+
+* **Deterministic weighted sampling (A-ES)** — Efraimidis–Spirakis
+  reservoir sampling ("Weighted random sampling with a reservoir",
+  IPL 2006): a weighted-without-replacement sample of size k is the
+  top-k rows by the key ``u^(1/w)`` (equivalently ``ln(u)/w``) with
+  u ~ Uniform(0,1]. Drawing u from the md5 of the row id (the
+  ``deterministic_sample`` convention, 48-bit resolution) makes the
+  sample REPRODUCIBLE across engines and reruns — no RNG state — and
+  SQL-checkable. Composes with the KLL prune above: the sample IS a
+  top-k, so at scale the window never sees the full corpus.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator, Sequence
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..agg import COUNT_COL, STATE_COL, sketch_by_key
+from ..sketches import KLL, from_bytes
+from .exact import top_k_per_group
+
+__all__ = ["top_k_pruned", "weighted_sample"]
+
+_U48 = float(1 << 48)
+
+
+def _null_safe_on(left: DataFrame, right: DataFrame, keys: Sequence[str],
+                  right_keys: Sequence[str] | None = None):
+    cond = None
+    for c, rc in zip(keys, right_keys or keys):
+        e = left[c].eqNullSafe(right[rc])
+        cond = e if cond is None else cond & e
+    return cond
+
+
+def top_k_pruned(df: DataFrame, keys: Sequence[str], order_col: str, k: int,
+                 ascending: bool = False, tiebreak: str | None = None,
+                 kll_k: int = 200, prune_margin: float = 2.0,
+                 verify: bool = True) -> DataFrame:
+    """Exact per-group top-k with a KLL scan-stage prune (module doc).
+
+    Identical output to ``top_k_per_group(df, keys, order_col, k,
+    ascending, tiebreak)`` — same columns, same rows — but the ranking
+    window runs over ``~k + O(eps*n)`` surviving rows per group rather
+    than all of them. Runs Spark jobs at call time (the sketch pass,
+    and with ``verify=True`` a count over the pruned set), like the
+    other sketch-steered operators (``bloom_prune``, ``hot_keys``).
+
+    ``prune_margin`` scales the rank-error safety margin on the cutoff
+    (cutoff rank = 1 - k/n - margin*eps for descending); the default 2
+    makes a shortfall vanishingly rare. ``verify=False`` skips the
+    safety count and trusts the w.h.p. bound — only for callers that
+    tolerate a (provably rare) short group.
+
+    NULL ``order_col`` rows always survive the prune and rank wherever
+    Spark's total order puts them, so groups with fewer than k non-null
+    values still return exactly the window's answer. NaN follows
+    Spark's total order (greater than any value): it survives a
+    descending prune by comparison and is retained explicitly for an
+    ascending one."""
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    keys = list(keys)
+    spark = df.sparkSession
+
+    states = sketch_by_key(
+        df.select(*keys, F.col(order_col).cast("double").alias("__v")),
+        keys, "__v", lambda: KLL(k=kll_k))
+
+    cut_schema = ", ".join(
+        [f"{f.name} {f.dataType.simpleString()}"
+         for f in df.select(*keys).schema.fields]
+        + ["__cutoff double", "__nv long"])
+
+    def cutoffs(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            outs, ns = [], []
+            for raw in pdf[STATE_COL]:
+                sk = from_bytes(bytes(raw))
+                n = sk.n
+                ns.append(n)
+                # rank slack: k/n + margin*eps below the top (desc).
+                # n <= that slack in rows -> keep everything.
+                slack = k + prune_margin * sk.eps * n
+                if n <= slack:
+                    outs.append(None)
+                elif ascending:
+                    outs.append(sk.quantile(min(1.0, slack / n)))
+                else:
+                    outs.append(sk.quantile(max(0.0, 1.0 - slack / n)))
+            out = pdf[keys].copy()
+            out["__cutoff"] = pd.array(outs, dtype="float64")
+            out["__nv"] = ns
+            yield out
+
+    # unambiguous key names for the two joins below
+    kcols = [f"__tk{i}" for i in range(len(keys))]
+    cuts = (states.mapInPandas(cutoffs, cut_schema)
+            .select(*[F.col(c).alias(a) for c, a in zip(keys, kcols)],
+                    "__cutoff", "__nv"))
+    oc = F.col(order_col)
+    if ascending:
+        keep = oc <= F.col("__cutoff")
+        if df.schema[order_col].dataType.simpleString() in ("float", "double"):
+            keep = keep | F.isnan(oc)
+    else:
+        keep = oc >= F.col("__cutoff")
+    keep = F.col("__cutoff").isNull() | oc.isNull() | keep
+
+    if keys:
+        joined = df.join(F.broadcast(cuts),
+                         _null_safe_on(df, cuts, keys, kcols),
+                         "left").drop(*kcols)
+    else:
+        joined = df.crossJoin(F.broadcast(cuts))
+    survivors = joined.filter(keep)
+    ranked = top_k_per_group(
+        survivors, keys, order_col, k, ascending=ascending,
+        tiebreak=tiebreak).drop("__cutoff", "__nv")
+
+    if not verify:
+        return ranked
+
+    # exact-by-construction guard: every group must keep >= min(k, n)
+    # non-null rows through the prune; n is the sketch's exact count.
+    # The count runs over the PRUNED set (tiny), not the input.
+    kept = (survivors.filter(oc.isNotNull())
+            .groupBy(*keys).agg(F.count(F.lit(1)).alias("__kept")))
+    kept = (kept.join(F.broadcast(cuts),
+                      _null_safe_on(kept, cuts, keys, kcols),
+                      "inner").drop(*kcols)
+            if keys else kept.crossJoin(F.broadcast(cuts)))
+    short = (kept.filter(F.col("__kept") < F.least(F.lit(k),
+                                                   F.col("__nv")))
+             .select(*keys).collect())
+    if not short:
+        return ranked
+    if not keys:
+        # global shortfall: rerun the whole top-k unpruned
+        return top_k_per_group(df, keys, order_col, k,
+                               ascending=ascending, tiebreak=tiebreak)
+    bad = F.broadcast(spark.createDataFrame(short, df.select(*keys).schema))
+    good = ranked.join(bad, _null_safe_on(ranked, bad, keys), "left_anti")
+    redo = top_k_per_group(
+        df.join(bad, _null_safe_on(df, bad, keys), "left_semi"),
+        keys, order_col, k, ascending=ascending, tiebreak=tiebreak)
+    return good.unionByName(redo)
+
+
+def weighted_sample(df: DataFrame, k: int, weight_col: str,
+                    by: Sequence[str] = (), id_col: str = "doc_id",
+                    salt: str = "wsample",
+                    pruned: bool = False) -> DataFrame:
+    """Deterministic weighted sample WITHOUT replacement of size k (per
+    group, if ``by`` is given): Efraimidis–Spirakis A-ES keyed on a
+    reproducible uniform (module doc). Inclusion probability tracks
+    weight (exactly the A-ES guarantee); the SAME rows come back on
+    every rerun and every engine, because u is
+    ``(md5(salt:id)[:12 hex] + 1) / 2^48`` — no RNG.
+
+    Rows with NULL, zero, or negative weight are excluded (a weight of
+    0 can never be sampled; A-ES requires w > 0). Ties (astronomically
+    unlikely with 48-bit u) break on ``id_col``. ``pruned=True`` routes
+    the top-k through ``top_k_pruned`` for warehouse-scale inputs.
+
+    SQL equivalent (the oracle form):
+    ``ln((CAST('0x' || substr(md5(salt || ':' || id), 1, 12) AS
+    UBIGINT) + 1) / 281474976710656.0) / w`` ranked descending."""
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    u = (F.conv(F.substring(
+            F.md5(F.concat(F.lit(salt), F.lit(":"),
+                           F.col(id_col).cast("string"))), 1, 12),
+         16, 10).cast("long") + 1) / F.lit(_U48)
+    t = (df.filter(F.col(weight_col).isNotNull()
+                   & (F.col(weight_col) > 0))
+           .withColumn("__wkey", F.log(u) / F.col(weight_col)))
+    fn = top_k_pruned if pruned else top_k_per_group
+    return fn(t, list(by), "__wkey", k, ascending=False,
+              tiebreak=id_col).drop("__wkey")

@@ -2605,3 +2605,38 @@ def q_trending_topk(spark, sf):
             .filter(F.col("rank") <= 3)
             .select("event_type", F.round("__dv", 2).alias("decayed_count"),
                     "rank"))
+
+
+def q_topk_pruned(spark, sf):
+    """KLL-pruned EXACT per-group top-k (operators/topk.py — NEW r6):
+    one quantile-sketch pass yields a per-group cutoff, the ranking
+    window runs over only the ~k + O(eps*n) scan-stage survivors, a
+    survivor-count check against the sketch's exact n falls back to
+    the plain window on any shortfall — so the result is the oracle's
+    ROW_NUMBER answer row for row, and the sketch can only change
+    performance. Tiebreak is the unique (orderkey, linenumber) pair."""
+    from .operators.topk import top_k_pruned
+    li = (_t(spark, sf, "lineitem")
+          .withColumn("__tb", F.col("l_orderkey") * 8
+                      + F.col("l_linenumber")))
+    top = top_k_pruned(li, ["l_returnflag"], "l_extendedprice", 5,
+                       tiebreak="__tb")
+    return (top.select("l_returnflag", "l_orderkey", "l_linenumber",
+                       "l_extendedprice")
+            .orderBy("l_returnflag", "l_orderkey", "l_linenumber"))
+
+
+def q_weighted_sample(spark, sf):
+    """Deterministic weighted sampling without replacement (A-ES,
+    Efraimidis-Spirakis 2006; operators/topk.py — NEW r6): top-k per
+    source by ln(u)/w with u = (md5(salt:doc_id)[:12 hex] + 1) / 2^48
+    — the engine-portable uniform every md5-prefix op here uses, so
+    DuckDB reproduces the EXACT sample, row for row. Weight is a
+    deterministic function of doc_id so both engines derive it
+    identically."""
+    from .operators.topk import weighted_sample
+    docs = (_t(spark, sf, "documents")
+            .withColumn("__w", (F.col("doc_id") % 97 + 1).cast("double")))
+    samp = weighted_sample(docs, 3, "__w", by=["source"], id_col="doc_id")
+    return (samp.select("source", "doc_id")
+            .orderBy("source", "doc_id"))
