@@ -324,6 +324,25 @@ def join_skewed(big: DataFrame, small: DataFrame, big_key: str,
                      min_share=min_share)
 
 
+def top_k_exact_pruned(df: DataFrame, keys: Sequence[str], order_col: str,
+                       k: int, **kw) -> DataFrame:
+    """Exact per-group top-k with the ranking window pruned to
+    ~k + O(eps*n) scan-stage survivors by a KLL cutoff; verified and
+    fallback-exact (operators/topk.py:top_k_pruned)."""
+    from .operators.topk import top_k_pruned
+    return top_k_pruned(df, keys, order_col, k, **kw)
+
+
+def sample_weighted(df: DataFrame, k: int, weight_col: str,
+                    by: Sequence[str] = (), id_col: str = "doc_id",
+                    **kw) -> DataFrame:
+    """Deterministic weighted sample without replacement (A-ES on an
+    md5-derived uniform — reproducible across engines and reruns;
+    operators/topk.py:weighted_sample)."""
+    from .operators.topk import weighted_sample
+    return weighted_sample(df, k, weight_col, by=by, id_col=id_col, **kw)
+
+
 def mix_by_budget(docs: DataFrame, total_budget: float | None = None,
                   budget: dict | None = None, mix=None,
                   by: str = "source", id_col: str = "doc_id",

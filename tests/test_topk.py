@@ -32,12 +32,13 @@ def _key(df):
     return sorted((tuple(r) for r in df.collect()), key=repr)
 
 
+@pytest.mark.parametrize("method", ["grid", "kll"])
 @pytest.mark.parametrize("ascending", [False, True])
-def test_pruned_matches_window(corpus, ascending):
+def test_pruned_matches_window(corpus, ascending, method):
     want = top_k_per_group(corpus, ["g"], "v", 7, ascending=ascending,
                            tiebreak="id")
     got = top_k_pruned(corpus, ["g"], "v", 7, ascending=ascending,
-                       tiebreak="id")
+                       tiebreak="id", method=method)
     assert _key(got) == _key(want)
 
 
@@ -55,13 +56,14 @@ def test_pruned_k_exceeds_group(corpus):
     assert _key(got) == _key(want)
 
 
-def test_forced_shortfall_falls_back_exactly(corpus):
+@pytest.mark.parametrize("method", ["grid", "kll"])
+def test_forced_shortfall_falls_back_exactly(corpus, method):
     # a hugely negative margin drives the cutoff to the group max ->
     # almost nothing survives -> the verify count trips and the
     # fallback must reproduce the window answer bit for bit
     want = top_k_per_group(corpus, ["g"], "v", 9, tiebreak="id")
     got = top_k_pruned(corpus, ["g"], "v", 9, tiebreak="id",
-                       prune_margin=-1e9)
+                       prune_margin=-1e9, method=method)
     assert _key(got) == _key(want)
 
 
