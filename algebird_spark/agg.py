@@ -230,8 +230,33 @@ def sketch_partitions(df: DataFrame, value_col: str, factory: SketchFactory,
             yield _state_batch([[sk0.to_bytes()], [n0]], out_schema)
             return
 
+        # Keyed build with cross-batch coalescing (same rationale as
+        # the global path above): Spark hands ~maxRecordsPerBatch-row
+        # Arrow batches, so a G-group partition would otherwise call
+        # update_batch with ~rows/G elements — at 10k-row batches and
+        # a handful of groups that is ~1k-element calls whose fixed
+        # cost (compaction, hash setup, per-chunk sorts) dominates the
+        # kernels. Values buffer per key and flush at _COALESCE_ELEMS;
+        # a global cap bounds worker memory at any key cardinality.
+        # Chunk-size invariance of every sketch is law-tested, so
+        # coalescing is observationally neutral.
         sketches: dict[tuple, Sketch] = {}
         counts: dict[tuple, int] = {}
+        pend: dict[tuple, list[np.ndarray]] = {}
+        pend_n: dict[tuple, int] = {}
+        total_pend = 0
+        _GLOBAL_CAP = 8 * _COALESCE_ELEMS
+
+        def flush(key: tuple) -> None:
+            nonlocal total_pend
+            bufs = pend.pop(key, None)
+            if not bufs:
+                return
+            v = bufs[0] if len(bufs) == 1 else np.concatenate(bufs)
+            sketches[key].update_batch(v)
+            counts[key] += len(v)
+            total_pend -= pend_n.pop(key)
+
         for batch in batches:
             col = batch.column(batch.schema.get_field_index(value_col))
             values, lengths = _flatten_values(col)
@@ -247,12 +272,28 @@ def sketch_partitions(df: DataFrame, value_col: str, factory: SketchFactory,
             groups = [(uni_tuples[c], sorted_vals[bounds[c]:bounds[c + 1]])
                       for c in range(len(uni_tuples))]
             for key, vals in groups:
-                sk = sketches.get(key)
-                if sk is None:
-                    sk = sketches[key] = factory()
+                if key not in sketches:
+                    sketches[key] = factory()
                     counts[key] = 0
-                sk.update_batch(vals)
-                counts[key] += len(vals)
+                if len(vals):
+                    if (len(vals) >= _COALESCE_ELEMS
+                            and key not in pend):
+                        # already kernel-sized: update zero-copy
+                        sketches[key].update_batch(vals)
+                        counts[key] += len(vals)
+                        continue
+                    # .copy(): a slice view would pin the whole
+                    # batch array until flush
+                    pend.setdefault(key, []).append(vals.copy())
+                    pend_n[key] = pend_n.get(key, 0) + len(vals)
+                    total_pend += len(vals)
+                    if pend_n[key] >= _COALESCE_ELEMS:
+                        flush(key)
+            if total_pend >= _GLOBAL_CAP:
+                for key in list(pend):
+                    flush(key)
+        for key in list(pend):
+            flush(key)
         if not sketches:
             return
         cols: list[list] = [[] for _ in keys] + [[], []]
