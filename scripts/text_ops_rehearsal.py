@@ -59,6 +59,22 @@ def main():
             "result": out}
         print(name, rec["stages"][name])
 
+    # JVM control (bench.py's pricing_summary pattern): a fixed
+    # whole-stage-codegen aggregation whose warm time calibrates the
+    # box — healthy ~0.6-0.8 s on this corpus; a 2-3x reading means the
+    # record was taken in a degraded window and absolute numbers are
+    # lower bounds on capability
+    def control():
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.time()
+            corpus.groupBy("source").agg(
+                F.sum(F.length("text")), F.count("*")).collect()
+            best = min(best, time.time() - t0)
+        return round(best, 3)
+    rec["control_warm_s"] = control()
+    print("control_warm_s", rec["control_warm_s"])
+
     # per-doc Python Counter kernel — the honest cost of the zero-shuffle
     # repetition filter at corpus scale
     timed("repetition_stats", lambda: int(
@@ -76,6 +92,8 @@ def main():
         pack_sequences(corpus, 2048).agg(
             F.max("bin_end").alias("m")).collect()[0]["m"]))
 
+    rec["control_warm_s_end"] = control()
+    print("control_warm_s_end", rec["control_warm_s_end"])
     with open(os.path.join(os.path.dirname(__file__), "..",
                            "BENCH", "text_ops_rehearsal.json"), "w") as f:
         json.dump(rec, f, indent=1)
