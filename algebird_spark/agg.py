@@ -504,8 +504,29 @@ def sketch_by_key_multi(df: DataFrame, keys: Sequence[str],
             yield _state_batch([[sk0.to_bytes()], [n0]], out_schema)
             return
 
+        # keyed build with the same cross-batch coalescing as
+        # sketch_by_key: buffer each key's aligned column slices and
+        # flush at _COALESCE_ELEMS rows (fancy-indexed slices are
+        # already copies, so no .copy() needed here)
         sketches: dict[tuple, Sketch] = {}
         counts: dict[tuple, int] = {}
+        pend: dict[tuple, list[tuple]] = {}
+        pend_n: dict[tuple, int] = {}
+        total_pend = 0
+        _GLOBAL_CAP = 8 * _COALESCE_ELEMS
+
+        def flush_key(key: tuple) -> None:
+            nonlocal total_pend
+            slices = pend.pop(key, None)
+            if not slices:
+                return
+            args = [slices[0][i] if len(slices) == 1
+                    else np.concatenate([s[i] for s in slices])
+                    for i in range(len(value_cols))]
+            sketches[key].update_batch(*args)
+            counts[key] += len(args[0])
+            total_pend -= pend_n.pop(key)
+
         for batch in batches:
             if batch.num_rows == 0:
                 continue
@@ -518,12 +539,26 @@ def sketch_by_key_multi(df: DataFrame, keys: Sequence[str],
             groups = [(uni[c], order[bounds[c]:bounds[c + 1]])
                       for c in range(len(uni))]
             for key, idx in groups:
-                sk = sketches.get(key)
-                if sk is None:
-                    sk = sketches[key] = factory()
+                if key not in sketches:
+                    sketches[key] = factory()
                     counts[key] = 0
-                sk.update_batch(*(c[idx] for c in cols))
-                counts[key] += len(idx)
+                if not len(idx):
+                    continue
+                if len(idx) >= _COALESCE_ELEMS and key not in pend:
+                    sketches[key].update_batch(*(c[idx] for c in cols))
+                    counts[key] += len(idx)
+                    continue
+                pend.setdefault(key, []).append(
+                    tuple(c[idx] for c in cols))
+                pend_n[key] = pend_n.get(key, 0) + len(idx)
+                total_pend += len(idx)
+                if pend_n[key] >= _COALESCE_ELEMS:
+                    flush_key(key)
+            if total_pend >= _GLOBAL_CAP:
+                for key in list(pend):
+                    flush_key(key)
+        for key in list(pend):
+            flush_key(key)
         if not sketches:
             return
         out_cols: list[list] = [[] for _ in keys] + [[], []]
