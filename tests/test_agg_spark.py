@@ -206,3 +206,43 @@ def test_premerge_local_shuffle_free_and_equivalent(spark, tokens):
          for r in sketch_by_key(tokens, ["source"], "tokens",
                                 lambda: HLL(p=12), premerge=4).collect()}
     assert c == a
+
+
+def test_keyed_coalescing_invariant_under_tiny_arrow_batches(spark):
+    """Round-6 regression pin for the keyed cross-batch buffering in
+    sketch_partitions / sketch_by_key_multi: with Arrow batches forced
+    down to 64 rows the kernels see hundreds of per-(batch, group)
+    slices, exercising the per-key buffers, the direct zero-copy path,
+    the global cap flush, and the end-of-stream flush — all of which
+    must be observationally invisible. HLL is byte-canonical so states
+    must be BYTE-equal; SpaceSaver (order-sensitive eviction) must see
+    the identical per-key element sequence, so its exact-mode counts
+    must match too."""
+    from algebird_spark.operators.exact import top_k_per_group  # noqa: F401
+    from algebird_spark.sketches import HLL, SpaceSaver
+
+    df = (spark.range(30_000)
+          .select((F.col("id") % 5).cast("string").alias("g"),
+                  (F.col("id") * 2654435761 % 997).alias("v"))
+          .repartition(4, "g"))
+    prev = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    try:
+        def states(factory):
+            out = {}
+            for r in sketch_by_key(df, ["g"], "v", factory).collect():
+                out[r["g"]] = bytes(r[STATE_COL])
+            return out
+
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "64")
+        tiny_hll = states(lambda: HLL(p=12))
+        tiny_ss = {g: from_bytes(b).counters
+                   for g, b in states(lambda: SpaceSaver(capacity=64)).items()}
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch",
+                       "100000")
+        big_hll = states(lambda: HLL(p=12))
+        big_ss = {g: from_bytes(b).counters
+                  for g, b in states(lambda: SpaceSaver(capacity=64)).items()}
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", prev)
+    assert tiny_hll == big_hll
+    assert tiny_ss == big_ss
