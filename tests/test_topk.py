@@ -22,9 +22,11 @@ def corpus(spark):
         g = ["a", "b", "c", None][i % 4]
         # ties on purpose: v collides across ids within a group
         rows.append(Row(g=g, id=i, v=float((i * 37) % 500)))
-    # a group with fewer than k rows, and null order values
+    # a group with fewer than k rows, null order values, and a group
+    # whose EVERY order value is null (cutoff math sees n=0/log2(0))
     rows += [Row(g="tiny", id=10_000 + j, v=float(j)) for j in range(3)]
     rows += [Row(g="a", id=20_000 + j, v=None) for j in range(4)]
+    rows += [Row(g="allnull", id=30_000 + j, v=None) for j in range(5)]
     return spark.createDataFrame(rows).repartition(8).persist()
 
 
