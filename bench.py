@@ -46,10 +46,12 @@ HEADLINE = [
     "text_repetition",
     "skew_join",
     # round 6: two-phase packing prefix sum, t-digest CDF normalization,
-    # Bloom-pruned join (shuffle cut measured in BENCH/joins_rehearsal)
+    # Bloom-pruned join (shuffle cut measured in BENCH/joins_rehearsal),
+    # quantile-pruned exact top-k (Exchange cut in BENCH/topk_rehearsal)
     "pack_sequences",
     "cdf_normalize",
     "bloom_join",
+    "topk_pruned",
 ]
 
 
