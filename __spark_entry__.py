@@ -154,6 +154,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "set_diff": Q.q_set_diff,
         "topk_pruned": Q.q_topk_pruned,                # NEW r6 (tail)
         "weighted_sample": Q.q_weighted_sample,        # NEW r6 (tail)
+        "index_dedup": Q.q_index_dedup,                # NEW r6 (tail)
         # --- rows-only by declared design (no SQL-expressible oracle) -----
         "simhash_near_dup": Q.q_simhash_near_dup,      # rows-only
         "minhash_near_dup": Q.q_minhash_near_dup,      # rows-only
@@ -1129,6 +1130,33 @@ def oracle_sql() -> dict[str, str]:
                    TRUE AS feat_dim_ok, TRUE AS feat_range_ok,
                    TRUE AS feat_batch_invariant
             FROM m GROUP BY kind
+        """,
+        "index_dedup": """
+            WITH toks AS (
+              SELECT doc_id,
+                     regexp_split_to_array(TRIM(lower(text)), '\\s+') AS t
+              FROM documents WHERE TRIM(text) <> ''),
+            sh AS (
+              SELECT doc_id,
+                     list_distinct([array_to_string(t[i:i+2], ' ')
+                                    FOR i IN generate_series(
+                                        1, greatest(len(t)-2, 1))]) AS sh
+              FROM toks),
+            ex AS (SELECT doc_id, len(sh) AS n, unnest(sh) AS s FROM sh),
+            j AS (SELECT a.doc_id AS index_id, a.n AS n_i,
+                         b.doc_id AS new_id, b.n AS n_n
+                  FROM ex a JOIN ex b
+                    ON a.s = b.s AND a.doc_id % 4 <> 0
+                   AND b.doc_id % 4 = 0),
+            c AS (SELECT index_id, new_id, COUNT(*) AS common,
+                         MIN(n_i) AS n_i, MIN(n_n) AS n_n
+                  FROM j GROUP BY index_id, new_id)
+            SELECT index_id, new_id,
+                   CAST(FLOOR(common::DOUBLE / (n_i + n_n - common)
+                              * 10000 + 0.5) AS BIGINT) AS jaccard_m4
+            FROM c
+            WHERE common::DOUBLE / (n_i + n_n - common) >= 0.85
+            ORDER BY index_id, new_id
         """,
         "topk_pruned": """
             SELECT l_returnflag, l_orderkey, l_linenumber, l_extendedprice

@@ -324,6 +324,32 @@ def join_skewed(big: DataFrame, small: DataFrame, big_key: str,
                      min_share=min_share)
 
 
+def build_dedup_index(docs: DataFrame, path: str, **kw) -> dict:
+    """Persist a MinHash-LSH near-dup index (band buckets + stored
+    shingles + config manifest) for incremental corpus dedup
+    (sources/lsh_index.py:write_minhash_index); ``mode='append'`` grows
+    it with each kept increment."""
+    from .sources.lsh_index import write_minhash_index
+    return write_minhash_index(docs, path, **kw)
+
+
+def dedup_incremental(new_docs: DataFrame, index_path: str,
+                      threshold: float = 0.7, id_col: str = "doc_id",
+                      **kw) -> DataFrame:
+    """The daily-increment cycle's filter: drop every new doc that
+    near-duplicates (exact shingle Jaccard >= threshold on LSH
+    candidates) something already in the index; append the survivors
+    with ``build_dedup_index(mode='append')``."""
+    from pyspark.sql import functions as F
+
+    from .sources.lsh_index import near_dups_against_index
+    pairs = near_dups_against_index(new_docs.sparkSession, index_path,
+                                    new_docs, threshold=threshold,
+                                    id_col=id_col, **kw)
+    dup_ids = pairs.select(F.col("new_id").alias(id_col)).distinct()
+    return new_docs.join(dup_ids, id_col, "left_anti")
+
+
 def top_k_exact_pruned(df: DataFrame, keys: Sequence[str], order_col: str,
                        k: int, **kw) -> DataFrame:
     """Exact per-group top-k with the ranking window pruned to

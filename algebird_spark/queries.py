@@ -2640,3 +2640,33 @@ def q_weighted_sample(spark, sf):
     samp = weighted_sample(docs, 3, "__w", by=["source"], id_col="doc_id")
     return (samp.select("source", "doc_id")
             .orderBy("source", "doc_id"))
+
+
+def q_index_dedup(spark, sf):
+    """Incremental dedup against a PERSISTED MinHash-LSH index
+    (sources/lsh_index.py — NEW r6): 3/4 of the corpus is indexed once
+    (band buckets + stored shingle sets + config manifest), the
+    remaining 1/4 arrives as the 'daily increment' and probes it — the
+    increment's buckets broadcast so the index side never shuffles,
+    then EXACT shingle Jaccard >= 0.85 verifies candidates against the
+    index's stored shingles (no corpus text re-read). The full pair
+    set + Jaccard values must equal DuckDB's exact inverted-index
+    answer between the two splits; at this fixture's pair similarities
+    (>= 0.89) the 16x4 banding's miss probability is ~1e-7 and
+    seed-fixed, so the equality is deterministic."""
+    import os
+    from .sources.lsh_index import (near_dups_against_index,
+                                    write_minhash_index)
+    docs = _t(spark, sf, "documents")
+    idx_docs = docs.filter(F.col("doc_id") % 4 != 0)
+    new_docs = docs.filter(F.col("doc_id") % 4 == 0)
+    tag = os.path.basename(sf.rstrip("/"))
+    path = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), ".data", f"lsh_index_{tag}")
+    write_minhash_index(idx_docs, path, mode="overwrite")
+    out = near_dups_against_index(spark, path, new_docs, threshold=0.85)
+    return (out.select(
+        "index_id", "new_id",
+        F.floor(F.col("jaccard") * 10000 + 0.5).cast("long")
+        .alias("jaccard_m4"))
+        .orderBy("index_id", "new_id"))
