@@ -48,7 +48,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..agg import COUNT_COL, STATE_COL, sketch_by_key
+from ..agg import STATE_COL, sketch_by_key
 from ..sketches import KLL, from_bytes
 from .exact import top_k_per_group
 
