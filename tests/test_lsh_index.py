@@ -117,3 +117,59 @@ def test_api_dedup_incremental_filters_dups(spark, tmp_path, corpus):
     kept2 = api.dedup_incremental(new_docs, path, threshold=0.999)
     # only the exact duplicate crosses 0.999
     assert {r["doc_id"] for r in kept2.collect()} == {1003, 1007}
+
+
+def test_streaming_probe_append_cycle(spark, tmp_path, corpus):
+    """The daily cycle on a STREAM (foreachBatch): each micro-batch
+    probes the index, keeps only novel docs, and appends them — so a
+    later batch's clone of an EARLIER batch's survivor is dropped too.
+    Three single-file micro-batches, final kept set checked against
+    the hand-computed sequential truth."""
+    import os
+
+    from algebird_spark import api
+
+    path = str(tmp_path / "idx5")
+    api.build_dedup_index(
+        _mk_docs(spark, [r for r in corpus if r[0] < 1000]), path, **CFG)
+
+    base = dict(corpus)
+    novel = " ".join(f"n{j}" for j in range(120))
+    batches = [
+        [(1003, base[3] + " tiny tail"), (2000, novel)],
+        [(2001, novel + " tail"), (1011, base[11])],
+        [(2002, novel + " tail tail")],
+    ]
+    d = tmp_path / "stream"
+    d.mkdir()
+    for i, rows in enumerate(batches):
+        p = str(d / f"b{i}")
+        _mk_docs(spark, rows).coalesce(1).write.parquet(p)
+        os.utime(p, (1_000_000 + i, 1_000_000 + i))
+        for f in os.listdir(p):
+            os.utime(os.path.join(p, f), (1_000_000 + i, 1_000_000 + i))
+
+    kept_ids = []
+
+    def cycle(bdf, bid):
+        kept = api.dedup_incremental(bdf, path, threshold=0.5)
+        kept = kept.persist()
+        ids = [r["doc_id"] for r in kept.select("doc_id").collect()]
+        if ids:
+            api.build_dedup_index(kept, path, mode="append", **CFG)
+        kept_ids.extend(ids)
+        kept.unpersist()
+
+    schema = "doc_id long, text string"
+    sdf = (spark.readStream.schema(schema)
+           .option("maxFilesPerTrigger", 1).parquet(str(d / "b*")))
+    q = sdf.writeStream.foreachBatch(cycle).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    # 1003 dups indexed doc 3; 1011 dups indexed doc 11; 2000 is
+    # novel and gets appended, so 2001 dups it, and 2002 dups it too
+    assert sorted(kept_ids) == [2000]
+    from algebird_spark.sources.lsh_index import read_index_manifest
+    assert read_index_manifest(path)["n_docs"] == 61
