@@ -57,10 +57,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdf_normalize": Q.q_cdf_normalize,
         "eventually_quantiles": Q.q_eventually_quantiles,
         "scan_compose": Q.q_scan_compose,
-        # --- string-key sketches (CMSHasher[K] surface) -------------------
-        "hll_string_distinct": Q.q_hll_string_distinct,
-        "cms_string_keys": Q.q_cms_string_keys,
-        "spacesaver_string_topk": Q.q_spacesaver_string_topk,
+        # --- round-6 new surfaces (hard signal on first appearance;
+        #     displaced the string-key trio, driver-green r4+r5) ----------
+        "topk_pruned": Q.q_topk_pruned,                # NEW r6
+        "weighted_sample": Q.q_weighted_sample,        # NEW r6
+        "index_dedup": Q.q_index_dedup,                # NEW r6
         # --- training-data pipeline ops ----------------------------------
         "dedup_exact": Q.q_dedup_exact,
         "dedup_keep_min_id": Q.q_dedup_keep_min_id,
@@ -152,9 +153,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decayed_vector": Q.q_decayed_vector,
         "merge_lookup": Q.q_merge_lookup,
         "set_diff": Q.q_set_diff,
-        "topk_pruned": Q.q_topk_pruned,                # NEW r6 (tail)
-        "weighted_sample": Q.q_weighted_sample,        # NEW r6 (tail)
-        "index_dedup": Q.q_index_dedup,                # NEW r6 (tail)
+        # string-key sketches: driver-green r4 AND r5, rotated out for
+        # the round-6 additions; local gate still covers them
+        "hll_string_distinct": Q.q_hll_string_distinct,
+        "cms_string_keys": Q.q_cms_string_keys,
+        "spacesaver_string_topk": Q.q_spacesaver_string_topk,
         # --- rows-only by declared design (no SQL-expressible oracle) -----
         "simhash_near_dup": Q.q_simhash_near_dup,      # rows-only
         "minhash_near_dup": Q.q_minhash_near_dup,      # rows-only

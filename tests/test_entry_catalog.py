@@ -22,10 +22,11 @@ MUST_BE_IN_WINDOW = {
     "hll_scan", "streaming_kll", "streaming_sessions", "text_repetition",
     "budget_sample", "pack_sequences", "train_splits", "cdf_normalize",
     "eventually_quantiles", "scan_compose",
-    # round-6 additions (hard signal on first appearance)
+    # round-6 additions (hard signal on first appearance; the
+    # string-key trio — driver-green r4 AND r5 — rotated to the tail
+    # to make room)
     "skew_join_outer", "cdf_normalize_hicard", "sketchmap_set",
-    # string-key sketches
-    "hll_string_distinct", "cms_string_keys", "spacesaver_string_topk",
+    "topk_pruned", "weighted_sample", "index_dedup",
     # training-data pipeline
     "dedup_exact", "dedup_keep_min_id", "doc_fingerprint",
     "minhash_lsh_recall", "weighted_minhash_recall",
