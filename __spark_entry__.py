@@ -40,8 +40,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     (scripts/check_oracles.py) every round regardless of position."""
     return {
         # === driver window (first 50): hard-signal priority ==============
-        # --- flagship core sketch (entry() query) -------------------------
-        "hll_distinct_per_group": Q.q_hll_distinct_per_group,
+        # --- core-sketch slot: hll_rollup supersedes the r1-r5-green
+        #     flagship hll_distinct_per_group here (same build machinery
+        #     plus state re-aggregation across grouping levels; the
+        #     flagship remains entry()'s smoke query and sits in the tail)
+        "hll_rollup": Q.q_hll_rollup,                  # NEW r6
         # --- round-5 additions rotated in for hard signal (r5 VERDICT #1) -
         "bloom_join": Q.q_bloom_join,
         "skew_join": Q.q_skew_join,
@@ -104,6 +107,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_indexed_topk": Q.q_ivf_indexed_topk,  # driver-green r5
         "sketchmap_hll_distinct": Q.q_sketchmap_hll_distinct,  # green r5
         # core sketches rotated out in r6 (driver-green r1-r5)
+        "hll_distinct_per_group": Q.q_hll_distinct_per_group,
         "hll_global_distinct": Q.q_hll_global_distinct,
         "hll_intersection": Q.q_hll_intersection,
         "cms_point_queries": Q.q_cms_point_queries,
@@ -201,6 +205,14 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(DISTINCT l_partkey) AS exact_distinct,
                    TRUE AS hll_ok
             FROM lineitem GROUP BY l_returnflag
+        """,
+        "hll_rollup": """
+            SELECT l_returnflag, l_linestatus,
+                   CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT)
+                       AS grouping_id,
+                   COUNT(DISTINCT l_partkey) AS exact_distinct,
+                   TRUE AS hll_ok
+            FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
         """,
         "hll_global_distinct": """
             SELECT COUNT(DISTINCT o_custkey) AS exact_distinct, TRUE AS hll_ok

@@ -598,6 +598,80 @@ def sketch_global(df: DataFrame, value_col: str, factory: SketchFactory,
     return acc
 
 
+def sketch_rollup(df: DataFrame, keys: Sequence[str], value_col: str,
+                  factory: SketchFactory, grouping: str = "rollup",
+                  fanout: int = 0, premerge: int | None = None,
+                  cache: bool = True) -> DataFrame:
+    """Every ROLLUP / CUBE grouping level from ONE scan of the input:
+    build sketch states at the finest key grain (``sketch_by_key``),
+    then derive each coarser level by MERGING the finest states —
+    the associativity the reference's Monoid laws guarantee
+    (algebird-core .../Monoid.scala:21-47; the rollup/cube macros in
+    MapAlgebra.scala:274-318 recompute each level from rows — states
+    make the levels free). At warehouse scale this is the difference
+    between one pass over the corpus and ``levels`` passes: the coarse
+    levels merge the (tiny, one-row-per-fine-key) state table, never
+    the raw rows.
+
+    Returns ``keys..., grouping_id, sketch_state, n_values`` with SQL
+    grouping semantics: a key column is NULL on levels that rolled it
+    up, and ``grouping_id`` is Spark's ``F.grouping_id()`` bitmask
+    (first key = most significant bit; DuckDB's ``GROUPING(k1, k2)``
+    matches) — it disambiguates genuinely-NULL key values from
+    rolled-up ones. ``grouping='rollup'`` emits the ``d+1`` prefix
+    levels; ``'cube'`` all ``2^d`` subsets.
+
+    The finest state table persists for the duration of the level
+    merges under the operator-scoped cache (two live generations, see
+    ``operators.dedup._cache_scoped``); ``cache=False`` opts out (the
+    plan then rescans the input once per level)."""
+    keys = list(keys)
+    if not keys:
+        raise ValueError("sketch_rollup needs at least one key; use "
+                         "sketch_global for the single keyless state")
+    if grouping not in ("rollup", "cube"):
+        raise ValueError("grouping must be 'rollup' or 'cube'")
+    fine = sketch_by_key(df, keys, value_col, factory,
+                         fanout=fanout, premerge=premerge)
+    if cache:
+        from .operators.dedup import _cache_scoped, _new_generation
+        fine = _cache_scoped("sketch_rollup_fine", fine,
+                             gen=_new_generation())
+    d = len(keys)
+    if grouping == "rollup":
+        subsets = [frozenset(range(i)) for i in range(d, -1, -1)]
+    else:
+        subsets = [frozenset(j for j in range(d) if (m >> (d - 1 - j)) & 1 == 0)
+                   for m in range(2 ** d)]
+    key_types = {k: df.schema[k].dataType for k in keys}
+    out = None
+    for sub in subsets:
+        kept = [keys[i] for i in range(d) if i in sub]
+        gid = sum(1 << (d - 1 - i) for i in range(d) if i not in sub)
+        if len(kept) == d:
+            lvl = fine
+        elif kept:
+            lvl = merge_sketches(fine, kept)
+        else:
+            # SQL parity: the () grouping set emits its row even on
+            # empty input (like SELECT agg FROM empty). Folding in one
+            # monoid-zero state costs nothing on non-empty input
+            # (identity law) and supplies that row on empty.
+            zero = df.sparkSession.createDataFrame(
+                [(bytearray(factory().to_bytes()), 0)],
+                StructType([StructField(STATE_COL, BinaryType(), False),
+                            StructField(COUNT_COL, LongType(), False)]))
+            lvl = merge_sketches(
+                fine.select(STATE_COL, COUNT_COL).unionByName(zero), [])
+        sel = [(F.col(k) if i in sub
+                else F.lit(None).cast(key_types[k])).alias(k)
+               for i, k in enumerate(keys)]
+        lvl = lvl.select(*sel, F.lit(gid).cast("long").alias("grouping_id"),
+                         STATE_COL, COUNT_COL)
+        out = lvl if out is None else out.unionByName(lvl)
+    return out
+
+
 # ---------------------------------------------------------------------------
 # present: decode final states into estimate columns
 # ---------------------------------------------------------------------------

@@ -14,7 +14,7 @@ from typing import Sequence
 
 from pyspark.sql import DataFrame
 
-from .agg import sketch_by_key, sketch_global, with_presented
+from .agg import sketch_by_key, sketch_global, sketch_rollup, with_presented
 from .sketches import (CMS, HLL, KLL, BloomFilter, MinHash, TDigest,
                        bits_for_error)
 

@@ -27,7 +27,8 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import (BooleanType, DoubleType, LongType, StringType,
                                StructField, StructType)
 
-from .agg import STATE_COL, sketch_by_key, sketch_global, with_presented
+from .agg import (STATE_COL, sketch_by_key, sketch_global, sketch_rollup,
+                  with_presented)
 from .operators import dedup, exact, multimodal, similarity, text
 from .sketches import CMS, HLL, KLL, BloomFilter, MinHash, TDigest, from_bytes
 
@@ -89,6 +90,34 @@ def q_hll_intersection(spark, sf):
         [Row(exact_intersection=int(exact), hll_ok=bool(ok))],
         StructType([StructField("exact_intersection", LongType(), False),
                     StructField("hll_ok", BooleanType(), False)]))
+
+
+def q_hll_rollup(spark, sf):
+    """Distinct l_partkey over ROLLUP(l_returnflag, l_linestatus), all
+    levels from ONE scan: ``sketch_rollup`` builds the finest HLL
+    states once, then derives the coarser levels by merging STATES
+    (monoid associativity — algebird Monoid.scala:21-47), never
+    rescanning lineitem. Exact rollup joined per (keys, grouping_id)
+    for the 3.5σ bound verdict; at 100 TB the coarse levels cost one
+    merge of a KB-scale state table instead of extra corpus passes."""
+    li = _t(spark, sf, "lineitem")
+    p = 14
+    states = sketch_rollup(li, ["l_returnflag", "l_linestatus"],
+                           "l_partkey", lambda: HLL(p=p))
+    est = with_presented(states, lambda sk: {"est": sk.estimate()},
+                         "est double")
+    exact_df = (li.rollup("l_returnflag", "l_linestatus")
+                .agg(F.count_distinct("l_partkey").alias("exact_distinct"),
+                     F.grouping_id().alias("grouping_id")))
+    bound = 3.5 * 1.04 / math.sqrt(2 ** p)
+    on = (est["l_returnflag"].eqNullSafe(exact_df["l_returnflag"])
+          & est["l_linestatus"].eqNullSafe(exact_df["l_linestatus"])
+          & (est["grouping_id"] == exact_df["grouping_id"]))
+    return (est.join(exact_df, on)
+            .select(est["l_returnflag"], est["l_linestatus"],
+                    est["grouping_id"], exact_df["exact_distinct"],
+                    (F.abs(F.col("est") - F.col("exact_distinct"))
+                     / F.col("exact_distinct") <= bound).alias("hll_ok")))
 
 
 def q_cms_point_queries(spark, sf):

@@ -246,3 +246,92 @@ def test_keyed_coalescing_invariant_under_tiny_arrow_batches(spark):
         spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", prev)
     assert tiny_hll == big_hll
     assert tiny_ss == big_ss
+
+
+# ---------------------------------------------------------------------------
+# sketch_rollup: every grouping level from one scan, coarse = state merges
+# ---------------------------------------------------------------------------
+
+def _rollup_ests(levels_df):
+    """{(key values..., grouping_id): estimate} for an HLL rollup frame."""
+    out = {}
+    for r in levels_df.collect():
+        sk = from_bytes(bytes(r[STATE_COL]))
+        out[tuple(r[k] for k in levels_df.columns
+                  if k not in (STATE_COL, "n_values"))] = sk.estimate()
+    return out
+
+
+def test_rollup_levels_equal_direct_builds(spark, tokens):
+    """Merged-state levels must EXACTLY equal building each level
+    directly from rows — HLL register-max is associative, so the
+    rollup's reaggregation loses nothing."""
+    from algebird_spark.agg import sketch_rollup
+    df = tokens.withColumn("par", (F.crc32(F.col("doc_id")) % 2).cast("string"))
+    got = _rollup_ests(sketch_rollup(df, ["source", "par"], "tokens",
+                                     lambda: HLL(p=12)))
+    # finest level (gid 0) vs direct two-key build
+    direct = {(r["source"], r["par"]): from_bytes(bytes(r[STATE_COL])).estimate()
+              for r in sketch_by_key(df, ["source", "par"], "tokens",
+                                     lambda: HLL(p=12)).collect()}
+    for (s, p), est in direct.items():
+        assert got[(s, p, 0)] == est
+    # middle level (gid 1: par rolled up) vs direct one-key build
+    direct1 = {r["source"]: from_bytes(bytes(r[STATE_COL])).estimate()
+               for r in sketch_by_key(df, ["source"], "tokens",
+                                      lambda: HLL(p=12)).collect()}
+    for s, est in direct1.items():
+        assert got[(s, None, 1)] == est
+    # grand total (gid 3) vs global build
+    assert got[(None, None, 3)] == sketch_global(
+        df, "tokens", lambda: HLL(p=12)).estimate()
+
+
+def test_cube_emits_all_subsets(spark, tokens):
+    from algebird_spark.agg import sketch_rollup
+    df = tokens.withColumn("par", (F.crc32(F.col("doc_id")) % 2).cast("string"))
+    levels = sketch_rollup(df, ["source", "par"], "tokens",
+                           lambda: HLL(p=10), grouping="cube")
+    gids = {r["grouping_id"] for r in levels.select("grouping_id").collect()}
+    assert gids == {0, 1, 2, 3}
+    # gid 2 (source rolled up, par kept) exists only in the cube
+    roll = sketch_rollup(df, ["source", "par"], "tokens",
+                         lambda: HLL(p=10))
+    rgids = {r["grouping_id"] for r in roll.select("grouping_id").collect()}
+    assert rgids == {0, 1, 3}
+
+
+def test_rollup_null_key_disambiguated_by_grouping_id(spark):
+    """A genuinely-NULL key value at the finest level must not collide
+    with the rolled-up NULL: grouping_id separates them, and the
+    rolled-up state is the union across all key values incl. NULL."""
+    from algebird_spark.agg import sketch_rollup
+    df = spark.createDataFrame(
+        [("a", 1), ("a", 2), (None, 2), (None, 3)], "k string, v long")
+    got = _rollup_ests(sketch_rollup(df, ["k"], "v", lambda: HLL(p=12)))
+    assert round(got[("a", 0)]) == 2
+    assert round(got[(None, 0)]) == 2   # the real-NULL group
+    assert round(got[(None, 1)]) == 3   # the grand total: {1,2,3}
+
+
+def test_rollup_empty_input_emits_grand_total(spark):
+    """SQL parity: GROUP BY ROLLUP on an empty table still emits the
+    () grouping set's row (DuckDB/Spark agree) — the keyless level
+    folds in a monoid-zero state, which the identity law makes free on
+    non-empty input."""
+    from algebird_spark.agg import sketch_rollup
+    df = spark.createDataFrame([], "k string, v long")
+    rows = sketch_rollup(df, ["k"], "v", lambda: HLL(p=12)).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["k"] is None and r["grouping_id"] == 1 and r["n_values"] == 0
+    assert from_bytes(bytes(r[STATE_COL])).estimate() == 0.0
+
+
+def test_rollup_rejects_bad_args(spark, tokens):
+    from algebird_spark.agg import sketch_rollup
+    with pytest.raises(ValueError):
+        sketch_rollup(tokens, [], "tokens", lambda: HLL(p=10))
+    with pytest.raises(ValueError):
+        sketch_rollup(tokens, ["source"], "tokens", lambda: HLL(p=10),
+                      grouping="sets")

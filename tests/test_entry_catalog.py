@@ -26,7 +26,7 @@ MUST_BE_IN_WINDOW = {
     # string-key trio — driver-green r4 AND r5 — rotated to the tail
     # to make room)
     "skew_join_outer", "cdf_normalize_hicard", "sketchmap_set",
-    "topk_pruned", "weighted_sample", "index_dedup",
+    "topk_pruned", "weighted_sample", "index_dedup", "hll_rollup",
     # training-data pipeline
     "dedup_exact", "dedup_keep_min_id", "doc_fingerprint",
     "minhash_lsh_recall", "weighted_minhash_recall",
