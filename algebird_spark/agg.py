@@ -606,7 +606,7 @@ def sketch_rollup(df: DataFrame, keys: Sequence[str], value_col: str,
     build sketch states at the finest key grain (``sketch_by_key``),
     then derive each coarser level by MERGING the finest states —
     the associativity the reference's Monoid laws guarantee
-    (algebird-core .../Monoid.scala:21-47; the rollup/cube macros in
+    (algebird-core .../Monoid.scala:41-76; the rollup/cube macros in
     MapAlgebra.scala:274-318 recompute each level from rows — states
     make the levels free). At warehouse scale this is the difference
     between one pass over the corpus and ``levels`` passes: the coarse

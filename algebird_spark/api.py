@@ -39,6 +39,26 @@ def distinct_count(df: DataFrame, col: str, by: Sequence[str] = (),
     return sketch_global(df, col, factory).approximate_size()
 
 
+def distinct_rollup(df: DataFrame, col: str, by: Sequence[str],
+                    error: float = 0.01, grouping: str = "rollup",
+                    fanout: int = 0) -> DataFrame:
+    """Approximate distinct count at EVERY ``by`` grouping level from
+    one input scan (``agg.sketch_rollup``): the finest HLL states build
+    once; coarser levels merge those states — monoid associativity
+    makes the extra levels free of corpus passes. Returns ``by...,
+    grouping_id, estimate, low, high`` with SQL ROLLUP/CUBE null
+    semantics (``grouping_id`` disambiguates rolled-up NULLs)."""
+    p = bits_for_error(error)
+    levels = sketch_rollup(df, by, col, lambda: HLL(p=p),
+                           grouping=grouping, fanout=fanout)
+    return with_presented(
+        levels,
+        lambda sk: {"estimate": sk.estimate(),
+                    "low": sk.approximate_size().low,
+                    "high": sk.approximate_size().high},
+        "estimate double, low double, high double")
+
+
 def heavy_hitters(df: DataFrame, col: str, by: Sequence[str] = (),
                   pct: float = 0.01, eps: float | None = None,
                   delta: float = 1e-6, fanout: int = 0):

@@ -96,7 +96,7 @@ def q_hll_rollup(spark, sf):
     """Distinct l_partkey over ROLLUP(l_returnflag, l_linestatus), all
     levels from ONE scan: ``sketch_rollup`` builds the finest HLL
     states once, then derives the coarser levels by merging STATES
-    (monoid associativity — algebird Monoid.scala:21-47), never
+    (monoid associativity — algebird Monoid.scala:41-76), never
     rescanning lineitem. Exact rollup joined per (keys, grouping_id)
     for the 3.5σ bound verdict; at 100 TB the coarse levels cost one
     merge of a KB-scale state table instead of extra corpus passes."""

@@ -52,6 +52,7 @@ HEADLINE = [
     "cdf_normalize",
     "bloom_join",
     "topk_pruned",
+    "hll_rollup",
 ]
 
 

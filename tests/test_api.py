@@ -27,6 +27,25 @@ def test_distinct_count_by_key(spark, li):
         assert r["low"] <= exact[k] <= r["high"]
 
 
+def test_distinct_rollup_api(spark, li):
+    out = api.distinct_rollup(li, "l_partkey",
+                              by=["l_returnflag", "l_linestatus"],
+                              error=0.02)
+    rows = out.collect()
+    gids = {r["grouping_id"] for r in rows}
+    assert gids == {0, 1, 3}
+    exact_total = li.select("l_partkey").distinct().count()
+    grand = [r for r in rows if r["grouping_id"] == 3]
+    assert len(grand) == 1
+    assert grand[0]["low"] <= exact_total <= grand[0]["high"]
+    # per-flag level must bracket the exact per-flag counts
+    exact = {r[0]: r[1] for r in li.groupBy("l_returnflag")
+             .agg(F.count_distinct("l_partkey")).collect()}
+    for r in rows:
+        if r["grouping_id"] == 1:
+            assert r["low"] <= exact[r["l_returnflag"]] <= r["high"]
+
+
 def test_heavy_hitters(spark, li):
     hh = api.heavy_hitters(li, "l_suppkey", pct=0.05)
     exact = {r[0] for r in li.groupBy("l_suppkey").count()
