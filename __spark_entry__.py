@@ -45,6 +45,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #     plus state re-aggregation across grouping levels; the
         #     flagship remains entry()'s smoke query and sits in the tail)
         "hll_rollup": Q.q_hll_rollup,                  # NEW r6
+        "kll_rollup": Q.q_kll_rollup,                  # NEW r6 (quantile
+        # rollup: same one-scan state-merge machinery over KLL states;
+        # displaced text_stats, exact-parity driver-green since r3)
         # --- round-5 additions rotated in for hard signal (r5 VERDICT #1) -
         "bloom_join": Q.q_bloom_join,
         "skew_join": Q.q_skew_join,
@@ -76,7 +79,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": Q.q_dedup_clusters,
         "duplicate_passages": Q.q_duplicate_passages,
         "decontamination": Q.q_decontamination,
-        "text_stats": Q.q_text_stats,
         "text_quality": Q.q_text_quality,
         "hashing_trick": Q.q_hashing_trick,
         "training_pipeline": Q.q_training_pipeline,
@@ -103,6 +105,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "skew_join_outer": Q.q_skew_join_outer,                # NEW r6
         "cdf_normalize_hicard": Q.q_cdf_normalize_hicard,      # NEW r6
         # === tail (51+): driver-green since r1-r5; local gate covers =====
+        "text_stats": Q.q_text_stats,  # driver-green r3-r5; rotated out r6
         "scan_state": Q.q_scan_state,  # driver-green r5; rotated out r6
         "ivf_indexed_topk": Q.q_ivf_indexed_topk,  # driver-green r5
         "sketchmap_hll_distinct": Q.q_sketchmap_hll_distinct,  # green r5
@@ -213,6 +216,20 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(DISTINCT l_partkey) AS exact_distinct,
                    TRUE AS hll_ok
             FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        """,
+        "kll_rollup": """
+            WITH q AS (
+              SELECT l_returnflag, l_linestatus,
+                     CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT)
+                         AS grouping_id,
+                     quantile_cont(l_extendedprice,
+                                   [0.25, 0.5, 0.75, 0.95]) AS qs
+              FROM lineitem
+              GROUP BY ROLLUP(l_returnflag, l_linestatus)),
+            ps(p, i) AS (VALUES (0.25, 1), (0.5, 2), (0.75, 3), (0.95, 4))
+            SELECT l_returnflag, l_linestatus, grouping_id, p,
+                   ROUND(qs[i], 4) AS exact_pct, TRUE AS kll_ok
+            FROM q, ps
         """,
         "hll_global_distinct": """
             SELECT COUNT(DISTINCT o_custkey) AS exact_distinct, TRUE AS hll_ok

@@ -14,7 +14,8 @@ from typing import Sequence
 
 from pyspark.sql import DataFrame
 
-from .agg import sketch_by_key, sketch_global, sketch_rollup, with_presented
+from .agg import (present_explode, sketch_by_key, sketch_global,
+                  sketch_rollup, with_presented)
 from .sketches import (CMS, HLL, KLL, BloomFilter, MinHash, TDigest,
                        bits_for_error)
 
@@ -57,6 +58,36 @@ def distinct_rollup(df: DataFrame, col: str, by: Sequence[str],
                     "low": sk.approximate_size().low,
                     "high": sk.approximate_size().high},
         "estimate double, low double, high double")
+
+
+def quantile_rollup(df: DataFrame, col: str, by: Sequence[str],
+                    quantiles: Sequence[float] = (0.25, 0.5, 0.75, 0.95),
+                    k: int = 200, grouping: str = "rollup",
+                    fanout: int = 0) -> DataFrame:
+    """Approximate quantiles at EVERY ``by`` grouping level from one
+    input scan: the finest KLL(k) states build once
+    (``agg.sketch_rollup``); coarser levels merge those states — the
+    same monoid associativity as ``distinct_rollup``, so the extra
+    levels never rescan the corpus. Returns one row per
+    (level row, quantile): ``by..., grouping_id, p, estimate, low,
+    high`` where [low, high] is the KLL rank-error bound interval and
+    ``grouping_id`` carries SQL ROLLUP/CUBE null semantics."""
+    ps = [float(q) for q in quantiles]
+    levels = sketch_rollup(df, by, col, lambda: KLL(k=k),
+                           grouping=grouping, fanout=fanout)
+
+    def present(sk):
+        if sk.n == 0:
+            return []  # no quantiles of an empty level (empty input)
+        out = []
+        for p in ps:
+            lo, hi = sk.quantile_bounds(p)
+            out.append({"p": p, "estimate": float(sk.quantile(p)),
+                        "low": float(lo), "high": float(hi)})
+        return out
+
+    return present_explode(
+        levels, present, "p double, estimate double, low double, high double")
 
 
 def heavy_hitters(df: DataFrame, col: str, by: Sequence[str] = (),

@@ -120,6 +120,47 @@ def q_hll_rollup(spark, sf):
                      / F.col("exact_distinct") <= bound).alias("hll_ok")))
 
 
+def q_kll_rollup(spark, sf):
+    """Quantiles of l_extendedprice over ROLLUP(l_returnflag,
+    l_linestatus), every level from ONE scan: ``api.quantile_rollup``
+    builds the finest KLL(k=200) states once and derives the coarser
+    levels by merging STATES (KLL merge preserves the rank-error
+    contract — Karnin/Lang/Liberty 2016 §3; algebird's QTree offers the
+    same quantile-monoid shape, QTree.scala:63-122). The exact rollup
+    percentiles join per (keys, grouping_id, p) and each KLL bound
+    interval must contain its exact percentile. At 100 TB the coarse
+    levels cost a merge of a KB-scale state table, not extra passes."""
+    from .api import quantile_rollup
+    li = _t(spark, sf, "lineitem")
+    ps = [0.25, 0.5, 0.75, 0.95]
+    est = quantile_rollup(li, "l_extendedprice",
+                          by=["l_returnflag", "l_linestatus"],
+                          quantiles=ps, k=200)
+    ps_sql = ",".join(map(str, ps))
+    exact_df = (li.rollup("l_returnflag", "l_linestatus")
+                .agg(F.expr(f"percentile(l_extendedprice, array({ps_sql}))")
+                     .alias("qs"),
+                     F.grouping_id().alias("grouping_id"))
+                .select("l_returnflag", "l_linestatus", "grouping_id",
+                        F.posexplode("qs").alias("pos", "exact_pct"))
+                .withColumn("p", F.element_at(
+                    F.array(*[F.lit(p) for p in ps]), F.col("pos") + 1))
+                .drop("pos"))
+    on = (est["l_returnflag"].eqNullSafe(exact_df["l_returnflag"])
+          & est["l_linestatus"].eqNullSafe(exact_df["l_linestatus"])
+          & (est["grouping_id"] == exact_df["grouping_id"])
+          & (est["p"] == exact_df["p"]))
+    return (est.join(exact_df, on)
+            .select(est["l_returnflag"], est["l_linestatus"],
+                    est["grouping_id"], est["p"],
+                    # interpolated percentiles of 2-decimal prices have
+                    # 5e-4 granularity: round(4) is boundary-safe
+                    F.round(exact_df["exact_pct"], 4).alias("exact_pct"),
+                    ((F.col("low") <= exact_df["exact_pct"])
+                     & (exact_df["exact_pct"] <= F.col("high")))
+                    .alias("kll_ok")))
+
+
 def q_cms_point_queries(spark, sf):
     """CMS frequency of every distinct l_partkey: never underestimates,
     overestimate <= eps*N. The probe runs IN-PLAN: the final sketch

@@ -46,6 +46,33 @@ def test_distinct_rollup_api(spark, li):
             assert r["low"] <= exact[r["l_returnflag"]] <= r["high"]
 
 
+def test_quantile_rollup_api(spark, li):
+    ps = [0.25, 0.5, 0.75]
+    out = api.quantile_rollup(li, "l_extendedprice",
+                              by=["l_returnflag", "l_linestatus"],
+                              quantiles=ps, k=200)
+    rows = out.collect()
+    gids = {r["grouping_id"] for r in rows}
+    assert gids == {0, 1, 3}
+    # every (level, p) bound interval must contain the exact percentile
+    exact = li.groupBy("l_returnflag").agg(
+        F.expr(f"percentile(l_extendedprice, array({','.join(map(str, ps))}))")
+        .alias("q")).collect()
+    exact = {r["l_returnflag"]: dict(zip(ps, r["q"])) for r in exact}
+    per_flag = [r for r in rows if r["grouping_id"] == 1]
+    assert len(per_flag) == len(exact) * len(ps)
+    for r in per_flag:
+        ex = exact[r["l_returnflag"]][r["p"]]
+        assert r["low"] <= ex <= r["high"]
+    grand = [r for r in rows if r["grouping_id"] == 3]
+    assert len(grand) == len(ps)
+    exact_all = dict(zip(ps, li.select(F.expr(
+        f"percentile(l_extendedprice, array({','.join(map(str, ps))}))"))
+        .first()[0]))
+    for r in grand:
+        assert r["low"] <= exact_all[r["p"]] <= r["high"]
+
+
 def test_heavy_hitters(spark, li):
     hh = api.heavy_hitters(li, "l_suppkey", pct=0.05)
     exact = {r[0] for r in li.groupBy("l_suppkey").count()

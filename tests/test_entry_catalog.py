@@ -24,14 +24,16 @@ MUST_BE_IN_WINDOW = {
     "eventually_quantiles", "scan_compose",
     # round-6 additions (hard signal on first appearance; the
     # string-key trio — driver-green r4 AND r5 — rotated to the tail
-    # to make room)
+    # to make room, then text_stats — driver-green r3-r5 — for
+    # kll_rollup)
     "skew_join_outer", "cdf_normalize_hicard", "sketchmap_set",
     "topk_pruned", "weighted_sample", "index_dedup", "hll_rollup",
+    "kll_rollup",
     # training-data pipeline
     "dedup_exact", "dedup_keep_min_id", "doc_fingerprint",
     "minhash_lsh_recall", "weighted_minhash_recall",
     "simhash_planted_recall", "connected_components", "dedup_clusters",
-    "duplicate_passages", "decontamination", "text_stats", "text_quality",
+    "duplicate_passages", "decontamination", "text_quality",
     "hashing_trick", "training_pipeline",
     # ANN
     "embedding_topk", "ivf_topk_exhaustive", "ivf_recall",
