@@ -48,6 +48,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kll_rollup": Q.q_kll_rollup,                  # NEW r6 (quantile
         # rollup: same one-scan state-merge machinery over KLL states;
         # displaced text_stats, exact-parity driver-green since r3)
+        "topk_rollup": Q.q_topk_rollup,                # NEW r6 (SpaceSaver
+        # rollup completes the family; displaced hashing_trick,
+        # bit-exact-parity driver-green r4-r5)
         # --- round-5 additions rotated in for hard signal (r5 VERDICT #1) -
         "bloom_join": Q.q_bloom_join,
         "skew_join": Q.q_skew_join,
@@ -80,7 +83,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "duplicate_passages": Q.q_duplicate_passages,
         "decontamination": Q.q_decontamination,
         "text_quality": Q.q_text_quality,
-        "hashing_trick": Q.q_hashing_trick,
         "training_pipeline": Q.q_training_pipeline,
         # --- embedding similarity / ANN ----------------------------------
         "embedding_topk": Q.q_embedding_topk,
@@ -106,6 +108,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdf_normalize_hicard": Q.q_cdf_normalize_hicard,      # NEW r6
         # === tail (51+): driver-green since r1-r5; local gate covers =====
         "text_stats": Q.q_text_stats,  # driver-green r3-r5; rotated out r6
+        "hashing_trick": Q.q_hashing_trick,  # green r4-r5; rotated out r6
         "scan_state": Q.q_scan_state,  # driver-green r5; rotated out r6
         "ivf_indexed_topk": Q.q_ivf_indexed_topk,  # driver-green r5
         "sketchmap_hll_distinct": Q.q_sketchmap_hll_distinct,  # green r5
@@ -230,6 +233,26 @@ def oracle_sql() -> dict[str, str]:
             SELECT l_returnflag, l_linestatus, grouping_id, p,
                    ROUND(qs[i], 4) AS exact_pct, TRUE AS kll_ok
             FROM q, ps
+        """,
+        "topk_rollup": """
+            WITH c AS (
+              SELECT l_returnflag, l_linestatus,
+                     CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT)
+                         AS grouping_id,
+                     l_suppkey, COUNT(*) AS cnt
+              FROM lineitem
+              GROUP BY GROUPING SETS (
+                  (l_returnflag, l_linestatus, l_suppkey),
+                  (l_returnflag, l_suppkey),
+                  (l_suppkey))),
+            r AS (
+              SELECT *, ROW_NUMBER() OVER (
+                  PARTITION BY grouping_id, l_returnflag, l_linestatus
+                  ORDER BY cnt DESC, l_suppkey) AS rank
+              FROM c)
+            SELECT l_returnflag, l_linestatus, grouping_id, rank,
+                   l_suppkey, cnt, TRUE AS guaranteed
+            FROM r WHERE rank <= 5
         """,
         "hll_global_distinct": """
             SELECT COUNT(DISTINCT o_custkey) AS exact_distinct, TRUE AS hll_ok

@@ -90,6 +90,36 @@ def quantile_rollup(df: DataFrame, col: str, by: Sequence[str],
         levels, present, "p double, estimate double, low double, high double")
 
 
+def topk_rollup(df: DataFrame, col: str, by: Sequence[str], k: int = 5,
+                capacity: int = 4096, grouping: str = "rollup",
+                fanout: int = 0) -> DataFrame:
+    """Top-k heavy hitters at EVERY ``by`` grouping level from one
+    input scan: finest SpaceSaver(capacity) states build once
+    (``agg.sketch_rollup``); coarser levels merge those states
+    (SpaceSaver.scala:124-160 merge semantics). Returns one row per
+    (level row, rank): ``by..., grouping_id, rank, item, cnt,
+    guaranteed`` — ``guaranteed`` is SpaceSaver's membership certainty
+    flag (count - error >= next count); with capacity above the level's
+    cardinality the counts are exact."""
+    from pyspark.sql.types import StringType
+
+    from .sketches import SpaceSaver
+    levels = sketch_rollup(df, by, col, lambda: SpaceSaver(capacity=capacity),
+                           grouping=grouping, fanout=fanout)
+
+    def present(sk):
+        return [{"rank": i + 1,
+                 "item": item if isinstance(item, str) else int(item),
+                 "cnt": int(c), "guaranteed": bool(g)}
+                for i, (item, c, _e, g) in enumerate(sk.top_k(k))]
+
+    item_t = "string" if isinstance(df.schema[col].dataType, StringType) \
+        else "long"
+    return present_explode(
+        levels, present,
+        f"rank long, item {item_t}, cnt long, guaranteed boolean")
+
+
 def heavy_hitters(df: DataFrame, col: str, by: Sequence[str] = (),
                   pct: float = 0.01, eps: float | None = None,
                   delta: float = 1e-6, fanout: int = 0):

@@ -161,6 +161,23 @@ def q_kll_rollup(spark, sf):
                     .alias("kll_ok")))
 
 
+def q_topk_rollup(spark, sf):
+    """Top-5 l_suppkey by row count at every level of
+    ROLLUP(l_returnflag, l_linestatus) from ONE scan:
+    ``api.topk_rollup`` builds the finest SpaceSaver states once and
+    merges STATES for the coarser levels (SpaceSaver.scala:124-160
+    merge). Capacity 4096 exceeds the supplier cardinality at every
+    fixture SF, so counts are exact and every row is guaranteed —
+    the oracle reproduces the full (level, rank, item, cnt) table
+    with SpaceSaver's tie rule (count desc, key asc)."""
+    from .api import topk_rollup
+    li = _t(spark, sf, "lineitem")
+    out = topk_rollup(li, "l_suppkey",
+                      by=["l_returnflag", "l_linestatus"],
+                      k=5, capacity=4096)
+    return out.withColumnRenamed("item", "l_suppkey")
+
+
 def q_cms_point_queries(spark, sf):
     """CMS frequency of every distinct l_partkey: never underestimates,
     overestimate <= eps*N. The probe runs IN-PLAN: the final sketch

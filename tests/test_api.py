@@ -73,6 +73,21 @@ def test_quantile_rollup_api(spark, li):
         assert r["low"] <= exact_all[r["p"]] <= r["high"]
 
 
+def test_topk_rollup_api(spark, li):
+    out = api.topk_rollup(li, "l_suppkey", by=["l_returnflag"], k=3,
+                          capacity=4096)
+    rows = out.collect()
+    assert {r["grouping_id"] for r in rows} == {0, 1}
+    assert all(r["guaranteed"] for r in rows)  # capacity > cardinality
+    # grand-total level must equal the exact global top-3 (ties: key asc)
+    exact = [(r[0], r[1]) for r in li.groupBy("l_suppkey").count()
+             .orderBy(F.desc("count"), "l_suppkey").limit(3).collect()]
+    got = [(r["item"], r["cnt"]) for r in sorted(
+        (r for r in rows if r["grouping_id"] == 1),
+        key=lambda r: r["rank"])]
+    assert got == exact
+
+
 def test_heavy_hitters(spark, li):
     hh = api.heavy_hitters(li, "l_suppkey", pct=0.05)
     exact = {r[0] for r in li.groupBy("l_suppkey").count()

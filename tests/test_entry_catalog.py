@@ -25,16 +25,17 @@ MUST_BE_IN_WINDOW = {
     # round-6 additions (hard signal on first appearance; the
     # string-key trio — driver-green r4 AND r5 — rotated to the tail
     # to make room, then text_stats — driver-green r3-r5 — for
-    # kll_rollup)
+    # kll_rollup, and hashing_trick — bit-exact-parity green r4-r5 —
+    # for topk_rollup)
     "skew_join_outer", "cdf_normalize_hicard", "sketchmap_set",
     "topk_pruned", "weighted_sample", "index_dedup", "hll_rollup",
-    "kll_rollup",
+    "kll_rollup", "topk_rollup",
     # training-data pipeline
     "dedup_exact", "dedup_keep_min_id", "doc_fingerprint",
     "minhash_lsh_recall", "weighted_minhash_recall",
     "simhash_planted_recall", "connected_components", "dedup_clusters",
     "duplicate_passages", "decontamination", "text_quality",
-    "hashing_trick", "training_pipeline",
+    "training_pipeline",
     # ANN
     "embedding_topk", "ivf_topk_exhaustive", "ivf_recall",
     "ivf_planted_recall", "lsh_planted_recall", "multimodal_features",
