@@ -601,7 +601,8 @@ def sketch_global(df: DataFrame, value_col: str, factory: SketchFactory,
 def sketch_rollup(df: DataFrame, keys: Sequence[str], value_col: str,
                   factory: SketchFactory, grouping: str = "rollup",
                   fanout: int = 0, premerge: int | None = None,
-                  cache: bool = True) -> DataFrame:
+                  cache: bool = True,
+                  sets: Sequence[Sequence[str]] | None = None) -> DataFrame:
     """Every ROLLUP / CUBE grouping level from ONE scan of the input:
     build sketch states at the finest key grain (``sketch_by_key``),
     then derive each coarser level by MERGING the finest states —
@@ -619,7 +620,10 @@ def sketch_rollup(df: DataFrame, keys: Sequence[str], value_col: str,
     (first key = most significant bit; DuckDB's ``GROUPING(k1, k2)``
     matches) — it disambiguates genuinely-NULL key values from
     rolled-up ones. ``grouping='rollup'`` emits the ``d+1`` prefix
-    levels; ``'cube'`` all ``2^d`` subsets.
+    levels; ``'cube'`` all ``2^d`` subsets; ``sets=[...]`` names
+    explicit GROUPING SETS (each a subset of ``keys``; SQL semantics —
+    order preserved, duplicate sets emit duplicate level rows) and
+    overrides ``grouping``.
 
     The finest state table persists for the duration of the level
     merges under the operator-scoped cache (two live generations, see
@@ -638,7 +642,16 @@ def sketch_rollup(df: DataFrame, keys: Sequence[str], value_col: str,
         fine = _cache_scoped("sketch_rollup_fine", fine,
                              gen=_new_generation())
     d = len(keys)
-    if grouping == "rollup":
+    if sets is not None:
+        idx = {k: i for i, k in enumerate(keys)}
+        subsets = []
+        for s in sets:
+            unknown = [k for k in s if k not in idx]
+            if unknown:
+                raise ValueError(
+                    f"grouping set column(s) {unknown} not in keys {keys}")
+            subsets.append(frozenset(idx[k] for k in s))
+    elif grouping == "rollup":
         subsets = [frozenset(range(i)) for i in range(d, -1, -1)]
     else:
         subsets = [frozenset(j for j in range(d) if (m >> (d - 1 - j)) & 1 == 0)

@@ -42,7 +42,8 @@ def distinct_count(df: DataFrame, col: str, by: Sequence[str] = (),
 
 def distinct_rollup(df: DataFrame, col: str, by: Sequence[str],
                     error: float = 0.01, grouping: str = "rollup",
-                    fanout: int = 0) -> DataFrame:
+                    fanout: int = 0,
+                    sets: Sequence[Sequence[str]] | None = None) -> DataFrame:
     """Approximate distinct count at EVERY ``by`` grouping level from
     one input scan (``agg.sketch_rollup``): the finest HLL states build
     once; coarser levels merge those states — monoid associativity
@@ -51,7 +52,7 @@ def distinct_rollup(df: DataFrame, col: str, by: Sequence[str],
     semantics (``grouping_id`` disambiguates rolled-up NULLs)."""
     p = bits_for_error(error)
     levels = sketch_rollup(df, by, col, lambda: HLL(p=p),
-                           grouping=grouping, fanout=fanout)
+                           grouping=grouping, fanout=fanout, sets=sets)
     return with_presented(
         levels,
         lambda sk: {"estimate": sk.estimate(),
@@ -63,7 +64,8 @@ def distinct_rollup(df: DataFrame, col: str, by: Sequence[str],
 def quantile_rollup(df: DataFrame, col: str, by: Sequence[str],
                     quantiles: Sequence[float] = (0.25, 0.5, 0.75, 0.95),
                     k: int = 200, grouping: str = "rollup",
-                    fanout: int = 0) -> DataFrame:
+                    fanout: int = 0,
+                    sets: Sequence[Sequence[str]] | None = None) -> DataFrame:
     """Approximate quantiles at EVERY ``by`` grouping level from one
     input scan: the finest KLL(k) states build once
     (``agg.sketch_rollup``); coarser levels merge those states — the
@@ -74,7 +76,7 @@ def quantile_rollup(df: DataFrame, col: str, by: Sequence[str],
     ``grouping_id`` carries SQL ROLLUP/CUBE null semantics."""
     ps = [float(q) for q in quantiles]
     levels = sketch_rollup(df, by, col, lambda: KLL(k=k),
-                           grouping=grouping, fanout=fanout)
+                           grouping=grouping, fanout=fanout, sets=sets)
 
     def present(sk):
         if sk.n == 0:
@@ -92,7 +94,8 @@ def quantile_rollup(df: DataFrame, col: str, by: Sequence[str],
 
 def topk_rollup(df: DataFrame, col: str, by: Sequence[str], k: int = 5,
                 capacity: int = 4096, grouping: str = "rollup",
-                fanout: int = 0) -> DataFrame:
+                fanout: int = 0,
+                sets: Sequence[Sequence[str]] | None = None) -> DataFrame:
     """Top-k heavy hitters at EVERY ``by`` grouping level from one
     input scan: finest SpaceSaver(capacity) states build once
     (``agg.sketch_rollup``); coarser levels merge those states
@@ -104,8 +107,9 @@ def topk_rollup(df: DataFrame, col: str, by: Sequence[str], k: int = 5,
     from pyspark.sql.types import StringType
 
     from .sketches import SpaceSaver
-    levels = sketch_rollup(df, by, col, lambda: SpaceSaver(capacity=capacity),
-                           grouping=grouping, fanout=fanout)
+    levels = sketch_rollup(df, by, col,
+                           lambda: SpaceSaver(capacity=capacity),
+                           grouping=grouping, fanout=fanout, sets=sets)
 
     def present(sk):
         return [{"rank": i + 1,

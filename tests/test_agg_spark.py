@@ -335,3 +335,33 @@ def test_rollup_rejects_bad_args(spark, tokens):
     with pytest.raises(ValueError):
         sketch_rollup(tokens, ["source"], "tokens", lambda: HLL(p=10),
                       grouping="sets")
+    with pytest.raises(ValueError):
+        sketch_rollup(tokens, ["source"], "tokens", lambda: HLL(p=10),
+                      sets=[["nope"]])
+
+
+def test_grouping_sets_levels_equal_direct_builds(spark, tokens):
+    """Explicit GROUPING SETS: each named set must equal the direct
+    single-set build, with SQL grouping_id (first key = MSB) and no
+    extra levels emitted."""
+    from algebird_spark.agg import sketch_rollup
+    df = tokens.withColumn("par", (F.crc32(F.col("doc_id")) % 2).cast("string"))
+    got = _rollup_ests(sketch_rollup(
+        df, ["source", "par"], "tokens", lambda: HLL(p=12),
+        sets=[["par"], ["source"], []]))
+    assert {k[-1] for k in got} == {2, 1, 3}
+    # gid 2: source rolled up, par kept — vs direct by-par build
+    direct_par = {r["par"]: from_bytes(bytes(r[STATE_COL])).estimate()
+                  for r in sketch_by_key(df, ["par"], "tokens",
+                                         lambda: HLL(p=12)).collect()}
+    for p, est in direct_par.items():
+        assert got[(None, p, 2)] == est
+    # gid 1: par rolled up — vs direct by-source build
+    direct_src = {r["source"]: from_bytes(bytes(r[STATE_COL])).estimate()
+                  for r in sketch_by_key(df, ["source"], "tokens",
+                                         lambda: HLL(p=12)).collect()}
+    for s, est in direct_src.items():
+        assert got[(s, None, 1)] == est
+    # gid 3: the () set — vs the global build
+    assert got[(None, None, 3)] == sketch_global(
+        df, "tokens", lambda: HLL(p=12)).estimate()
