@@ -637,6 +637,24 @@ def sketch_rollup(df: DataFrame, keys: Sequence[str], value_col: str,
         raise ValueError("grouping must be 'rollup' or 'cube'")
     fine = sketch_by_key(df, keys, value_col, factory,
                          fanout=fanout, premerge=premerge)
+    return rollup_levels(fine, keys, factory, grouping=grouping,
+                         sets=sets, cache=cache)
+
+
+def rollup_levels(fine: DataFrame, keys: Sequence[str],
+                  factory: SketchFactory, grouping: str = "rollup",
+                  sets: Sequence[Sequence[str]] | None = None,
+                  cache: bool = True) -> DataFrame:
+    """Derive every grouping level from an EXISTING finest-grain state
+    table ``(keys..., sketch_state, n_values)`` — the second half of
+    ``sketch_rollup``, split out so persisted/checkpointed states can
+    feed it directly (``sources.checkpoint.rollup_or_resume``): at
+    warehouse scale the cube refreshes by re-deriving levels from the
+    maintained state table, never rescanning the corpus. Semantics and
+    output schema exactly as ``sketch_rollup``."""
+    keys = list(keys)
+    if grouping not in ("rollup", "cube"):
+        raise ValueError("grouping must be 'rollup' or 'cube'")
     if cache:
         from .operators.dedup import _cache_scoped, _new_generation
         fine = _cache_scoped("sketch_rollup_fine", fine,
@@ -656,7 +674,7 @@ def sketch_rollup(df: DataFrame, keys: Sequence[str], value_col: str,
     else:
         subsets = [frozenset(j for j in range(d) if (m >> (d - 1 - j)) & 1 == 0)
                    for m in range(2 ** d)]
-    key_types = {k: df.schema[k].dataType for k in keys}
+    key_types = {k: fine.schema[k].dataType for k in keys}
     out = None
     for sub in subsets:
         kept = [keys[i] for i in range(d) if i in sub]
@@ -670,7 +688,7 @@ def sketch_rollup(df: DataFrame, keys: Sequence[str], value_col: str,
             # empty input (like SELECT agg FROM empty). Folding in one
             # monoid-zero state costs nothing on non-empty input
             # (identity law) and supplies that row on empty.
-            zero = df.sparkSession.createDataFrame(
+            zero = fine.sparkSession.createDataFrame(
                 [(bytearray(factory().to_bytes()), 0)],
                 StructType([StructField(STATE_COL, BinaryType(), False),
                             StructField(COUNT_COL, LongType(), False)]))

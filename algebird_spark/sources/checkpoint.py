@@ -191,3 +191,30 @@ def build_or_resume(spark: SparkSession, df: DataFrame, keys: Sequence[str],
         json.dump(manifest, f, indent=2)
     os.replace(tmp_path, man_path)
     return merge_sketches(states, keys, fanout=fanout, premerge=premerge)
+
+
+def rollup_or_resume(spark: SparkSession, df: DataFrame,
+                     keys: Sequence[str], value_col: str,
+                     factory: SketchFactory, checkpoint_dir: str,
+                     grouping: str = "rollup",
+                     sets: Sequence[Sequence[str]] | None = None,
+                     fanout: int = 0, premerge: int | None = None,
+                     job_id: str = "rollup_job",
+                     snapshot_id: str | int | None = None) -> DataFrame:
+    """Incrementally-maintained ROLLUP/CUBE: the finest-grain states
+    live in the checkpoint (``build_or_resume`` resume ladder — serve /
+    append-only incremental / full rebuild), and EVERY grouping level
+    re-derives from those states by merging (``agg.rollup_levels``).
+
+    This is the warehouse cube-maintenance loop: when today's partition
+    lands, only the new files are sketched (monoid append); the whole
+    cube — all rollup levels — refreshes from the KB-scale state table
+    without rescanning any historical rows. Returns the
+    ``sketch_rollup`` schema: ``keys..., grouping_id, sketch_state,
+    n_values``."""
+    from ..agg import rollup_levels
+    fine = build_or_resume(spark, df, keys, value_col, factory,
+                           checkpoint_dir, fanout=fanout,
+                           premerge=premerge, job_id=job_id,
+                           snapshot_id=snapshot_id)
+    return rollup_levels(fine, keys, factory, grouping=grouping, sets=sets)

@@ -92,3 +92,49 @@ def test_incremental_append_only_resume(spark, tmp_path, ckdir):
     manifest3 = json.load(open(f"{ckdir}/manifest.json"))
     assert manifest3["stage"] == "partition_states"
     assert set(r3) == {"a"} and abs(r3["a"] - 100) <= 15
+
+
+def test_rollup_or_resume_incremental_cube(spark, tmp_path, ckdir):
+    """Incrementally-maintained rollup: after an append-only increment,
+    every grouping level derived from the checkpointed states must
+    EXACTLY equal a fresh sketch_rollup over the full input (HLL
+    register-max associativity), and only the new files are sketched."""
+    from pyspark.sql import Row
+
+    from algebird_spark.agg import sketch_rollup
+    from algebird_spark.sources.checkpoint import rollup_or_resume
+
+    src = str(tmp_path / "cube_src")
+    spark.createDataFrame(
+        [Row(k="a", g="x", v=i) for i in range(300)]
+        + [Row(k="a", g="y", v=i) for i in range(100, 400)]) \
+        .coalesce(1).write.parquet(src)
+    df1 = spark.read.parquet(src)
+
+    def ests(levels_df):
+        return {tuple(r[c] for c in ("k", "g", "grouping_id")):
+                from_bytes(bytes(r[STATE_COL])).estimate()
+                for r in levels_df.collect()}
+
+    r1 = ests(rollup_or_resume(spark, df1, ["k", "g"], "v",
+                               lambda: HLL(p=12), ckdir))
+    assert r1 == ests(sketch_rollup(df1, ["k", "g"], "v",
+                                    lambda: HLL(p=12)))
+
+    # append-only increment: new values for (a, y) plus a new (b, x)
+    spark.createDataFrame(
+        [Row(k="a", g="y", v=400 + i) for i in range(200)]
+        + [Row(k="b", g="x", v=i) for i in range(150)]) \
+        .coalesce(1).write.mode("append").parquet(src)
+    df2 = spark.read.parquet(src)
+    r2 = ests(rollup_or_resume(spark, df2, ["k", "g"], "v",
+                               lambda: HLL(p=12), ckdir))
+    manifest = json.load(open(f"{ckdir}/manifest.json"))
+    assert manifest["stage"].startswith("incremental_append"), \
+        manifest["stage"]
+    assert r2 == ests(sketch_rollup(df2, ["k", "g"], "v",
+                                    lambda: HLL(p=12)))
+    # the increment's level set includes the new fine key and the
+    # rolled-up levels reflect the appended values
+    assert ("b", "x", 0) in r2
+    assert r2[(None, None, 3)] >= r1[(None, None, 3)]
