@@ -51,6 +51,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "topk_rollup": Q.q_topk_rollup,                # NEW r6 (SpaceSaver
         # rollup completes the family; displaced hashing_trick,
         # bit-exact-parity driver-green r4-r5)
+        "pii_scrub": Q.q_pii_scrub,                    # NEW r6 (planted-PII
+        # redaction; displaced dedup_keep_min_id, exact-parity green
+        # since r2)
         # --- round-5 additions rotated in for hard signal (r5 VERDICT #1) -
         "bloom_join": Q.q_bloom_join,
         "skew_join": Q.q_skew_join,
@@ -73,7 +76,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "index_dedup": Q.q_index_dedup,                # NEW r6
         # --- training-data pipeline ops ----------------------------------
         "dedup_exact": Q.q_dedup_exact,
-        "dedup_keep_min_id": Q.q_dedup_keep_min_id,
         "doc_fingerprint": Q.q_doc_fingerprint,
         "minhash_lsh_recall": Q.q_minhash_lsh_recall,
         "weighted_minhash_recall": Q.q_weighted_minhash_recall,
@@ -108,6 +110,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdf_normalize_hicard": Q.q_cdf_normalize_hicard,      # NEW r6
         # === tail (51+): driver-green since r1-r5; local gate covers =====
         "text_stats": Q.q_text_stats,  # driver-green r3-r5; rotated out r6
+        "dedup_keep_min_id": Q.q_dedup_keep_min_id,  # green r2-r5; out r6
         "hashing_trick": Q.q_hashing_trick,  # green r4-r5; rotated out r6
         "scan_state": Q.q_scan_state,  # driver-green r5; rotated out r6
         "ivf_indexed_topk": Q.q_ivf_indexed_topk,  # driver-green r5
@@ -233,6 +236,41 @@ def oracle_sql() -> dict[str, str]:
             SELECT l_returnflag, l_linestatus, grouping_id, p,
                    ROUND(qs[i], 4) AS exact_pct, TRUE AS kll_ok
             FROM q, ps
+        """,
+        "pii_scrub": """
+            WITH inj AS (
+              SELECT CASE WHEN doc_id % 3 = 0 THEN
+                  text || ' contact u' || CAST(doc_id AS VARCHAR)
+                       || '@mail.example.org or +555 123 4567, host 10.0.'
+                       || CAST(doc_id % 200 AS VARCHAR) || '.77'
+                ELSE text END AS text
+              FROM documents),
+            s AS (
+              SELECT
+                len(regexp_extract_all(text,
+                    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'))
+                    AS n_email,
+                len(regexp_extract_all(text,
+                    '\\+?\\d{3}[-. ]\\d{3}[-. ]\\d{4}')) AS n_phone,
+                len(regexp_extract_all(text,
+                    '(?:\\d{1,3}\\.){3}\\d{1,3}')) AS n_ipv4,
+                regexp_replace(regexp_replace(regexp_replace(text,
+                    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+                    '<|email|>', 'g'),
+                    '\\+?\\d{3}[-. ]\\d{3}[-. ]\\d{4}', '<|phone|>', 'g'),
+                    '(?:\\d{1,3}\\.){3}\\d{1,3}', '<|ipv4|>', 'g') AS clean
+              FROM inj)
+            SELECT COUNT(*) AS n_docs,
+                   CAST(SUM(n_email) AS BIGINT) AS emails,
+                   CAST(SUM(n_phone) AS BIGINT) AS phones,
+                   CAST(SUM(n_ipv4) AS BIGINT) AS ips,
+                   CAST(SUM(length(clean)) AS BIGINT) AS clean_len,
+                   BOOL_AND(NOT regexp_matches(clean,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'
+                       || '|' || '\\+?\\d{3}[-. ]\\d{3}[-. ]\\d{4}'
+                       || '|' || '(?:\\d{1,3}\\.){3}\\d{1,3}'))
+                       AS no_residual
+            FROM s
         """,
         "topk_rollup": """
             WITH c AS (

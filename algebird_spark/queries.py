@@ -623,6 +623,36 @@ def q_dedup_exact(spark, sf):
         groups.agg(F.count("*").alias("n_dup_groups")))
 
 
+def q_pii_scrub(spark, sf):
+    """PII redaction over documents with deterministically PLANTED
+    PII (every 3rd doc gets an email + phone + IP appended, built from
+    doc_id so both engines inject byte-identical text): counts per
+    kind, scrubbed-length total, and a no-residual gate (nothing
+    matching any PII pattern survives). All JVM-side regexp expressions
+    (operators/text.py::scrub_pii) — the patterns are RE2-safe so the
+    DuckDB oracle runs the literal same strings."""
+    docs = _t(spark, sf, "documents")
+    inject = F.concat(
+        F.col("text"), F.lit(" contact u"),
+        F.col("doc_id").cast("string"),
+        F.lit("@mail.example.org or +555 123 4567, host 10.0."),
+        (F.col("doc_id") % 200).cast("string"), F.lit(".77"))
+    injected = docs.withColumn(
+        "text", F.when(F.col("doc_id") % 3 == 0, inject)
+        .otherwise(F.col("text")))
+    scrubbed = text.scrub_pii(injected)
+    any_pat = "|".join(text.PII_PATTERNS[k]
+                       for k in ("email", "phone", "ipv4"))
+    return scrubbed.agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_email").cast("bigint").alias("emails"),
+        F.sum("n_phone").cast("bigint").alias("phones"),
+        F.sum("n_ipv4").cast("bigint").alias("ips"),
+        F.sum(F.length("text_scrubbed")).cast("bigint").alias("clean_len"),
+        F.bool_and(~F.col("text_scrubbed").rlike(any_pat))
+        .alias("no_residual"))
+
+
 def q_text_stats(spark, sf):
     docs = _t(spark, sf, "documents")
     prof = docs.select(

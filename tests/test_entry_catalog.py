@@ -29,9 +29,9 @@ MUST_BE_IN_WINDOW = {
     # for topk_rollup)
     "skew_join_outer", "cdf_normalize_hicard", "sketchmap_set",
     "topk_pruned", "weighted_sample", "index_dedup", "hll_rollup",
-    "kll_rollup", "topk_rollup",
+    "kll_rollup", "topk_rollup", "pii_scrub",
     # training-data pipeline
-    "dedup_exact", "dedup_keep_min_id", "doc_fingerprint",
+    "dedup_exact", "doc_fingerprint",
     "minhash_lsh_recall", "weighted_minhash_recall",
     "simhash_planted_recall", "connected_components", "dedup_clusters",
     "duplicate_passages", "decontamination", "text_quality",

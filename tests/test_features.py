@@ -204,3 +204,35 @@ def test_cdf_normalize_forced_cogroup_rank_error(spark):
     err = (out.withColumn("pr", F.percent_rank().over(w))
            .agg(F.max(F.abs(F.col("cdf") - F.col("pr")))).collect()[0][0])
     assert err <= 0.01
+
+
+def test_scrub_pii_redacts_and_counts(spark):
+    from algebird_spark.operators.text import scrub_pii
+    df = spark.createDataFrame(
+        [(1, "mail me at a.b+x@foo.org or call 555-123-4567"),
+         (2, "server at 10.0.0.1 and 192.168.300.7, no contacts"),
+         (3, "plain prose with no identifiers at all"),
+         (4, None)],
+        "id long, text string")
+    rows = {r["id"]: r for r in scrub_pii(df).collect()}
+    r1 = rows[1]
+    assert (r1["n_email"], r1["n_phone"], r1["n_ipv4"]) == (1, 1, 0)
+    assert r1["text_scrubbed"] == "mail me at <|email|> or call <|phone|>"
+    r2 = rows[2]
+    # over-inclusive by design: octets >255 still redact
+    assert r2["n_ipv4"] == 2 and "<|ipv4|>" in r2["text_scrubbed"]
+    assert "10.0.0.1" not in r2["text_scrubbed"]
+    r3 = rows[3]
+    assert (r3["n_email"], r3["n_phone"], r3["n_ipv4"]) == (0, 0, 0)
+    assert r3["text_scrubbed"] == r3["text"]
+    r4 = rows[4]
+    assert r4["text_scrubbed"] is None and r4["n_email"] == 0
+
+
+def test_scrub_pii_rejects_unknown_kind(spark):
+    import pytest as _pytest
+
+    from algebird_spark.operators.text import scrub_pii
+    df = spark.createDataFrame([(1, "x")], "id long, text string")
+    with _pytest.raises(ValueError):
+        scrub_pii(df, kinds=("email", "ssn"))
