@@ -110,6 +110,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdf_normalize_hicard": Q.q_cdf_normalize_hicard,      # NEW r6
         # === tail (51+): driver-green since r1-r5; local gate covers =====
         "text_stats": Q.q_text_stats,  # driver-green r3-r5; rotated out r6
+        "domain_stats": Q.q_domain_stats,  # NEW r6 (tail: window full;
+        # the local driver-equivalent gate value-hashes it every round)
         "dedup_keep_min_id": Q.q_dedup_keep_min_id,  # green r2-r5; out r6
         "hashing_trick": Q.q_hashing_trick,  # green r4-r5; rotated out r6
         "scan_state": Q.q_scan_state,  # driver-green r5; rotated out r6
@@ -236,6 +238,24 @@ def oracle_sql() -> dict[str, str]:
             SELECT l_returnflag, l_linestatus, grouping_id, p,
                    ROUND(qs[i], 4) AS exact_pct, TRUE AS kll_ok
             FROM q, ps
+        """,
+        "domain_stats": """
+            WITH inj AS (
+              SELECT n_chars,
+                     CASE WHEN doc_id % 2 = 0 THEN
+                         text || ' via https://www.Site'
+                              || CAST(doc_id % 7 AS VARCHAR)
+                              || '.example.com/p/'
+                              || CAST(doc_id AS VARCHAR)
+                       ELSE text END AS text
+              FROM documents)
+            SELECT regexp_replace(
+                       lower(regexp_extract(text,
+                           'https?://([^/\\s]+)', 1)),
+                       '^www\\.', '') AS domain,
+                   COUNT(*) AS n_docs,
+                   CAST(SUM(n_chars) AS BIGINT) AS chars
+            FROM inj GROUP BY domain
         """,
         "pii_scrub": """
             WITH inj AS (

@@ -96,6 +96,17 @@ def fingerprint(text: Column) -> Column:
     return F.md5(text)
 
 
+def extract_domain(text: Column) -> Column:
+    """First URL host in the text, lowercased, leading ``www.``
+    stripped — the standard key for domain-level quality scoring and
+    domain dedup/mixing in pre-training pipelines. Empty string when
+    the text has no URL (Spark's regexp_extract no-match contract;
+    DuckDB matches, so the op is engine-portable). JVM-side regexp,
+    RE2-safe pattern."""
+    host = F.lower(F.regexp_extract(text, r"https?://([^/\s]+)", 1))
+    return F.regexp_replace(host, r"^www\.", "")
+
+
 # PII redaction patterns — deliberately RE2-safe (no backreferences or
 # lookaround), so the SAME strings run on Spark (java.util.regex),
 # DuckDB (RE2) and RE2-based standalone scanners. Redaction is

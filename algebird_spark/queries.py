@@ -653,6 +653,29 @@ def q_pii_scrub(spark, sf):
         .alias("no_residual"))
 
 
+def q_domain_stats(spark, sf):
+    """Domain-level corpus stats with deterministically PLANTED URLs
+    (every 2nd doc gets a mixed-case www URL appended, derived from
+    doc_id so both engines inject byte-identical text): extract_domain
+    (lowercase + www-strip, all-JVM regexp) then per-domain doc counts
+    and char sums — the grouping key every domain-quality / domain-mix
+    pipeline stage needs. Docs without a URL land in the '' domain
+    (regexp_extract no-match contract, identical in DuckDB)."""
+    docs = _t(spark, sf, "documents")
+    inject = F.concat(
+        F.col("text"), F.lit(" via https://www.Site"),
+        (F.col("doc_id") % 7).cast("string"),
+        F.lit(".example.com/p/"), F.col("doc_id").cast("string"))
+    injected = docs.withColumn(
+        "text", F.when(F.col("doc_id") % 2 == 0, inject)
+        .otherwise(F.col("text")))
+    return (injected
+            .withColumn("domain", text.extract_domain(F.col("text")))
+            .groupBy("domain")
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum("n_chars").cast("bigint").alias("chars")))
+
+
 def q_text_stats(spark, sf):
     docs = _t(spark, sf, "documents")
     prof = docs.select(

@@ -236,3 +236,19 @@ def test_scrub_pii_rejects_unknown_kind(spark):
     df = spark.createDataFrame([(1, "x")], "id long, text string")
     with _pytest.raises(ValueError):
         scrub_pii(df, kinds=("email", "ssn"))
+
+
+def test_extract_domain(spark):
+    from algebird_spark.operators.text import extract_domain
+    df = spark.createDataFrame(
+        [(1, "read https://www.Example.ORG/path?q=1 now"),
+         (2, "plain http://sub.a.b/x and https://second.com/y"),
+         (3, "no links here"),
+         (4, None)],
+        "id long, text string")
+    rows = {r["id"]: r["domain"] for r in
+            df.withColumn("domain", extract_domain(F.col("text"))).collect()}
+    assert rows[1] == "example.org"
+    assert rows[2] == "sub.a.b"          # first match wins
+    assert rows[3] == ""                  # no-match contract
+    assert rows[4] is None
