@@ -546,3 +546,17 @@ def test_range_layout_append_mode(spark, tmp_path):
     with pytest.raises(FileNotFoundError):
         write_range_partitioned(b, "l_extendedprice",
                                 str(tmp_path / "nope"), mode="append")
+
+
+def test_scrub_and_domain_stay_jvm_side(spark):
+    """The text redaction / domain ops must stay inside whole-stage
+    codegen: no Python evaluation node may appear in the plan (the
+    100 TB scan claim in operators/text.py)."""
+    from algebird_spark.operators.text import extract_domain, scrub_pii
+    docs = spark.createDataFrame(
+        [(1, "mail a@b.co at https://www.x.org/p")], "doc_id long, text string")
+    plan = plan_of(scrub_pii(docs).withColumn(
+        "domain", extract_domain(F.col("text"))))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    # one codegen'd Project carries every regexp expression
+    assert "codegen id" in plan and "regexp_replace" in plan
