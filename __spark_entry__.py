@@ -250,8 +250,10 @@ def oracle_sql() -> dict[str, str]:
                        ELSE text END AS text
               FROM documents)
             SELECT regexp_replace(
-                       lower(regexp_extract(text,
-                           'https?://([^/\\s]+)', 1)),
+                       regexp_replace(
+                           lower(regexp_extract(text,
+                               'https?://(?:[^/\\s@]*@)?([^/\\s:?#]+)', 1)),
+                           '[^a-z0-9]+$', ''),
                        '^www\\.', '') AS domain,
                    COUNT(*) AS n_docs,
                    CAST(SUM(n_chars) AS BIGINT) AS chars

@@ -655,6 +655,9 @@ def rollup_levels(fine: DataFrame, keys: Sequence[str],
     keys = list(keys)
     if grouping not in ("rollup", "cube"):
         raise ValueError("grouping must be 'rollup' or 'cube'")
+    if sets is not None and len(list(sets)) == 0:
+        raise ValueError("sets must name at least one grouping set "
+                         "(use [[]] for just the grand total)")
     if cache:
         from .operators.dedup import _cache_scoped, _new_generation
         fine = _cache_scoped("sketch_rollup_fine", fine,

@@ -48,8 +48,9 @@ def distinct_rollup(df: DataFrame, col: str, by: Sequence[str],
     one input scan (``agg.sketch_rollup``): the finest HLL states build
     once; coarser levels merge those states — monoid associativity
     makes the extra levels free of corpus passes. Returns ``by...,
-    grouping_id, estimate, low, high`` with SQL ROLLUP/CUBE null
-    semantics (``grouping_id`` disambiguates rolled-up NULLs)."""
+    grouping_id, n_values, estimate, low, high`` (``n_values`` = rows
+    folded into the level) with SQL ROLLUP/CUBE null semantics
+    (``grouping_id`` disambiguates rolled-up NULLs)."""
     p = bits_for_error(error)
     levels = sketch_rollup(df, by, col, lambda: HLL(p=p),
                            grouping=grouping, fanout=fanout, sets=sets)
@@ -104,9 +105,15 @@ def topk_rollup(df: DataFrame, col: str, by: Sequence[str], k: int = 5,
     guaranteed`` — ``guaranteed`` is SpaceSaver's membership certainty
     flag (count - error >= next count); with capacity above the level's
     cardinality the counts are exact."""
-    from pyspark.sql.types import StringType
+    from pyspark.sql.types import IntegerType, LongType, ShortType, StringType
 
     from .sketches import SpaceSaver
+    col_t = df.schema[col].dataType
+    if not isinstance(col_t, (StringType, LongType, IntegerType, ShortType)):
+        raise ValueError(
+            f"topk_rollup needs a string or integer item column; {col} is "
+            f"{col_t.simpleString()} (SpaceSaver tracks labels only for "
+            "those — other dtypes would surface opaque hashed keys)")
     levels = sketch_rollup(df, by, col,
                            lambda: SpaceSaver(capacity=capacity),
                            grouping=grouping, fanout=fanout, sets=sets)
@@ -117,8 +124,7 @@ def topk_rollup(df: DataFrame, col: str, by: Sequence[str], k: int = 5,
                  "cnt": int(c), "guaranteed": bool(g)}
                 for i, (item, c, _e, g) in enumerate(sk.top_k(k))]
 
-    item_t = "string" if isinstance(df.schema[col].dataType, StringType) \
-        else "long"
+    item_t = "string" if isinstance(col_t, StringType) else "long"
     return present_explode(
         levels, present,
         f"rank long, item {item_t}, cnt long, guaranteed boolean")

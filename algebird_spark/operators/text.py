@@ -99,11 +99,17 @@ def fingerprint(text: Column) -> Column:
 def extract_domain(text: Column) -> Column:
     """First URL host in the text, lowercased, leading ``www.``
     stripped — the standard key for domain-level quality scoring and
-    domain dedup/mixing in pre-training pipelines. Empty string when
-    the text has no URL (Spark's regexp_extract no-match contract;
-    DuckDB matches, so the op is engine-portable). JVM-side regexp,
-    RE2-safe pattern."""
-    host = F.lower(F.regexp_extract(text, r"https?://([^/\s]+)", 1))
+    domain dedup/mixing in pre-training pipelines. Robust to URLs as
+    they appear in prose: userinfo (``user@host``) is skipped, the
+    host stops at ``:`` (port), ``?``/``#``, ``/`` or whitespace, and
+    trailing punctuation (``example.com,`` ``...com)`` ``...com.``) is
+    stripped so one site never fragments into many domain keys. Empty
+    string when the text has no URL (Spark's regexp_extract no-match
+    contract; DuckDB matches, so the op is engine-portable). JVM-side
+    regexp, RE2-safe patterns."""
+    host = F.lower(F.regexp_extract(
+        text, r"https?://(?:[^/\s@]*@)?([^/\s:?#]+)", 1))
+    host = F.regexp_replace(host, r"[^a-z0-9]+$", "")
     return F.regexp_replace(host, r"^www\.", "")
 
 

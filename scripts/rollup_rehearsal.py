@@ -118,6 +118,9 @@ def main():
     rec["speedup"] = round(rec["wall_s"]["direct"]
                            / rec["wall_s"]["rollup"], 2)
     print(json.dumps(rec, indent=1))
+    # enforce the docstring contract, don't just record it
+    assert rec["estimates_equal"], \
+        "rollup levels diverged from the direct per-level builds"
     with open(os.path.join(os.path.dirname(os.path.dirname(
             os.path.abspath(__file__))), "BENCH", "rollup_rehearsal.json"),
             "w") as f:

@@ -338,6 +338,9 @@ def test_rollup_rejects_bad_args(spark, tokens):
     with pytest.raises(ValueError):
         sketch_rollup(tokens, ["source"], "tokens", lambda: HLL(p=10),
                       sets=[["nope"]])
+    with pytest.raises(ValueError):
+        sketch_rollup(tokens, ["source"], "tokens", lambda: HLL(p=10),
+                      sets=[])
 
 
 def test_grouping_sets_levels_equal_direct_builds(spark, tokens):

@@ -88,6 +88,11 @@ def test_topk_rollup_api(spark, li):
     assert got == exact
 
 
+def test_topk_rollup_rejects_unhashable_item_dtype(spark, li):
+    with pytest.raises(ValueError):
+        api.topk_rollup(li, "l_extendedprice", by=["l_returnflag"])
+
+
 def test_heavy_hitters(spark, li):
     hh = api.heavy_hitters(li, "l_suppkey", pct=0.05)
     exact = {r[0] for r in li.groupBy("l_suppkey").count()

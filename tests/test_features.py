@@ -244,7 +244,11 @@ def test_extract_domain(spark):
         [(1, "read https://www.Example.ORG/path?q=1 now"),
          (2, "plain http://sub.a.b/x and https://second.com/y"),
          (3, "no links here"),
-         (4, None)],
+         (4, None),
+         (5, "see https://example.com, details follow"),
+         (6, "at https://example.com:8080/admin"),
+         (7, "link (https://en.wikipedia.org) cited"),
+         (8, "via https://user:pw@evil.example.com/x")],
         "id long, text string")
     rows = {r["id"]: r["domain"] for r in
             df.withColumn("domain", extract_domain(F.col("text"))).collect()}
@@ -252,3 +256,7 @@ def test_extract_domain(spark):
     assert rows[2] == "sub.a.b"          # first match wins
     assert rows[3] == ""                  # no-match contract
     assert rows[4] is None
+    assert rows[5] == "example.com"       # trailing ',' stripped
+    assert rows[6] == "example.com"       # port dropped
+    assert rows[7] == "en.wikipedia.org"  # trailing ')' stripped
+    assert rows[8] == "evil.example.com"  # userinfo skipped
