@@ -112,6 +112,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_stats": Q.q_text_stats,  # driver-green r3-r5; rotated out r6
         "domain_stats": Q.q_domain_stats,  # NEW r6 (tail: window full;
         # the local driver-equivalent gate value-hashes it every round)
+        "doc_chunks": Q.q_doc_chunks,  # NEW r6 (tail; same note)
         "dedup_keep_min_id": Q.q_dedup_keep_min_id,  # green r2-r5; out r6
         "hashing_trick": Q.q_hashing_trick,  # green r4-r5; rotated out r6
         "scan_state": Q.q_scan_state,  # driver-green r5; rotated out r6
@@ -238,6 +239,27 @@ def oracle_sql() -> dict[str, str]:
             SELECT l_returnflag, l_linestatus, grouping_id, p,
                    ROUND(qs[i], 4) AS exact_pct, TRUE AS kll_ok
             FROM q, ps
+        """,
+        "doc_chunks": """
+            WITH t AS (
+              SELECT doc_id, string_split(text, ' ') AS toks,
+                     len(string_split(text, ' ')) AS n
+              FROM documents),
+            s0 AS (
+              SELECT doc_id, n, toks,
+                     unnest(generate_series(0, n - 1, 40)) AS start
+              FROM t),
+            s AS (
+              SELECT doc_id, n, toks, start,
+                     ROW_NUMBER() OVER (PARTITION BY doc_id
+                                        ORDER BY start) - 1 AS chunk_idx
+              FROM s0 WHERE start = 0 OR start + 8 < n)
+            SELECT doc_id, chunk_idx,
+                   CAST(LEAST(48, n - start) AS INT) AS n_chunk_tokens,
+                   md5(array_to_string(
+                       list_slice(toks, start + 1,
+                                  LEAST(start + 48, n)), ' ')) AS chunk_md5
+            FROM s
         """,
         "domain_stats": """
             WITH inj AS (

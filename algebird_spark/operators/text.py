@@ -113,6 +113,49 @@ def extract_domain(text: Column) -> Column:
     return F.regexp_replace(host, r"^www\.", "")
 
 
+def chunk_documents(df: DataFrame, max_tokens: int, overlap: int = 0,
+                    text_col: str = "text",
+                    keep_cols: tuple[str, ...] = ("doc_id",)) -> DataFrame:
+    """Split long documents into context-window chunks of at most
+    ``max_tokens`` whitespace tokens with ``overlap`` tokens carried
+    between consecutive chunks — the standard pre-tokenization stage
+    when documents exceed the model context. All-JVM (split /
+    sequence / posexplode / slice / concat_ws — no Python, no
+    shuffle: chunking is a map-only explode, so it scales with the
+    scan).
+
+    Chunk starts step by ``max_tokens - overlap``; a trailing start
+    whose tokens are already fully contained in the previous chunk
+    (``start + overlap >= n``) is dropped, so chunks are never
+    redundant and every token appears in at least one chunk. Returns
+    ``keep_cols..., chunk_idx, n_chunk_tokens, chunk_text`` (one row
+    per chunk; a doc shorter than ``max_tokens`` yields exactly one
+    chunk, its full text)."""
+    if max_tokens < 1:
+        raise ValueError("max_tokens must be >= 1")
+    if overlap < 0 or overlap >= max_tokens:
+        raise ValueError("overlap must be in [0, max_tokens)")
+    step = max_tokens - overlap
+    toks = F.split(F.col(text_col), " ")
+    starts = F.sequence(F.lit(0),
+                        F.greatest(F.size(toks) - 1, F.lit(0)),
+                        F.lit(step))
+    out = (df.withColumn("__toks", toks)
+           .withColumn("__n", F.size(F.col("__toks")))
+           .select(*keep_cols, "__toks", "__n",
+                   F.posexplode(starts).alias("chunk_idx", "__start"))
+           .where((F.col("__start") == 0)
+                  | (F.col("__start") + overlap < F.col("__n")))
+           .withColumn("n_chunk_tokens",
+                       F.least(F.lit(max_tokens),
+                               F.col("__n") - F.col("__start")))
+           .withColumn("chunk_text",
+                       F.concat_ws(" ", F.slice(
+                           F.col("__toks"), F.col("__start") + 1,
+                           F.lit(max_tokens)))))
+    return out.drop("__toks", "__n", "__start")
+
+
 # PII redaction patterns — deliberately RE2-safe (no backreferences or
 # lookaround), so the SAME strings run on Spark (java.util.regex),
 # DuckDB (RE2) and RE2-based standalone scanners. Redaction is

@@ -676,6 +676,20 @@ def q_domain_stats(spark, sf):
                  F.sum("n_chars").cast("bigint").alias("chars")))
 
 
+def q_doc_chunks(spark, sf):
+    """Context-window chunking of every document (max 48 whitespace
+    tokens, 8-token overlap): one row per chunk with its exact text
+    content hashed (md5 — engine-portable), so the oracle verifies
+    CONTENT, boundaries and the trailing-chunk drop rule, not just
+    counts. Map-only explode (operators/text.py::chunk_documents) —
+    no shuffle before the final order-free aggregate-less projection."""
+    docs = _t(spark, sf, "documents")
+    chunks = text.chunk_documents(docs, max_tokens=48, overlap=8)
+    return chunks.select(
+        "doc_id", F.col("chunk_idx").cast("long").alias("chunk_idx"),
+        "n_chunk_tokens", F.md5(F.col("chunk_text")).alias("chunk_md5"))
+
+
 def q_text_stats(spark, sf):
     docs = _t(spark, sf, "documents")
     prof = docs.select(

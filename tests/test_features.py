@@ -260,3 +260,36 @@ def test_extract_domain(spark):
     assert rows[6] == "example.com"       # port dropped
     assert rows[7] == "en.wikipedia.org"  # trailing ')' stripped
     assert rows[8] == "evil.example.com"  # userinfo skipped
+
+
+def test_chunk_documents_boundaries(spark):
+    import pytest as _pytest
+
+    from algebird_spark.operators.text import chunk_documents
+    toks = lambda a, b: " ".join(f"t{i}" for i in range(a, b))  # noqa: E731
+    df = spark.createDataFrame(
+        [(1, toks(0, 10)),   # 10 tokens: chunks at 0 and 4 only —
+                             # start 8 is contained in chunk(4), dropped
+         (2, toks(0, 3)),    # shorter than max: exactly one full chunk
+         (3, toks(0, 13))],  # 13 tokens: starts 0, 4, 8 all kept
+        "doc_id long, text string")
+    out = chunk_documents(df, max_tokens=8, overlap=4)
+    rows = sorted((r["doc_id"], r["chunk_idx"], r["n_chunk_tokens"],
+                   r["chunk_text"]) for r in out.collect())
+    by_doc = {}
+    for d, i, n, t in rows:
+        by_doc.setdefault(d, []).append((i, n, t))
+    assert [x[:2] for x in by_doc[1]] == [(0, 8), (1, 6)]
+    assert by_doc[2] == [(0, 3, toks(0, 3))]
+    assert [x[:2] for x in by_doc[3]] == [(0, 8), (1, 8), (2, 5)]
+    # every token appears in at least one chunk; consecutive chunks
+    # overlap by exactly `overlap` where a next chunk exists
+    assert by_doc[3][1][2].split(" ")[:4] == by_doc[3][0][2].split(" ")[-4:]
+    covered = set()
+    for _i, _n, t in by_doc[3]:
+        covered.update(t.split(" "))
+    assert covered == set(toks(0, 13).split(" "))
+    with _pytest.raises(ValueError):
+        chunk_documents(df, max_tokens=4, overlap=4)
+    with _pytest.raises(ValueError):
+        chunk_documents(df, max_tokens=0)
