@@ -211,12 +211,15 @@ def test_assign_splits_rejects_bad_fractions(spark):
 # --- end-to-end mixing pipeline composition --------------------------------
 
 def test_mixing_pipeline_composes(spark):
-    """budget-sample -> split -> pack: the full data-mixing chain over
-    the real documents fixture, checking the cross-stage invariants a
-    pipeline relies on (all deterministic, so this is stable)."""
+    """budget-sample -> scrub -> split -> pack (+ chunk): the full
+    data-mixing chain over the real documents fixture, checking the
+    cross-stage invariants a pipeline relies on (all deterministic,
+    so this is stable). Mirrors the README chain."""
     from algebird_spark.operators.exact import (assign_splits,
                                                 token_budget_sample)
-    from algebird_spark.operators.text import pack_sequences, token_count
+    from algebird_spark.operators.text import (chunk_documents,
+                                               pack_sequences, scrub_pii,
+                                               token_count)
 
     docs = (spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
             .select("doc_id", "source", "text"))
@@ -226,6 +229,16 @@ def test_mixing_pipeline_composes(spark):
     kept = mixed.select(F.sum(token_count(F.col("text"))).alias("g")) \
         .collect()[0]["g"]
     assert 0.3 * grand <= kept <= 0.7 * grand   # proportional half-ish
+
+    # PII scrub composes mid-chain: row count preserved, fixture text
+    # has no natural PII so the scrubbed text is byte-identical
+    scrubbed = scrub_pii(mixed).withColumn(
+        "text", F.col("text_scrubbed")).drop("text_scrubbed")
+    assert scrubbed.count() == mixed.count()
+    assert scrubbed.filter(
+        (F.col("n_email") + F.col("n_phone") + F.col("n_ipv4")) > 0
+    ).count() == 0
+    mixed = scrubbed.drop("n_email", "n_phone", "n_ipv4")
 
     split = assign_splits(mixed, {"train": 0.9, "test": 0.1})
     n_mixed = mixed.count()
@@ -240,6 +253,15 @@ def test_mixing_pipeline_composes(spark):
         F.max(F.col("start_offset") + F.col("n_tokens")).alias("end")
     ).collect()
     assert per and all(r["tot"] == r["end"] for r in per)
+
+    # the chunking alternative: every train token lands in >= 1 chunk,
+    # and no chunk exceeds the context budget
+    chunks = chunk_documents(train, max_tokens=64, overlap=8)
+    agg = chunks.agg(
+        F.max("n_chunk_tokens").alias("mx"),
+        F.count("*").alias("n")).collect()[0]
+    assert agg["mx"] <= 64
+    assert agg["n"] >= train.count()  # at least one chunk per doc
 
 
 def test_pack_sequences_null_text_counts_zero(spark):
