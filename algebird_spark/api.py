@@ -148,6 +148,26 @@ def heavy_hitters(df: DataFrame, col: str, by: Sequence[str] = (),
     return sketch_global(df, col, factory).heavy_hitters()
 
 
+def estimate_join_size(left: DataFrame, left_key: str,
+                       right: DataFrame, right_key: str | None = None,
+                       eps: float = 0.0005, delta: float = 1e-6,
+                       fanout: int = 16):
+    """Approximate inner-join output cardinality WITHOUT running the
+    join: two independent CMS passes (one scan each, no shuffle of the
+    join itself), then ``innerProduct`` = sum_k fL(k)*fR(k) — the CMS
+    join-size estimator (CountMinSketch.scala innerProduct semantics;
+    the classic Cormode-Muthukrishnan application). Returns the
+    ``Approximate`` interval: never under the true size; over by at
+    most ``eps * |L| * |R|`` w.p. 1-delta. Use it to pick a join
+    strategy (broadcast vs shuffle vs skew route) before paying for
+    the join at 100 TB."""
+    right_key = right_key or left_key
+    factory = lambda: CMS(eps=eps, delta=delta)  # noqa: E731
+    skl = sketch_global(left, left_key, factory, fanout=fanout)
+    skr = sketch_global(right, right_key, factory, fanout=fanout)
+    return skl.inner_product(skr)
+
+
 def frequency_sketch(df: DataFrame, col: str, eps: float = 0.001,
                      delta: float = 1e-6) -> CMS:
     """Global CMS for ad-hoc point/inner-product queries. Any key dtype:

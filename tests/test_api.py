@@ -331,3 +331,17 @@ def test_distinct_count_per_key_empty_input(spark):
     sk = api.distinct_count_per_key(li, "l_suppkey", "l_partkey")
     vals = sk.values(np.array([1, 2, 3], dtype=np.int64))
     assert (np.asarray(vals) == 0).all()
+
+
+def test_estimate_join_size(spark, li):
+    ap = api.estimate_join_size(
+        li.filter("l_returnflag = 'A'"), "l_partkey",
+        li.filter("l_returnflag = 'R'"))
+    a = li.filter("l_returnflag = 'A'").groupBy("l_partkey") \
+        .agg(F.count("*").alias("ca"))
+    r = li.filter("l_returnflag = 'R'").groupBy("l_partkey") \
+        .agg(F.count("*").alias("cr"))
+    exact = a.join(r, "l_partkey") \
+        .agg(F.sum(F.col("ca") * F.col("cr"))).collect()[0][0]
+    assert ap.low <= exact <= ap.high
+    assert ap.estimate >= exact  # CMS inner product never underestimates
