@@ -113,6 +113,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "domain_stats": Q.q_domain_stats,  # NEW r6 (tail: window full;
         # the local driver-equivalent gate value-hashes it every round)
         "doc_chunks": Q.q_doc_chunks,  # NEW r6 (tail; same note)
+        "time_rollup": Q.q_time_rollup,  # NEW r6 (tail; same note)
         "dedup_keep_min_id": Q.q_dedup_keep_min_id,  # green r2-r5; out r6
         "hashing_trick": Q.q_hashing_trick,  # green r4-r5; rotated out r6
         "scan_state": Q.q_scan_state,  # driver-green r5; rotated out r6
@@ -239,6 +240,18 @@ def oracle_sql() -> dict[str, str]:
             SELECT l_returnflag, l_linestatus, grouping_id, p,
                    ROUND(qs[i], 4) AS exact_pct, TRUE AS kll_ok
             FROM q, ps
+        """,
+        "time_rollup": """
+            WITH k AS (
+              SELECT strftime(ts, '%Y-%m-%d') AS day,
+                     CAST(date_part('hour', ts) AS BIGINT) AS hour,
+                     user_id
+              FROM events)
+            SELECT day, hour,
+                   CAST(GROUPING(day, hour) AS BIGINT) AS grouping_id,
+                   COUNT(DISTINCT user_id) AS exact_distinct,
+                   TRUE AS hll_ok
+            FROM k GROUP BY ROLLUP(day, hour)
         """,
         "doc_chunks": """
             WITH t AS (

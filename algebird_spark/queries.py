@@ -178,6 +178,42 @@ def q_topk_rollup(spark, sf):
     return out.withColumnRenamed("item", "l_suppkey")
 
 
+def q_time_rollup(spark, sf):
+    """Distinct active users at every grain of the time hierarchy —
+    (day, hour), (day), grand total — from ONE scan of events:
+    ``sketch_rollup`` over timestamp-derived keys. This is the
+    dashboard cube every analytics store maintains (hourly/daily/all
+    uniques); at 100 TB the daily and global uniques are free state
+    merges of the hourly HLLs instead of two more corpus passes.
+    Exact rollup joined per (keys, grouping_id) for the 3.5σ bound
+    with a ONE-count absolute floor: hourly cells hold only tens of
+    users, where the relative bound dips below the integer granularity
+    of any cardinality estimate (measured max |est-exact| over all 751
+    sf0.01 cells: 0.996 — sparse-mode estimates are within one count
+    everywhere; a pure relative gate would flag sub-one deviations)."""
+    ev = _t(spark, sf, "events")
+    keyed = (ev.withColumn("day", F.date_format("ts", "yyyy-MM-dd"))
+             .withColumn("hour", F.hour("ts").cast("long")))
+    p = 14
+    states = sketch_rollup(keyed, ["day", "hour"], "user_id",
+                           lambda: HLL(p=p))
+    est = with_presented(states, lambda sk: {"est": sk.estimate()},
+                         "est double")
+    exact_df = (keyed.rollup("day", "hour")
+                .agg(F.count_distinct("user_id").alias("exact_distinct"),
+                     F.grouping_id().alias("grouping_id")))
+    bound = 3.5 * 1.04 / math.sqrt(2 ** p)
+    on = (est["day"].eqNullSafe(exact_df["day"])
+          & est["hour"].eqNullSafe(exact_df["hour"])
+          & (est["grouping_id"] == exact_df["grouping_id"]))
+    return (est.join(exact_df, on)
+            .select(est["day"], est["hour"], est["grouping_id"],
+                    exact_df["exact_distinct"],
+                    (F.abs(F.col("est") - F.col("exact_distinct"))
+                     <= F.greatest(bound * F.col("exact_distinct"),
+                                   F.lit(1.0))).alias("hll_ok")))
+
+
 def q_cms_point_queries(spark, sf):
     """CMS frequency of every distinct l_partkey: never underestimates,
     overestimate <= eps*N. The probe runs IN-PLAN: the final sketch
