@@ -368,3 +368,21 @@ def test_grouping_sets_levels_equal_direct_builds(spark, tokens):
     # gid 3: the () set — vs the global build
     assert got[(None, None, 3)] == sketch_global(
         df, "tokens", lambda: HLL(p=12)).estimate()
+
+
+def test_rollup_generic_over_cms(spark, tokens):
+    """rollup_levels is sketch-generic: with CMS states the per-level
+    TOTALS (which CMS tracks exactly) must equal the exact rollup
+    counts — same monoid merge path as HLL/KLL/SpaceSaver."""
+    from algebird_spark.agg import sketch_rollup
+    levels = sketch_rollup(tokens, ["source"], "tokens",
+                           lambda: CMS(eps=0.01, delta=1e-4))
+    got = {(r["source"], r["grouping_id"]):
+           from_bytes(bytes(r[STATE_COL])).total
+           for r in levels.collect()}
+    exact = {r["source"]: r["n"] for r in
+             tokens.select("source", F.explode("tokens").alias("t"))
+             .groupBy("source").agg(F.count("t").alias("n")).collect()}
+    for s, n in exact.items():
+        assert got[(s, 0)] == n
+    assert got[(None, 1)] == sum(exact.values())
