@@ -100,24 +100,46 @@ def q_hll_rollup(spark, sf):
     rescanning lineitem. Exact rollup joined per (keys, grouping_id)
     for the 3.5σ bound verdict; at 100 TB the coarse levels cost one
     merge of a KB-scale state table instead of extra corpus passes."""
+    from concurrent.futures import ThreadPoolExecutor
+
     li = _t(spark, sf, "lineitem")
     p = 14
-    states = sketch_rollup(li, ["l_returnflag", "l_linestatus"],
-                           "l_partkey", lambda: HLL(p=p))
-    est = with_presented(states, lambda sk: {"est": sk.estimate()},
-                         "est double")
-    exact_df = (li.rollup("l_returnflag", "l_linestatus")
+
+    # both sides scan lineitem independently — submit as concurrent
+    # Spark jobs (the _quantile_query pattern: measured 2.79 -> 1.56 s
+    # there); each side is a handful of rows, so the verdict join is
+    # driver-side on tiny collections, not a plan join
+    def sketch_side():
+        states = sketch_rollup(li, ["l_returnflag", "l_linestatus"],
+                               "l_partkey", lambda: HLL(p=p))
+        est = with_presented(states, lambda sk: {"est": sk.estimate()},
+                             "est double")
+        return est.collect()
+
+    def exact_side():
+        return (li.rollup("l_returnflag", "l_linestatus")
                 .agg(F.count_distinct("l_partkey").alias("exact_distinct"),
-                     F.grouping_id().alias("grouping_id")))
+                     F.grouping_id().alias("grouping_id"))).collect()
+
+    with ThreadPoolExecutor(2) as pool:
+        f_sk, f_ex = pool.submit(sketch_side), pool.submit(exact_side)
+        est_rows, exact_rows = f_sk.result(), f_ex.result()
+    exact = {(r["l_returnflag"], r["l_linestatus"], r["grouping_id"]): r
+             for r in exact_rows}
     bound = 3.5 * 1.04 / math.sqrt(2 ** p)
-    on = (est["l_returnflag"].eqNullSafe(exact_df["l_returnflag"])
-          & est["l_linestatus"].eqNullSafe(exact_df["l_linestatus"])
-          & (est["grouping_id"] == exact_df["grouping_id"]))
-    return (est.join(exact_df, on)
-            .select(est["l_returnflag"], est["l_linestatus"],
-                    est["grouping_id"], exact_df["exact_distinct"],
-                    (F.abs(F.col("est") - F.col("exact_distinct"))
-                     / F.col("exact_distinct") <= bound).alias("hll_ok")))
+    rows = []
+    for r in est_rows:
+        key = (r["l_returnflag"], r["l_linestatus"], r["grouping_id"])
+        ex = exact[key]["exact_distinct"]
+        rows.append(Row(l_returnflag=key[0], l_linestatus=key[1],
+                        grouping_id=int(key[2]), exact_distinct=int(ex),
+                        hll_ok=bool(abs(r["est"] - ex) / ex <= bound)))
+    return spark.createDataFrame(rows, StructType([
+        StructField("l_returnflag", StringType(), True),
+        StructField("l_linestatus", StringType(), True),
+        StructField("grouping_id", LongType(), False),
+        StructField("exact_distinct", LongType(), False),
+        StructField("hll_ok", BooleanType(), False)]))
 
 
 def q_kll_rollup(spark, sf):
