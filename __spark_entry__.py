@@ -76,15 +76,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "index_dedup": Q.q_index_dedup,                # NEW r6
         # --- training-data pipeline ops ----------------------------------
         "dedup_exact": Q.q_dedup_exact,
-        "doc_fingerprint": Q.q_doc_fingerprint,
+        "domain_stats": Q.q_domain_stats,     # NEW r6, rotated
+        # into the window late-round for hard signal (displaced
+        # doc_fingerprint, exact-parity driver-green r4-r5)
         "minhash_lsh_recall": Q.q_minhash_lsh_recall,
         "weighted_minhash_recall": Q.q_weighted_minhash_recall,
         "simhash_planted_recall": Q.q_simhash_planted_recall,
         "connected_components": Q.q_connected_components,
         "dedup_clusters": Q.q_dedup_clusters,
-        "duplicate_passages": Q.q_duplicate_passages,
+        "doc_chunks": Q.q_doc_chunks,         # NEW r6, rotated in
+        # (displaced duplicate_passages, driver-green r4-r5)
         "decontamination": Q.q_decontamination,
-        "text_quality": Q.q_text_quality,
+        "time_rollup": Q.q_time_rollup,       # NEW r6, rotated in
+        # (displaced text_quality, driver-green r4-r5)
         "training_pipeline": Q.q_training_pipeline,
         # --- embedding similarity / ANN ----------------------------------
         "embedding_topk": Q.q_embedding_topk,
@@ -110,10 +114,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdf_normalize_hicard": Q.q_cdf_normalize_hicard,      # NEW r6
         # === tail (51+): driver-green since r1-r5; local gate covers =====
         "text_stats": Q.q_text_stats,  # driver-green r3-r5; rotated out r6
-        "domain_stats": Q.q_domain_stats,  # NEW r6 (tail: window full;
-        # the local driver-equivalent gate value-hashes it every round)
-        "doc_chunks": Q.q_doc_chunks,  # NEW r6 (tail; same note)
-        "time_rollup": Q.q_time_rollup,  # NEW r6 (tail; same note)
+        "doc_fingerprint": Q.q_doc_fingerprint,  # green r4-r5; out r6
+        "duplicate_passages": Q.q_duplicate_passages,  # green r4-r5; out r6
+        "text_quality": Q.q_text_quality,  # green r4-r5; out r6
         "dedup_keep_min_id": Q.q_dedup_keep_min_id,  # green r2-r5; out r6
         "hashing_trick": Q.q_hashing_trick,  # green r4-r5; rotated out r6
         "scan_state": Q.q_scan_state,  # driver-green r5; rotated out r6

@@ -29,13 +29,13 @@ MUST_BE_IN_WINDOW = {
     # for topk_rollup)
     "skew_join_outer", "cdf_normalize_hicard", "sketchmap_set",
     "topk_pruned", "weighted_sample", "index_dedup", "hll_rollup",
-    "kll_rollup", "topk_rollup", "pii_scrub",
+    "kll_rollup", "topk_rollup", "pii_scrub", "domain_stats",
+    "doc_chunks", "time_rollup",
     # training-data pipeline
-    "dedup_exact", "doc_fingerprint",
+    "dedup_exact",
     "minhash_lsh_recall", "weighted_minhash_recall",
     "simhash_planted_recall", "connected_components", "dedup_clusters",
-    "duplicate_passages", "decontamination", "text_quality",
-    "training_pipeline",
+    "decontamination", "training_pipeline",
     # ANN
     "embedding_topk", "ivf_topk_exhaustive", "ivf_recall",
     "ivf_planted_recall", "lsh_planted_recall", "multimodal_features",
