@@ -117,9 +117,14 @@ def chunk_documents(df: DataFrame, max_tokens: int, overlap: int = 0,
                     text_col: str = "text",
                     keep_cols: tuple[str, ...] = ("doc_id",)) -> DataFrame:
     """Split long documents into context-window chunks of at most
-    ``max_tokens`` whitespace tokens with ``overlap`` tokens carried
-    between consecutive chunks — the standard pre-tokenization stage
-    when documents exceed the model context. All-JVM (split /
+    ``max_tokens`` SINGLE-SPACE-delimited tokens with ``overlap``
+    tokens carried between consecutive chunks — the standard
+    pre-tokenization stage when documents exceed the model context.
+    Tokenization is a literal split on ``' '`` (runs of whitespace are
+    NOT collapsed — a double space yields an empty token; normalize
+    upstream if the corpus isn't single-spaced) so the boundaries are
+    engine-portable: DuckDB's ``string_split`` reproduces them
+    byte-for-byte. All-JVM (split /
     sequence / posexplode / slice / concat_ws — no Python, no
     shuffle: chunking is a map-only explode, so it scales with the
     scan).

@@ -293,3 +293,23 @@ def test_chunk_documents_boundaries(spark):
         chunk_documents(df, max_tokens=4, overlap=4)
     with _pytest.raises(ValueError):
         chunk_documents(df, max_tokens=0)
+
+
+def test_chunk_documents_literal_space_split_is_pinned(spark):
+    """The documented tokenization contract: literal ' ' split, empty
+    tokens preserved (engine-portable with DuckDB string_split), and
+    reassembling the overlap-free chunks reproduces the original text
+    byte-for-byte."""
+    from algebird_spark.operators.text import chunk_documents
+    df = spark.createDataFrame(
+        [(1, "a  b c"), (2, " lead and trail ")], "doc_id long, text string")
+    out = chunk_documents(df, max_tokens=2, overlap=0)
+    by = {}
+    for r in out.collect():
+        by.setdefault(r["doc_id"], []).append((r["chunk_idx"],
+                                               r["chunk_text"]))
+    # 'a  b c' -> ['a', '', 'b', 'c']: empty token kept, 2 chunks
+    assert [t for _, t in sorted(by[1])] == ["a ", "b c"]
+    for doc_id, text in ((1, "a  b c"), (2, " lead and trail ")):
+        joined = " ".join(t for _, t in sorted(by[doc_id]))
+        assert joined == text
