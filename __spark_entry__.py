@@ -113,6 +113,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "skew_join_outer": Q.q_skew_join_outer,                # NEW r6
         "cdf_normalize_hicard": Q.q_cdf_normalize_hicard,      # NEW r6
         # === tail (51+): driver-green since r1-r5; local gate covers =====
+        "asof_join": Q.q_asof_join,  # NEW r6 (tail: window full; local
+        # gate value-hashes it vs DuckDB's NATIVE ASOF JOIN every round)
         "text_stats": Q.q_text_stats,  # driver-green r3-r5; rotated out r6
         "doc_fingerprint": Q.q_doc_fingerprint,  # green r4-r5; out r6
         "duplicate_passages": Q.q_duplicate_passages,  # green r4-r5; out r6
@@ -243,6 +245,18 @@ def oracle_sql() -> dict[str, str]:
             SELECT l_returnflag, l_linestatus, grouping_id, p,
                    ROUND(qs[i], 4) AS exact_pct, TRUE AS kll_ok
             FROM q, ps
+        """,
+        "asof_join": """
+            WITH snaps AS (
+              SELECT user_id, ts, value AS snap_value
+              FROM events WHERE event_type = 'purchase')
+            SELECT e.event_id,
+                   epoch_us(e.ts) AS ts_us,
+                   epoch_us(s.ts) AS snap_ts_us,
+                   ROUND(s.snap_value, 6) AS snap_value
+            FROM events e
+            ASOF LEFT JOIN snaps s
+              ON e.user_id = s.user_id AND e.ts >= s.ts
         """,
         "time_rollup": """
             WITH k AS (

@@ -46,7 +46,8 @@ from pyspark.sql import functions as F
 from ..agg import sketch_global
 from ..sketches import BloomFilter, SpaceSaver, from_bytes
 
-__all__ = ["bloom_prune", "bloom_join", "hot_keys", "skew_join"]
+__all__ = ["bloom_prune", "bloom_join", "hot_keys", "skew_join",
+           "asof_join"]
 
 
 def bloom_prune(big: DataFrame, keys: DataFrame, big_key: str, keys_key: str,
@@ -258,3 +259,57 @@ def skew_join(big: DataFrame, small: DataFrame, big_key: str,
                    + [F.col(c) for c in small.columns])
         out = out.unionByName(unmatched.select(*ext))
     return out
+
+
+def asof_join(left: DataFrame, right: DataFrame, key: str,
+              left_ts: str = "ts", right_ts: str = "ts",
+              right_cols: "list[str] | None" = None,
+              suffix: str = "_asof") -> DataFrame:
+    """Backward as-of join: each left row picks up the right row with
+    the GREATEST ``right_ts <= left_ts`` within the same ``key`` — the
+    event-to-latest-snapshot join every feature/training pipeline
+    needs (DuckDB/kdb ASOF JOIN semantics; a tie at equal timestamps
+    matches). Spark has no native ASOF operator; a naive range join
+    explodes into a per-key cross product. This implementation is a
+    UNION + one window carry-forward: tag both sides, sort each key's
+    merged stream by (ts, side) and carry the last non-null snapshot
+    forward — ONE shuffle on ``key``, no per-key Python, no range
+    blow-up; it scales like any keyed window at 100 TB (each key's
+    stream sorts inside its hash partition).
+
+    Returns every left row (left outer semantics) plus
+    ``<right_ts><suffix>`` (the matched snapshot time) and
+    ``<col><suffix>`` for each of ``right_cols`` (default: all right
+    columns except ``key``/``right_ts``) — all NULL when no snapshot
+    precedes the row. Multiple right rows at an identical (key, ts)
+    are ambiguous under ASOF semantics everywhere — dedupe the right
+    side first if that can occur.
+    """
+    from pyspark.sql.window import Window
+
+    right_cols = list(right_cols if right_cols is not None else
+                      [c for c in right.columns
+                       if c not in (key, right_ts)])
+    snap = F.struct(F.col(right_ts).alias("__rts"),
+                    *[F.col(c) for c in right_cols])
+    r2 = right.select(F.col(key).alias("__k"),
+                      F.col(right_ts).alias("__ts"),
+                      snap.alias("__snap"),
+                      F.lit(0).alias("__side"))
+    row = F.struct(*[F.col(c) for c in left.columns])
+    l2 = left.select(F.col(key).alias("__k"),
+                     F.col(left_ts).alias("__ts"),
+                     F.lit(None).cast(r2.schema["__snap"].dataType)
+                     .alias("__snap"),
+                     F.lit(1).alias("__side"),
+                     row.alias("__row"))
+    u = l2.unionByName(r2.withColumn(
+        "__row", F.lit(None).cast(l2.schema["__row"].dataType)))
+    w = (Window.partitionBy("__k").orderBy("__ts", "__side")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    carried = u.withColumn("__last", F.last("__snap", ignorenulls=True)
+                           .over(w))
+    sel = [F.col(f"__row.{c}").alias(c) for c in left.columns]
+    sel.append(F.col("__last.__rts").alias(right_ts + suffix))
+    sel += [F.col(f"__last.{c}").alias(c + suffix) for c in right_cols]
+    return carried.where(F.col("__side") == 1).select(*sel)

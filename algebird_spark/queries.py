@@ -200,6 +200,27 @@ def q_topk_rollup(spark, sf):
     return out.withColumnRenamed("item", "l_suppkey")
 
 
+def q_asof_join(spark, sf):
+    """Backward as-of join: every event picks up the user's LATEST
+    purchase at-or-before its timestamp (operators/joins.py::asof_join
+    — union + one window carry-forward, one shuffle, no range
+    blow-up). The oracle is DuckDB's NATIVE ASOF LEFT JOIN — two
+    entirely different algorithms must agree row-for-row. Timestamps
+    return as epoch micros (engine-portable)."""
+    from .operators.joins import asof_join
+    ev = _t(spark, sf, "events")
+    snaps = (ev.filter(F.col("event_type") == "purchase")
+             .select("user_id", "ts", F.col("value").alias("snap_value")))
+    joined = asof_join(ev, snaps, key="user_id",
+                       left_ts="ts", right_ts="ts")
+    return joined.select(
+        "event_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+        F.unix_micros(F.col("ts_asof").cast("timestamp"))
+        .alias("snap_ts_us"),
+        F.round(F.col("snap_value_asof"), 6).alias("snap_value"))
+
+
 def q_time_rollup(spark, sf):
     """Distinct active users at every grain of the time hierarchy —
     (day, hour), (day), grand total — from ONE scan of events:

@@ -347,3 +347,28 @@ def test_join_parity_randomized_configs(spark):
                                   min_share=0.05), ["k", "v"])
         assert got_b == want, f"bloom trial {trial}"
         assert got_s == want, f"skew trial {trial}"
+
+
+def test_asof_join_semantics(spark):
+    """Backward as-of: greatest right_ts <= left_ts per key; a tie at
+    equal timestamps matches; rows with no prior snapshot stay NULL;
+    left-outer row count preserved."""
+    from algebird_spark.operators.joins import asof_join
+    left = spark.createDataFrame(
+        [(1, "u", 10), (2, "u", 20), (3, "u", 25), (4, "v", 5),
+         (5, "w", 99)],
+        "event_id long, k string, t long")
+    right = spark.createDataFrame(
+        [("u", 10, 1.0), ("u", 21, 2.0), ("v", 6, 3.0)],
+        "k string, t long, val double")
+    out = {r["event_id"]: r for r in
+           asof_join(left, right, key="k", left_ts="t",
+                     right_ts="t").collect()}
+    assert len(out) == 5
+    assert out[1]["val_asof"] == 1.0 and out[1]["t_asof"] == 10  # tie
+    assert out[2]["val_asof"] == 1.0          # 21 is in the future
+    assert out[3]["val_asof"] == 2.0          # snapshot advanced
+    assert out[4]["val_asof"] is None         # v's snapshot is later
+    assert out[5]["val_asof"] is None         # w has no snapshots
+    # left columns come back intact
+    assert out[3]["k"] == "u" and out[3]["t"] == 25
