@@ -435,6 +435,18 @@ def join_skewed(big: DataFrame, small: DataFrame, big_key: str,
                      min_share=min_share)
 
 
+def join_asof(left: DataFrame, right: DataFrame, key: str,
+              left_ts: str = "ts", right_ts: str = "ts",
+              **kw) -> DataFrame:
+    """Backward as-of join: each left row gets the right row with the
+    greatest right_ts <= left_ts per key (operators/joins.py:asof_join
+    — union + one window carry-forward, one shuffle, no range
+    blow-up)."""
+    from .operators.joins import asof_join
+    return asof_join(left, right, key, left_ts=left_ts,
+                     right_ts=right_ts, **kw)
+
+
 def build_dedup_index(docs: DataFrame, path: str, **kw) -> dict:
     """Persist a MinHash-LSH near-dup index (band buckets + stored
     shingles + config manifest) for incremental corpus dedup
