@@ -264,7 +264,8 @@ def skew_join(big: DataFrame, small: DataFrame, big_key: str,
 def asof_join(left: DataFrame, right: DataFrame, key: str,
               left_ts: str = "ts", right_ts: str = "ts",
               right_cols: "list[str] | None" = None,
-              suffix: str = "_asof") -> DataFrame:
+              suffix: str = "_asof", direction: str = "backward",
+              tolerance=None) -> DataFrame:
     """Backward as-of join: each left row picks up the right row with
     the GREATEST ``right_ts <= left_ts`` within the same ``key`` — the
     event-to-latest-snapshot join every feature/training pipeline
@@ -284,32 +285,56 @@ def asof_join(left: DataFrame, right: DataFrame, key: str,
     precedes the row. Multiple right rows at an identical (key, ts)
     are ambiguous under ASOF semantics everywhere — dedupe the right
     side first if that can occur.
+
+    ``direction='forward'`` picks the SMALLEST ``right_ts >= left_ts``
+    instead (next snapshot; ties still match). ``tolerance`` (same
+    units as the ts columns, e.g. an interval expression or a number)
+    rejects matches further than that from the left row — the
+    staleness cap pandas ``merge_asof`` users expect; rejected rows
+    keep their left columns with NULL snapshot columns.
     """
     from pyspark.sql.window import Window
+
+    if direction not in ("backward", "forward"):
+        raise ValueError("direction must be 'backward' or 'forward'")
 
     right_cols = list(right_cols if right_cols is not None else
                       [c for c in right.columns
                        if c not in (key, right_ts)])
     snap = F.struct(F.col(right_ts).alias("__rts"),
                     *[F.col(c) for c in right_cols])
+    # side codes order equal-ts rows so ties MATCH under the frame:
+    # backward (frame ends at current row): right sorts before left;
+    # forward (frame starts at current row): right sorts after left.
+    r_side, l_side = (0, 1) if direction == "backward" else (1, 0)
     r2 = right.select(F.col(key).alias("__k"),
                       F.col(right_ts).alias("__ts"),
                       snap.alias("__snap"),
-                      F.lit(0).alias("__side"))
+                      F.lit(r_side).alias("__side"))
     row = F.struct(*[F.col(c) for c in left.columns])
     l2 = left.select(F.col(key).alias("__k"),
                      F.col(left_ts).alias("__ts"),
                      F.lit(None).cast(r2.schema["__snap"].dataType)
                      .alias("__snap"),
-                     F.lit(1).alias("__side"),
+                     F.lit(l_side).alias("__side"),
                      row.alias("__row"))
     u = l2.unionByName(r2.withColumn(
         "__row", F.lit(None).cast(l2.schema["__row"].dataType)))
-    w = (Window.partitionBy("__k").orderBy("__ts", "__side")
-         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
-    carried = u.withColumn("__last", F.last("__snap", ignorenulls=True)
-                           .over(w))
+    base = Window.partitionBy("__k").orderBy("__ts", "__side")
+    if direction == "backward":
+        w = base.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        pick = F.last("__snap", ignorenulls=True)
+    else:
+        w = base.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        pick = F.first("__snap", ignorenulls=True)
+    carried = u.withColumn("__last", pick.over(w))
+    if tolerance is not None:
+        gap = (F.col("__ts") - F.col("__last.__rts")
+               if direction == "backward"
+               else F.col("__last.__rts") - F.col("__ts"))
+        carried = carried.withColumn(
+            "__last", F.when(gap <= F.lit(tolerance), F.col("__last")))
     sel = [F.col(f"__row.{c}").alias(c) for c in left.columns]
     sel.append(F.col("__last.__rts").alias(right_ts + suffix))
     sel += [F.col(f"__last.{c}").alias(c + suffix) for c in right_cols]
-    return carried.where(F.col("__side") == 1).select(*sel)
+    return carried.where(F.col("__side") == F.lit(l_side)).select(*sel)

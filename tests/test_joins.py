@@ -372,3 +372,29 @@ def test_asof_join_semantics(spark):
     assert out[5]["val_asof"] is None         # w has no snapshots
     # left columns come back intact
     assert out[3]["k"] == "u" and out[3]["t"] == 25
+
+
+def test_asof_join_forward_and_tolerance(spark):
+    from algebird_spark.operators.joins import asof_join
+    left = spark.createDataFrame(
+        [(1, "u", 10), (2, "u", 20), (3, "u", 30)],
+        "event_id long, k string, t long")
+    right = spark.createDataFrame(
+        [("u", 12, 1.0), ("u", 20, 2.0)], "k string, t long, val double")
+    fwd = {r["event_id"]: r for r in
+           asof_join(left, right, key="k", left_ts="t", right_ts="t",
+                     direction="forward").collect()}
+    assert fwd[1]["val_asof"] == 1.0       # next snapshot at 12
+    assert fwd[2]["val_asof"] == 2.0       # tie at 20 matches
+    assert fwd[3]["val_asof"] is None      # nothing after 30
+    # backward with a staleness cap of 5: event 3 (gap 10) rejected
+    tol = {r["event_id"]: r for r in
+           asof_join(left, right, key="k", left_ts="t", right_ts="t",
+                     tolerance=5).collect()}
+    assert tol[2]["val_asof"] == 2.0 and tol[2]["t_asof"] == 20
+    assert tol[3]["val_asof"] is None and tol[3]["t_asof"] is None
+    assert tol[1]["val_asof"] is None      # nothing at-or-before 10
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        asof_join(left, right, key="k", left_ts="t", right_ts="t",
+                  direction="nearest")
