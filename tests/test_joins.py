@@ -398,3 +398,42 @@ def test_asof_join_forward_and_tolerance(spark):
     with _pytest.raises(ValueError):
         asof_join(left, right, key="k", left_ts="t", right_ts="t",
                   direction="nearest")
+
+
+def test_asof_join_randomized_parity_vs_duckdb(spark):
+    """Seeded random fuzz: 2000 events x 400 snapshots over 37 keys
+    with deliberate cross-side timestamp collisions — Spark's
+    union+window result must equal DuckDB's NATIVE ASOF LEFT JOIN
+    row-for-row, both directions."""
+    import duckdb
+    import numpy as np
+
+    from algebird_spark.operators.joins import asof_join
+    rng = np.random.default_rng(20240607)
+    n_l, n_r, keys = 2000, 400, 37
+    # ts drawn from a small range so ties (incl. cross-side) occur
+    lk = rng.integers(0, keys, n_l); lt = rng.integers(0, 500, n_l)
+    rk = rng.integers(0, keys, n_r); rt = rng.integers(0, 500, n_r)
+    left_rows = [(int(i), f"k{lk[i]}", int(lt[i])) for i in range(n_l)]
+    # dedupe right on (key, ts): ASOF is ambiguous otherwise
+    seen, right_rows = set(), []
+    for i in range(n_r):
+        kt = (f"k{rk[i]}", int(rt[i]))
+        if kt not in seen:
+            seen.add(kt)
+            right_rows.append((kt[0], kt[1], float(i)))
+    left = spark.createDataFrame(left_rows, "event_id long, k string, t long")
+    right = spark.createDataFrame(right_rows, "k string, t long, val double")
+    con = duckdb.connect()
+    con.execute("CREATE TABLE l(event_id BIGINT, k VARCHAR, t BIGINT)")
+    con.executemany("INSERT INTO l VALUES (?,?,?)", left_rows)
+    con.execute("CREATE TABLE r(k VARCHAR, t BIGINT, val DOUBLE)")
+    con.executemany("INSERT INTO r VALUES (?,?,?)", right_rows)
+    for direction, op in (("backward", ">="), ("forward", "<=")):
+        got = {r["event_id"]: (r["t_asof"], r["val_asof"]) for r in
+               asof_join(left, right, key="k", left_ts="t", right_ts="t",
+                         direction=direction).collect()}
+        want = {row[0]: (row[1], row[2]) for row in con.execute(
+            f"SELECT l.event_id, r.t, r.val FROM l "
+            f"ASOF LEFT JOIN r ON l.k = r.k AND l.t {op} r.t").fetchall()}
+        assert got == want, direction
