@@ -292,6 +292,14 @@ def asof_join(left: DataFrame, right: DataFrame, key: str,
     rejects matches further than that from the left row — the
     staleness cap pandas ``merge_asof`` users expect; rejected rows
     keep their left columns with NULL snapshot columns.
+
+    Scale note: like any keyed window, each key's merged stream
+    executes in ONE task — right for the intended high-cardinality
+    keys (user/doc/entity ids). With only a handful of keys the
+    per-key sort serializes; the fix is the pack_sequences-style
+    two-phase plan (range-bucket the timeline per key, per-bucket
+    last-snapshot partials, broadcast the cumulative carry, map-only
+    apply) — not implemented because no cataloged use needs it.
     """
     from pyspark.sql.window import Window
 
