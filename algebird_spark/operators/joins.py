@@ -265,7 +265,7 @@ def asof_join(left: DataFrame, right: DataFrame, key: str,
               left_ts: str = "ts", right_ts: str = "ts",
               right_cols: "list[str] | None" = None,
               suffix: str = "_asof", direction: str = "backward",
-              tolerance=None) -> DataFrame:
+              tolerance=None, time_buckets: "int | None" = None) -> DataFrame:
     """Backward as-of join: each left row picks up the right row with
     the GREATEST ``right_ts <= left_ts`` within the same ``key`` — the
     event-to-latest-snapshot join every feature/training pipeline
@@ -294,12 +294,15 @@ def asof_join(left: DataFrame, right: DataFrame, key: str,
     keep their left columns with NULL snapshot columns.
 
     Scale note: like any keyed window, each key's merged stream
-    executes in ONE task — right for the intended high-cardinality
-    keys (user/doc/entity ids). With only a handful of keys the
-    per-key sort serializes; the fix is the pack_sequences-style
-    two-phase plan (range-bucket the timeline per key, per-bucket
-    last-snapshot partials, broadcast the cumulative carry, map-only
-    apply) — not implemented because no cataloged use needs it.
+    executes in ONE task by default — right for the intended
+    high-cardinality keys (user/doc/entity ids). With only a handful
+    of keys, pass ``time_buckets=B`` for the two-phase plan: the
+    timeline range-buckets into B slices per key (window parallelism
+    becomes keys x B), a TINY per-(key, bucket) snapshot-summary
+    table computes the cross-bucket carry, and each row coalesces its
+    within-bucket match with the broadcast prior-bucket carry —
+    identical results (equivalence fuzz-tested both directions), no
+    single task ever walks a whole key.
     """
     from pyspark.sql.window import Window
 
@@ -328,14 +331,20 @@ def asof_join(left: DataFrame, right: DataFrame, key: str,
                      row.alias("__row"))
     u = l2.unionByName(r2.withColumn(
         "__row", F.lit(None).cast(l2.schema["__row"].dataType)))
-    base = Window.partitionBy("__k").orderBy("__ts", "__side")
-    if direction == "backward":
-        w = base.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        pick = F.last("__snap", ignorenulls=True)
+    if time_buckets:
+        carried = _asof_carry_bucketed(u, direction, r_side,
+                                       int(time_buckets))
     else:
-        w = base.rowsBetween(Window.currentRow, Window.unboundedFollowing)
-        pick = F.first("__snap", ignorenulls=True)
-    carried = u.withColumn("__last", pick.over(w))
+        base = Window.partitionBy("__k").orderBy("__ts", "__side")
+        if direction == "backward":
+            w = base.rowsBetween(Window.unboundedPreceding,
+                                 Window.currentRow)
+            pick = F.last("__snap", ignorenulls=True)
+        else:
+            w = base.rowsBetween(Window.currentRow,
+                                 Window.unboundedFollowing)
+            pick = F.first("__snap", ignorenulls=True)
+        carried = u.withColumn("__last", pick.over(w))
     if tolerance is not None:
         gap = (F.col("__ts") - F.col("__last.__rts")
                if direction == "backward"
@@ -346,3 +355,63 @@ def asof_join(left: DataFrame, right: DataFrame, key: str,
     sel.append(F.col("__last.__rts").alias(right_ts + suffix))
     sel += [F.col(f"__last.{c}").alias(c + suffix) for c in right_cols]
     return carried.where(F.col("__side") == F.lit(l_side)).select(*sel)
+
+
+def _asof_carry_bucketed(u: DataFrame, direction: str, r_side: int,
+                         n_buckets: int) -> DataFrame:
+    """Two-phase as-of carry for LOW-cardinality keys: slice the
+    timeline into ``n_buckets`` fixed-width buckets so the heavy
+    window partitions by (key, bucket) — keys x buckets parallel
+    tasks instead of one task per key. The cross-bucket hand-off is a
+    per-(key, bucket) summary of the right side (at most
+    keys x buckets rows — tiny by this mode's premise), cumulated per
+    key and broadcast back; each row coalesces its within-bucket
+    match with the prior-bucket carry. Equivalent to the single
+    window by the associativity of last-non-null."""
+    from pyspark.sql.window import Window
+
+    lo, hi = u.select(F.min(F.col("__ts").cast("double")),
+                      F.max(F.col("__ts").cast("double"))).first()
+    if lo is None or hi == lo:
+        bucket = F.lit(0)
+    else:
+        width = (hi - lo) / n_buckets
+        bucket = F.least(
+            F.lit(n_buckets - 1),
+            F.floor((F.col("__ts").cast("double") - F.lit(lo))
+                    / F.lit(width))).cast("int")
+    ub = u.withColumn("__b", bucket)
+    wb = Window.partitionBy("__k", "__b").orderBy("__ts", "__side")
+    if direction == "backward":
+        within = F.last("__snap", ignorenulls=True).over(
+            wb.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        summary, shift = F.max, (Window.unboundedPreceding, -1)
+    else:
+        within = F.first("__snap", ignorenulls=True).over(
+            wb.rowsBetween(Window.currentRow, Window.unboundedFollowing))
+        summary, shift = F.min, (1, Window.unboundedFollowing)
+    ub = ub.withColumn("__within", within)
+    # per-(key, bucket) right-side boundary snapshot (ties pre-deduped
+    # per the asof contract, so the (ts, snap) struct extremum is the
+    # bucket's as-of hand-off)
+    p = (ub.where(F.col("__side") == F.lit(r_side))
+         .groupBy("__k", "__b")
+         .agg(summary(F.struct(F.col("__ts"), F.col("__snap")))
+              .getField("__snap").alias("__bsnap")))
+    # densify over every bucket so rows in snapshot-free buckets still
+    # find their carry; keys x n_buckets rows — tiny by premise
+    grid = (u.select("__k").distinct()
+            .crossJoin(u.sparkSession.range(n_buckets)
+                       .select(F.col("id").cast("int").alias("__b"))))
+    wp = Window.partitionBy("__k").orderBy("__b").rowsBetween(*shift)
+    carry_fn = (F.last("__bsnap", ignorenulls=True)
+                if direction == "backward"
+                else F.first("__bsnap", ignorenulls=True))
+    carry = (grid.join(p, ["__k", "__b"], "left")
+             .withColumn("__prior", carry_fn.over(wp))
+             .select("__k", "__b", "__prior"))
+    out = (ub.join(F.broadcast(carry), ["__k", "__b"], "left")
+           .withColumn("__last", F.coalesce(F.col("__within"),
+                                            F.col("__prior")))
+           .drop("__b", "__within", "__prior"))
+    return out

@@ -437,3 +437,35 @@ def test_asof_join_randomized_parity_vs_duckdb(spark):
             f"SELECT l.event_id, r.t, r.val FROM l "
             f"ASOF LEFT JOIN r ON l.k = r.k AND l.t {op} r.t").fetchall()}
         assert got == want, direction
+
+
+def test_asof_join_bucketed_equals_default(spark):
+    """time_buckets two-phase plan == single-window plan, both
+    directions, with tolerance, under random cross-side ties."""
+    import numpy as np
+
+    from algebird_spark.operators.joins import asof_join
+    rng = np.random.default_rng(7)
+    lk = rng.integers(0, 3, 800); lt = rng.integers(0, 300, 800)
+    rk = rng.integers(0, 3, 120); rt = rng.integers(0, 300, 120)
+    left = spark.createDataFrame(
+        [(int(i), f"k{lk[i]}", int(lt[i])) for i in range(800)],
+        "event_id long, k string, t long")
+    seen, rrows = set(), []
+    for i in range(120):
+        kt = (f"k{rk[i]}", int(rt[i]))
+        if kt not in seen:
+            seen.add(kt)
+            rrows.append((kt[0], kt[1], float(i)))
+    right = spark.createDataFrame(rrows, "k string, t long, val double")
+
+    def run(**kw):
+        return {r["event_id"]: (r["t_asof"], r["val_asof"]) for r in
+                asof_join(left, right, key="k", left_ts="t",
+                          right_ts="t", **kw).collect()}
+
+    for direction in ("backward", "forward"):
+        for tol in (None, 10):
+            a = run(direction=direction, tolerance=tol)
+            b = run(direction=direction, tolerance=tol, time_buckets=8)
+            assert a == b, (direction, tol)
