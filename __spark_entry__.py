@@ -83,7 +83,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weighted_minhash_recall": Q.q_weighted_minhash_recall,
         "simhash_planted_recall": Q.q_simhash_planted_recall,
         "connected_components": Q.q_connected_components,
-        "dedup_clusters": Q.q_dedup_clusters,
+        "asof_join": Q.q_asof_join,  # NEW r6, rotated in late —
+        # union+window ASOF vs DuckDB's native ASOF JOIN row-for-row
+        # (displaced dedup_clusters; sibling connected_components —
+        # same star-contraction machinery — keeps the family's
+        # window signal)
         "doc_chunks": Q.q_doc_chunks,         # NEW r6, rotated in
         # (displaced duplicate_passages, driver-green r4-r5)
         "decontamination": Q.q_decontamination,
@@ -113,9 +117,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "skew_join_outer": Q.q_skew_join_outer,                # NEW r6
         "cdf_normalize_hicard": Q.q_cdf_normalize_hicard,      # NEW r6
         # === tail (51+): driver-green since r1-r5; local gate covers =====
-        "asof_join": Q.q_asof_join,  # NEW r6 (tail: window full; local
-        # gate value-hashes it vs DuckDB's NATIVE ASOF JOIN every round)
         "text_stats": Q.q_text_stats,  # driver-green r3-r5; rotated out r6
+        "dedup_clusters": Q.q_dedup_clusters,  # green r4-r5; out r6
         "doc_fingerprint": Q.q_doc_fingerprint,  # green r4-r5; out r6
         "duplicate_passages": Q.q_duplicate_passages,  # green r4-r5; out r6
         "text_quality": Q.q_text_quality,  # green r4-r5; out r6

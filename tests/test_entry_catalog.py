@@ -30,11 +30,11 @@ MUST_BE_IN_WINDOW = {
     "skew_join_outer", "cdf_normalize_hicard", "sketchmap_set",
     "topk_pruned", "weighted_sample", "index_dedup", "hll_rollup",
     "kll_rollup", "topk_rollup", "pii_scrub", "domain_stats",
-    "doc_chunks", "time_rollup",
+    "doc_chunks", "time_rollup", "asof_join",
     # training-data pipeline
     "dedup_exact",
     "minhash_lsh_recall", "weighted_minhash_recall",
-    "simhash_planted_recall", "connected_components", "dedup_clusters",
+    "simhash_planted_recall", "connected_components",
     "decontamination", "training_pipeline",
     # ANN
     "embedding_topk", "ivf_topk_exhaustive", "ivf_recall",
