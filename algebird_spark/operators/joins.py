@@ -52,7 +52,8 @@ __all__ = ["bloom_prune", "bloom_join", "hot_keys", "skew_join",
 
 def bloom_prune(big: DataFrame, keys: DataFrame, big_key: str, keys_key: str,
                 fp_prob: float = 0.01, num_entries: int | None = None,
-                fanout: int = 16) -> DataFrame:
+                fanout: int = 16,
+                max_collect_keys: int = 4_000_000) -> DataFrame:
     """Filter ``big`` to rows whose ``big_key`` *may* appear in
     ``keys[keys_key]``: a superset of the matching rows (no false
     negatives), with the non-matching residue bounded by the Bloom FPP.
@@ -61,13 +62,17 @@ def bloom_prune(big: DataFrame, keys: DataFrame, big_key: str, keys_key: str,
 
     Sizing: pass ``num_entries`` (e.g. from a checkpoint manifest) to
     build the filter distributed via ``sketch_global`` with zero sizing
-    job. When omitted, ONE job collects the small side's distinct
-    non-null keys (the distinct collapses map-side) and the driver
-    builds an exactly-sized filter — one fewer job than a count-then-
-    build, and multiple rows per key no longer oversize the filter.
-    Driver traffic is O(distinct keys), the same order as the Bloom
-    bytes it must hold and broadcast anyway; this path assumes the
-    ``keys`` side is dim-scale, which is the operator's premise.
+    job. When omitted, a LIMIT-probe first checks that the small side
+    really is dim-scale: if its distinct non-null key count stays
+    within ``max_collect_keys`` (default 4M, ~32 MB of int64 keys —
+    the same order as the Bloom bytes the driver must hold and
+    broadcast anyway), ONE job collects the distinct keys and the
+    driver builds an exactly-sized filter. A keys side that exceeds
+    the cap degrades gracefully instead of OOMing the driver: the
+    exact distinct count sizes the filter and the build runs
+    distributed via ``sketch_global`` (driver only ever sees merged
+    filter bytes). ``max_collect_keys=None`` disables the probe and
+    always collects (the pre-cap behavior).
 
     The returned DataFrame's filter is a vectorized Arrow-batch probe
     (one murmur128 call per batch) evaluated wherever ``big``'s scan
@@ -76,13 +81,19 @@ def bloom_prune(big: DataFrame, keys: DataFrame, big_key: str, keys_key: str,
     broadcast (one copy per executor, not per task).
     """
     if num_entries is None:
-        pdk = (keys.select(keys_key)
-               .where(F.col(keys_key).isNotNull())
-               .distinct().toPandas())
-        arr = pdk[keys_key].to_numpy()
-        bf = BloomFilter(num_entries=max(len(arr), 64), fp_prob=fp_prob)
-        bf.update_batch(arr)
-    else:
+        kd = (keys.select(keys_key)
+              .where(F.col(keys_key).isNotNull())
+              .distinct())
+        if (max_collect_keys is not None
+                and kd.limit(max_collect_keys + 1).count()
+                > max_collect_keys):
+            num_entries = kd.count()
+        else:
+            arr = kd.toPandas()[keys_key].to_numpy()
+            bf = BloomFilter(num_entries=max(len(arr), 64),
+                             fp_prob=fp_prob)
+            bf.update_batch(arr)
+    if num_entries is not None:
         bf = sketch_global(keys.where(F.col(keys_key).isNotNull()), keys_key,
                            lambda: BloomFilter(num_entries=num_entries,
                                                fp_prob=fp_prob),

@@ -134,8 +134,12 @@ def chunk_documents(df: DataFrame, max_tokens: int, overlap: int = 0,
     (``start + overlap >= n``) is dropped, so chunks are never
     redundant and every token appears in at least one chunk. Returns
     ``keep_cols..., chunk_idx, n_chunk_tokens, chunk_text`` (one row
-    per chunk; a doc shorter than ``max_tokens`` yields exactly one
-    chunk, its full text)."""
+    per chunk; a NON-NULL doc shorter than ``max_tokens`` yields
+    exactly one chunk, its full text). A NULL ``text_col`` yields ZERO
+    rows — ``posexplode`` over the NULL start sequence drops the doc,
+    matching SQL ``unnest(NULL)`` semantics (the DuckDB oracle agrees);
+    ``coalesce`` NULL text to ``''`` upstream if every doc id must
+    survive chunking."""
     if max_tokens < 1:
         raise ValueError("max_tokens must be >= 1")
     if overlap < 0 or overlap >= max_tokens:

@@ -203,13 +203,26 @@ def top_k_pruned(df: DataFrame, keys: Sequence[str], order_col: str, k: int,
 
     # exact-by-construction guard: every group must keep >= min(k, n)
     # non-null rows through the prune; n is the sketch's exact count.
-    # The count runs over the PRUNED set (tiny), not the input.
+    # The count runs over the PRUNED set (tiny), not the input. The
+    # join goes FROM cuts (every group is there by construction) so a
+    # group whose survivors were ALL pruned away still shows up, with
+    # __kept = 0 — an inner join from surviving rows would silently
+    # skip it (currently unreachable, since quantile cutoffs are
+    # actual data values and >= keeps them, but the guard must not
+    # depend on that invariant).
     kept = (survivors.filter(oc.isNotNull())
             .groupBy(*keys).agg(F.count(F.lit(1)).alias("__kept")))
-    kept = (kept.join(F.broadcast(cuts),
-                      _null_safe_on(kept, cuts, keys, kcols),
-                      "inner").drop(*kcols)
-            if keys else kept.crossJoin(F.broadcast(cuts)))
+    if keys:
+        kept = (cuts.join(kept, _null_safe_on(cuts, kept, kcols, keys),
+                          "left")
+                .select(*[F.col(a).alias(c)
+                          for a, c in zip(kcols, keys)],
+                        F.coalesce(F.col("__kept"), F.lit(0))
+                        .alias("__kept"), "__nv"))
+    else:
+        # global agg with no grouping always yields exactly one row
+        # (count 0 on empty input), so the cross join cannot vanish
+        kept = kept.crossJoin(F.broadcast(cuts))
     short = (kept.filter(F.col("__kept") < F.least(F.lit(k),
                                                    F.col("__nv")))
              .select(*keys).collect())

@@ -188,15 +188,20 @@ def q_topk_rollup(spark, sf):
     ROLLUP(l_returnflag, l_linestatus) from ONE scan:
     ``api.topk_rollup`` builds the finest SpaceSaver states once and
     merges STATES for the coarser levels (SpaceSaver.scala:124-160
-    merge). Capacity 4096 exceeds the supplier cardinality at every
-    fixture SF, so counts are exact and every row is guaranteed —
-    the oracle reproduces the full (level, rank, item, cnt) table
-    with SpaceSaver's tie rule (count desc, key asc)."""
+    merge). The exactness gate needs capacity > supplier cardinality
+    (a SpaceSaver that never evicts holds exact counts), so capacity
+    is DERIVED from the fixture — 4x the supplier table's row count
+    (one tiny-dim count job) with a 4096 floor — instead of a magic
+    constant that would silently go eviction-lossy (and oracle-red
+    with no hint why) on a bigger fixture. The oracle reproduces the
+    full (level, rank, item, cnt) table with SpaceSaver's tie rule
+    (count desc, key asc)."""
     from .api import topk_rollup
     li = _t(spark, sf, "lineitem")
+    n_supp = _t(spark, sf, "supplier").count()
     out = topk_rollup(li, "l_suppkey",
                       by=["l_returnflag", "l_linestatus"],
-                      k=5, capacity=4096)
+                      k=5, capacity=max(4096, 4 * n_supp))
     return out.withColumnRenamed("item", "l_suppkey")
 
 
@@ -1423,6 +1428,21 @@ def q_sketchmap_set(spark, sf):
     li = _t(spark, sf, "lineitem")
     slice_ = (li.filter(F.col("l_partkey") % 41 == 0)
               .select("l_suppkey", "l_partkey"))
+
+    # loud precondition instead of a silent scale-bound: the exactness
+    # gate's collision bound (expected foreign-value survivors < 1e-6)
+    # was derived for the sf<=0.1 fixtures (~1k suppliers, values held
+    # by ~dozens of keys, cells < max_exact=2048). A bigger fixture
+    # must re-derive width/depth/max_exact — fail with a message that
+    # says so rather than as an inscrutable oracle mismatch.
+    n_keys = slice_.select("l_suppkey").distinct().count()
+    if n_keys > 4000:
+        raise RuntimeError(
+            f"q_sketchmap_set: {n_keys} distinct keys exceeds the "
+            "sf<=0.1 design point (4000) this query's exactness gate "
+            "(max_exact=2048, width 680 x depth 7 collision bound) "
+            "was derived for; re-derive the SketchMapSet parameters "
+            "before running it on a larger fixture")
 
     def build_state():
         states = sketch_by_key_multi(

@@ -13,10 +13,18 @@ down ONCE and lets each increment probe it:
   shingle hashes per doc: the exact-verify side (the same
   ``shingle_hashes_udf`` kernel `jaccard_verify` uses), so verification
   against the index needs no access to the original corpus text.
-* ``path/_manifest.json`` — banding config + row counts, written
-  atomically (os.replace); a probe or append validates its config
-  against the manifest, so an index can never silently be probed with
-  mismatched signatures (same discipline as ``sources/checkpoint.py``).
+* ``path/_manifest.json`` — banding config + row counts + the list of
+  COMMITTED segments, written atomically (os.replace); a probe or
+  append validates its config against the manifest, so an index can
+  never silently be probed with mismatched signatures (same
+  discipline as ``sources/checkpoint.py``).
+
+Every write (initial build or append) stages into its own segment
+directory (``buckets/seg-N`` + ``shingles/seg-N``) and only then
+publishes the manifest naming it — readers scan ONLY manifest-listed
+segments, so a crash anywhere before the manifest publish leaves an
+orphan directory that no probe ever reads (no phantom candidates),
+and a retried append simply overwrites its own uncommitted segment.
 
 Probing broadcasts the INCREMENT's band buckets (a daily increment is
 dim-sized next to the corpus), so the index side never shuffles: scan
@@ -47,7 +55,7 @@ from ..operators.dedup import (_cache_scoped, _new_generation,
 __all__ = ["write_minhash_index", "near_dups_against_index",
            "read_index_manifest"]
 
-_VERSION = 1
+_VERSION = 2
 
 
 def _manifest_path(path: str) -> str:
@@ -114,15 +122,24 @@ def write_minhash_index(docs: DataFrame, path: str, *,
         if stored != cfg:
             raise ValueError(
                 f"index config mismatch: stored {stored} vs given {cfg}")
+        segments = list(m["segments"])
+    else:
+        segments = []
     docs = docs.select(F.col(id_col), F.col(text_col))
-    wmode = "append" if mode == "append" else "overwrite"
-    _bucket_rows(docs, id_col, text_col, cfg).write.mode(wmode) \
-        .parquet(os.path.join(path, "buckets"))
-    _shingle_rows(docs, id_col, text_col, cfg).write.mode(wmode) \
-        .parquet(os.path.join(path, "shingles"))
+    # stage into a fresh segment; the index becomes aware of it only
+    # at the manifest publish below. A crashed earlier attempt left an
+    # UNCOMMITTED dir under this same name — mode 'overwrite' reclaims
+    # it. (An overwrite of a shrunk index can likewise strand higher-
+    # numbered dirs on disk: harmless, never manifest-listed.)
+    seg = f"seg-{len(segments)}"
+    _bucket_rows(docs, id_col, text_col, cfg).write.mode("overwrite") \
+        .parquet(os.path.join(path, "buckets", seg))
+    _shingle_rows(docs, id_col, text_col, cfg).write.mode("overwrite") \
+        .parquet(os.path.join(path, "shingles", seg))
     n_new = docs.count()
     n_docs = n_new + (m["n_docs"] if mode == "append" else 0)
-    manifest = {"version": _VERSION, **cfg, "n_docs": n_docs}
+    manifest = {"version": _VERSION, **cfg, "n_docs": n_docs,
+                "segments": segments + [seg]}
     _write_manifest(path, manifest)
     return manifest
 
@@ -148,7 +165,14 @@ def near_dups_against_index(spark: SparkSession, path: str,
     — probing docs that were already appended to the index."""
     cfg = read_index_manifest(path)
     gen = _new_generation()
-    idx_b = spark.read.parquet(os.path.join(path, "buckets")) \
+
+    def _committed(kind: str) -> DataFrame:
+        # only manifest-listed segments: an orphan dir from a crashed
+        # (uncommitted) append is invisible to every probe
+        return spark.read.parquet(
+            *[os.path.join(path, kind, s) for s in cfg["segments"]])
+
+    idx_b = _committed("buckets") \
         .select(F.col("doc_id").alias("index_id"), "bucket")
     new_b = _bucket_rows(new_docs, id_col, text_col, cfg) \
         .select(F.col("doc_id").alias("new_id"), "bucket")
@@ -161,10 +185,12 @@ def near_dups_against_index(spark: SparkSession, path: str,
     if exclude_same_id:
         cand = cand.filter(F.col("index_id") != F.col("new_id"))
 
-    # dropDuplicates: a crash-retried append can leave duplicate
-    # shingle rows for a doc; the dedupe runs on the candidate-bounded
-    # slice (tiny), never the full index
-    idx_sh = (spark.read.parquet(os.path.join(path, "shingles"))
+    # dropDuplicates: segment-staged commits rule out crash-retry
+    # duplicates, but a caller CAN legitimately append a doc id twice
+    # (two committed segments); keep one shingle row per doc. The
+    # dedupe runs on the candidate-bounded slice (tiny), never the
+    # full index.
+    idx_sh = (_committed("shingles")
               .join(cand.select(F.col("index_id").alias("doc_id")),
                     "doc_id", "left_semi")
               .dropDuplicates(["doc_id"])

@@ -88,6 +88,44 @@ def test_append_cycle_and_config_guard(spark, tmp_path, corpus):
     assert (1011, 1011) not in got and (11, 1011) in got
 
 
+def test_crashed_append_segment_is_invisible(spark, tmp_path, corpus):
+    """A crash between the segment writes and the manifest publish
+    must leave the index exactly as it was: the orphan segment dirs
+    are never read by a probe (no phantom candidates), and a retried
+    append reclaims them."""
+    from algebird_spark.sources.lsh_index import (_bucket_rows,
+                                                  _shingle_rows)
+    import os
+    path = str(tmp_path / "idx4")
+    idx_docs = _mk_docs(spark, [r for r in corpus if r[0] < 1000])
+    new_docs = _mk_docs(spark, [r for r in corpus if r[0] >= 1000])
+    write_minhash_index(idx_docs, path, **CFG)
+    before = sorted((r["index_id"], r["new_id"]) for r in
+                    near_dups_against_index(spark, path, new_docs,
+                                            threshold=0.5).collect())
+    # simulate the crash: the next append's segment dirs exist on disk
+    # (and even contain duplicate-prone data — the probe docs
+    # themselves) but the manifest was never republished
+    docs = new_docs.select("doc_id", "text")
+    _bucket_rows(docs, "doc_id", "text", CFG).write.mode("overwrite") \
+        .parquet(os.path.join(path, "buckets", "seg-1"))
+    _shingle_rows(docs, "doc_id", "text", CFG).write.mode("overwrite") \
+        .parquet(os.path.join(path, "shingles", "seg-1"))
+    after = sorted((r["index_id"], r["new_id"]) for r in
+                   near_dups_against_index(spark, path, new_docs,
+                                           threshold=0.5).collect())
+    assert after == before  # orphans invisible: no self/phantom pairs
+    assert read_index_manifest(path)["segments"] == ["seg-0"]
+    # the retried append commits under the SAME segment name,
+    # reclaiming the orphan instead of stacking a duplicate of it
+    m = write_minhash_index(new_docs, path, mode="append", **CFG)
+    assert m["segments"] == ["seg-0", "seg-1"]
+    again = near_dups_against_index(spark, path, new_docs,
+                                    threshold=0.99)
+    got = {(r["index_id"], r["new_id"]) for r in again.collect()}
+    assert (1011, 1011) not in got and (11, 1011) in got
+
+
 def test_probe_plan_broadcasts_increment(spark, tmp_path, corpus):
     import io
     from contextlib import redirect_stdout
