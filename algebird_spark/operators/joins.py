@@ -272,11 +272,15 @@ def skew_join(big: DataFrame, small: DataFrame, big_key: str,
     return out
 
 
+_MAX_BUCKETED_KEYS = 100_000
+
+
 def asof_join(left: DataFrame, right: DataFrame, key: str,
               left_ts: str = "ts", right_ts: str = "ts",
               right_cols: "list[str] | None" = None,
               suffix: str = "_asof", direction: str = "backward",
-              tolerance=None, time_buckets: "int | None" = None) -> DataFrame:
+              tolerance=None,
+              time_buckets: "int | str | None" = "auto") -> DataFrame:
     """Backward as-of join: each left row picks up the right row with
     the GREATEST ``right_ts <= left_ts`` within the same ``key`` — the
     event-to-latest-snapshot join every feature/training pipeline
@@ -304,16 +308,32 @@ def asof_join(left: DataFrame, right: DataFrame, key: str,
     staleness cap pandas ``merge_asof`` users expect; rejected rows
     keep their left columns with NULL snapshot columns.
 
-    Scale note: like any keyed window, each key's merged stream
-    executes in ONE task by default — right for the intended
-    high-cardinality keys (user/doc/entity ids). With only a handful
-    of keys, pass ``time_buckets=B`` for the two-phase plan: the
-    timeline range-buckets into B slices per key (window parallelism
-    becomes keys x B), a TINY per-(key, bucket) snapshot-summary
-    table computes the cross-bucket carry, and each row coalesces its
-    within-bucket match with the broadcast prior-bucket carry —
-    identical results (equivalence fuzz-tested both directions), no
-    single task ever walks a whole key.
+    Scale note: a keyed window executes each key's merged stream in
+    ONE task — right for high-cardinality keys (user/doc/entity ids),
+    serial for a handful of keys. ``time_buckets=B`` selects the
+    two-phase plan instead: the timeline slices into B QUANTILE
+    buckets per key (window parallelism becomes keys x B), a TINY
+    per-(key, bucket) snapshot-summary table computes the
+    cross-bucket carry, and each row coalesces its within-bucket
+    match with the broadcast prior-bucket carry — identical results
+    (equivalence fuzz-tested both directions), no single task ever
+    walks a whole key. Bucket boundaries come from one JVM
+    ``percentile_approx`` pass over the merged timeline (NOT fixed
+    min/max slices — a bursty timeline with most rows in one epoch
+    would collapse fixed-width buckets back into one task; equi-depth
+    quantile cuts keep every slice ~1/B of the ROWS regardless of
+    time skew).
+
+    The default ``time_buckets='auto'`` picks the mode from a cheap
+    key-cardinality probe (one column-pruned ``approx_count_distinct``
+    agg over the union — HLL map-side, no shuffle of data rows):
+    >= 4x the cluster parallelism distinct keys runs the plain keyed
+    window; fewer buckets the timeline so keys x B covers the
+    cluster. Pass ``None`` to force the window plan (skips the probe)
+    or an explicit ``B`` to force bucketing. Bucketed mode refuses
+    >100k keys loudly (its per-(key, bucket) grid and broadcast carry
+    are sized for the low-cardinality premise; the plain window IS
+    the scale path at that cardinality).
     """
     from pyspark.sql.window import Window
 
@@ -342,6 +362,21 @@ def asof_join(left: DataFrame, right: DataFrame, key: str,
                      row.alias("__row"))
     u = l2.unionByName(r2.withColumn(
         "__row", F.lit(None).cast(l2.schema["__row"].dataType)))
+    if time_buckets == "auto":
+        # mode probe: map-side HLL over the pruned key column; only
+        # sketch states shuffle. Exactness is irrelevant here — the
+        # estimate only steers the PLAN (either mode is exact), the
+        # same contract as hot_keys/bloom_prune. Spark's builtin HLL++
+        # keeps the probe in codegen; persisting/merging cardinality
+        # state across runs is what this repo's HLL sketch is for.
+        par = u.sparkSession.sparkContext.defaultParallelism
+        n_keys = u.agg(F.approx_count_distinct("__k")).first()[0]
+        if n_keys >= 4 * par:
+            time_buckets = None
+        else:
+            import math
+            time_buckets = min(256, max(8, math.ceil(
+                4 * par / max(n_keys, 1))))
     if time_buckets:
         carried = _asof_carry_bucketed(u, direction, r_side,
                                        int(time_buckets))
@@ -371,26 +406,44 @@ def asof_join(left: DataFrame, right: DataFrame, key: str,
 def _asof_carry_bucketed(u: DataFrame, direction: str, r_side: int,
                          n_buckets: int) -> DataFrame:
     """Two-phase as-of carry for LOW-cardinality keys: slice the
-    timeline into ``n_buckets`` fixed-width buckets so the heavy
+    timeline into up to ``n_buckets`` EQUI-DEPTH buckets so the heavy
     window partitions by (key, bucket) — keys x buckets parallel
-    tasks instead of one task per key. The cross-bucket hand-off is a
-    per-(key, bucket) summary of the right side (at most
-    keys x buckets rows — tiny by this mode's premise), cumulated per
+    tasks instead of one task per key. Boundaries are timeline
+    quantiles from one ``percentile_approx`` pass (Greenwald-Khanna,
+    JVM-side — replaces the min/max action the fixed-width variant
+    ran, so plan-time driver work stays one scalar job): every bucket
+    holds ~1/n_buckets of the ROWS no matter how bursty the timeline,
+    where fixed-width slices would dump a clustered epoch into one
+    bucket and recreate the serial task this mode exists to fix.
+    Repeated quantiles (a spike bigger than 1/n_buckets at ONE
+    timestamp) collapse into fewer, wider buckets — equal timestamps
+    can never split across buckets, which also preserves the
+    tie-ordering contract. The cross-bucket hand-off is a per-(key,
+    bucket) summary of the right side (at most keys x buckets rows —
+    tiny by this mode's premise, and guarded: >_MAX_BUCKETED_KEYS
+    keys raises rather than densifying a huge grid), cumulated per
     key and broadcast back; each row coalesces its within-bucket
     match with the prior-bucket carry. Equivalent to the single
     window by the associativity of last-non-null."""
     from pyspark.sql.window import Window
 
-    lo, hi = u.select(F.min(F.col("__ts").cast("double")),
-                      F.max(F.col("__ts").cast("double"))).first()
-    if lo is None or hi == lo:
-        bucket = F.lit(0)
+    td = F.col("__ts").cast("double")
+    qs = [i / n_buckets for i in range(1, n_buckets)]
+    cut_row = u.select(F.percentile_approx(
+        td, F.array(*[F.lit(q) for q in qs]), F.lit(10_000))
+        .alias("__cuts")).first()
+    bounds = sorted({b for b in (cut_row["__cuts"] or []) if b is not None})
+    if not bounds:
+        bucket, eff_buckets = F.lit(0), 1
     else:
-        width = (hi - lo) / n_buckets
-        bucket = F.least(
-            F.lit(n_buckets - 1),
-            F.floor((F.col("__ts").cast("double") - F.lit(lo))
-                    / F.lit(width))).cast("int")
+        # equi-depth assignment: bucket = #boundaries at-or-below ts
+        # (n_buckets-1 codegen comparisons per row; bounded by the
+        # mode's premise of modest B)
+        bucket = F.lit(0)
+        for b in bounds:
+            bucket = bucket + (td >= F.lit(b)).cast("int")
+        eff_buckets = len(bounds) + 1
+    n_buckets = eff_buckets
     ub = u.withColumn("__b", bucket)
     wb = Window.partitionBy("__k", "__b").orderBy("__ts", "__side")
     if direction == "backward":
@@ -410,10 +463,22 @@ def _asof_carry_bucketed(u: DataFrame, direction: str, r_side: int,
          .agg(summary(F.struct(F.col("__ts"), F.col("__snap")))
               .getField("__snap").alias("__bsnap")))
     # densify over every bucket so rows in snapshot-free buckets still
-    # find their carry; keys x n_buckets rows — tiny by premise
-    grid = (u.select("__k").distinct()
-            .crossJoin(u.sparkSession.range(n_buckets)
-                       .select(F.col("id").cast("int").alias("__b"))))
+    # find their carry; keys x n_buckets rows — tiny by premise, and
+    # the premise is ENFORCED: misusing bucketed mode on a
+    # high-cardinality key would densify a huge grid and broadcast a
+    # huge carry, so fail loudly instead (the LIMIT probe caps the
+    # count scan; the distinct result is reused by the grid below)
+    kdf = u.select("__k").distinct()
+    nk = kdf.limit(_MAX_BUCKETED_KEYS + 1).count()
+    if nk > _MAX_BUCKETED_KEYS:
+        raise ValueError(
+            f"asof_join bucketed mode saw more than {_MAX_BUCKETED_KEYS} "
+            "distinct keys; the per-(key, bucket) grid/broadcast-carry "
+            "design is for LOW key cardinality — use the default keyed "
+            "window (time_buckets=None), which parallelizes by key at "
+            "this cardinality")
+    grid = (kdf.crossJoin(u.sparkSession.range(n_buckets)
+                          .select(F.col("id").cast("int").alias("__b"))))
     wp = Window.partitionBy("__k").orderBy("__b").rowsBetween(*shift)
     carry_fn = (F.last("__bsnap", ignorenulls=True)
                 if direction == "backward"

@@ -70,7 +70,7 @@ def main():
     # alternate, best of 2 per plan
     results = {}
     for trial in range(2):
-        for name, kw in (("single_window", {}),
+        for name, kw in (("single_window", {"time_buckets": None}),
                          ("bucketed_64", {"time_buckets": BUCKETS})):
             t, c = timed(**kw)
             if name not in results or t < results[name][0]:

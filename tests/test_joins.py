@@ -466,6 +466,94 @@ def test_asof_join_bucketed_equals_default(spark):
 
     for direction in ("backward", "forward"):
         for tol in (None, 10):
-            a = run(direction=direction, tolerance=tol)
+            a = run(direction=direction, tolerance=tol,
+                    time_buckets=None)
             b = run(direction=direction, tolerance=tol, time_buckets=8)
-            assert a == b, (direction, tol)
+            c = run(direction=direction, tolerance=tol)  # 'auto'
+            assert a == b == c, (direction, tol)
+
+
+def test_asof_join_auto_mode_selection(spark):
+    """'auto' buckets a handful of keys (plan shows the __b grid join)
+    and stays on the plain keyed window at high key cardinality."""
+    import io
+    from contextlib import redirect_stdout
+
+    from algebird_spark.operators.joins import asof_join
+
+    def plan_of(n_keys):
+        left = spark.range(400).select(
+            F.col("id").alias("event_id"),
+            (F.col("id") % n_keys).alias("k"),
+            (F.col("id") * 7 % 1000).alias("t"))
+        right = spark.range(50).select(
+            (F.col("id") % n_keys).alias("k"),
+            (F.col("id") * 13 % 1000).alias("t"),
+            F.col("id").cast("double").alias("val"))
+        out = asof_join(left, right, key="k", left_ts="t", right_ts="t")
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            out.explain("formatted")
+        return buf.getvalue()
+
+    # local[4] session: threshold = 4 * defaultParallelism = 16 keys
+    assert "__b" in plan_of(2)        # 2 keys -> bucketed two-phase
+    assert "__b" not in plan_of(200)  # 200 keys -> plain keyed window
+
+
+def test_asof_join_bucketed_bursty_timeline_and_guard(spark):
+    """Quantile boundaries keep buckets equi-depth on a bursty
+    timeline (fixed-width slices would put ~99% of rows in one
+    bucket), results still match the window plan; and bucketed mode
+    on a high-cardinality key fails loudly instead of densifying the
+    per-(key, bucket) grid."""
+    import pytest as _pytest
+
+    from algebird_spark.operators import joins as J
+
+    # 990 rows clustered in [0, 100), 10 stragglers out to 1e9
+    left = spark.range(1000).select(
+        F.col("id").alias("event_id"), F.lit("k").alias("k"),
+        F.when(F.col("id") < 990, F.col("id") % 100)
+        .otherwise((F.col("id") - 989) * 100_000_000).alias("t"))
+    right = spark.range(40).select(
+        F.lit("k").alias("k"), (F.col("id") * 7).alias("t"),
+        F.col("id").cast("double").alias("val"))
+
+    def run(tb):
+        return {r["event_id"]: (r["t_asof"], r["val_asof"]) for r in
+                J.asof_join(left, right, key="k", left_ts="t",
+                            right_ts="t", time_buckets=tb).collect()}
+
+    assert run(8) == run(None)
+
+    # equi-depth property of the assignment rule itself: replicate
+    # the union + boundary computation and histogram the buckets
+    B = 8
+    u = left.select(F.col("t").cast("double").alias("__ts")).unionAll(
+        right.select(F.col("t").cast("double").alias("__ts")))
+    cuts = u.select(F.percentile_approx(
+        "__ts", F.array(*[F.lit(i / B) for i in range(1, B)]),
+        F.lit(10_000)).alias("c")).first()["c"]
+    bounds = sorted({c for c in cuts if c is not None})
+    assert len(bounds) >= 4  # bursty but not degenerate: real cuts
+    bexpr = F.lit(0)
+    for b in bounds:
+        bexpr = bexpr + (F.col("__ts") >= F.lit(b)).cast("int")
+    hist = [r["n"] for r in
+            u.groupBy(bexpr.alias("__b")).agg(F.count("*").alias("n"))
+            .collect()]
+    n = sum(hist)
+    # fixed-width would give max share ~0.99; quantile cuts bound it
+    assert max(hist) / n <= 3.0 / len(bounds)
+
+    # guard: >100k distinct keys in bucketed mode must raise
+    many = spark.range(J._MAX_BUCKETED_KEYS + 50).select(
+        F.col("id").alias("event_id"), F.col("id").alias("k"),
+        (F.col("id") % 97).alias("t"))
+    rsmall = spark.range(10).select(
+        F.col("id").alias("k"), F.col("id").alias("t"),
+        F.col("id").cast("double").alias("val"))
+    with _pytest.raises(ValueError, match="distinct keys"):
+        J.asof_join(many, rsmall, key="k", left_ts="t", right_ts="t",
+                    time_buckets=4).collect()
