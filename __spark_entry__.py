@@ -183,6 +183,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_string_distinct": Q.q_hll_string_distinct,
         "cms_string_keys": Q.q_cms_string_keys,
         "spacesaver_string_topk": Q.q_spacesaver_string_topk,
+        "asof_rollup": Q.q_asof_rollup,                # NEW r7
         # --- rows-only by declared design (no SQL-expressible oracle) -----
         "simhash_near_dup": Q.q_simhash_near_dup,      # rows-only
         "minhash_near_dup": Q.q_minhash_near_dup,      # rows-only
@@ -248,6 +249,26 @@ def oracle_sql() -> dict[str, str]:
             SELECT l_returnflag, l_linestatus, grouping_id, p,
                    ROUND(qs[i], 4) AS exact_pct, TRUE AS kll_ok
             FROM q, ps
+        """,
+        # composition: native ASOF JOIN + GROUPING SETS vs the
+        # union+window carry + HLL state-merge rollup
+        "asof_rollup": """
+            WITH snaps AS (
+              SELECT user_id, ts, value AS snap_value
+              FROM events WHERE event_type = 'purchase'),
+            e AS (
+              SELECT l.user_id, l.event_type,
+                     (s.ts IS NOT NULL) AS has_snap
+              FROM events l ASOF LEFT JOIN snaps s
+                ON l.user_id = s.user_id AND l.ts >= s.ts)
+            SELECT event_type,
+                   COALESCE(CAST(has_snap AS VARCHAR), 'all')
+                       AS has_snap,
+                   CAST(GROUPING(event_type, has_snap) AS BIGINT)
+                       AS grouping_id,
+                   COUNT(DISTINCT user_id) AS exact_distinct,
+                   TRUE AS hll_ok
+            FROM e GROUP BY ROLLUP(event_type, has_snap)
         """,
         "asof_join": """
             WITH snaps AS (
@@ -886,6 +907,35 @@ def oracle_sql() -> dict[str, str]:
                               * 10000 + 0.5) AS BIGINT) AS jaccard_m4
             FROM c
             WHERE common::DOUBLE / (n_a + n_b - common) >= 0.5
+        """,
+        # exact inverted-index Jaccard — equality with the LSH answer
+        # is deterministic on these fixtures (see q_minhash_near_dup:
+        # output subseteq exact always; seed-fixed banding misses
+        # nothing at the fixtures' j >= 0.8, verified at all 3 SFs)
+        "minhash_near_dup": """
+            WITH toks AS (
+              SELECT doc_id,
+                     regexp_split_to_array(TRIM(lower(text)), '\\s+') AS t
+              FROM documents WHERE TRIM(text) <> ''),
+            sh AS (
+              SELECT doc_id,
+                     list_distinct([array_to_string(t[i:i+2], ' ')
+                                    FOR i IN generate_series(
+                                        1, greatest(len(t)-2, 1))]) AS sh
+              FROM toks),
+            ex AS (SELECT doc_id, len(sh) AS n, unnest(sh) AS s FROM sh),
+            j AS (SELECT a.doc_id AS id_a, a.n AS n_a,
+                         b.doc_id AS id_b, b.n AS n_b
+                  FROM ex a JOIN ex b
+                    ON a.s = b.s AND a.doc_id < b.doc_id),
+            c AS (SELECT id_a, id_b, COUNT(*) AS common,
+                         MIN(n_a) AS n_a, MIN(n_b) AS n_b
+                  FROM j GROUP BY id_a, id_b)
+            SELECT id_a, id_b,
+                   CAST(FLOOR(common::DOUBLE / (n_a + n_b - common)
+                              * 10000 + 0.5) AS BIGINT) AS jaccard_m4
+            FROM c
+            WHERE common::DOUBLE / (n_a + n_b - common) >= 0.7
         """,
         "streaming_sessions": _SESSIONS_ORACLE,
         "skew_join_outer": """

@@ -427,7 +427,11 @@ def _asof_carry_bucketed(u: DataFrame, direction: str, r_side: int,
     window by the associativity of last-non-null."""
     from pyspark.sql.window import Window
 
-    td = F.col("__ts").cast("double")
+    # TIMESTAMP_NTZ refuses a direct double cast in Spark 4; route
+    # timestamps through TIMESTAMP (session tz pinned) -> epoch double
+    ts_type = u.schema["__ts"].dataType.simpleString()
+    td = (F.col("__ts").cast("timestamp").cast("double")
+          if "timestamp" in ts_type else F.col("__ts").cast("double"))
     qs = [i / n_buckets for i in range(1, n_buckets)]
     cut_row = u.select(F.percentile_approx(
         td, F.array(*[F.lit(q) for q in qs]), F.lit(10_000))

@@ -226,6 +226,71 @@ def q_asof_join(spark, sf):
         F.round(F.col("snap_value_asof"), 6).alias("snap_value"))
 
 
+def q_asof_rollup(spark, sf):
+    """Operator COMPOSITION under one hash (r6 VERDICT #6): the
+    feature-store shape — asof_join enriches every event with whether
+    the user had a purchase snapshot at-or-before it, then
+    ``sketch_rollup`` counts distinct users per (event_type,
+    has_snap) level, (event_type), and grand total from ONE scan of
+    the joined stream. Two engines compose two entirely different
+    algorithms (union+window carry + HLL state merges vs DuckDB's
+    native ASOF JOIN + GROUPING SETS) and must agree on every exact
+    count, with the HLL estimate inside its 3.5-sigma bound at every
+    level. The joined stream persists once (two consumers: sketch
+    side + exact side, submitted concurrently)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from .operators.dedup import _cache_scoped
+    from .operators.joins import asof_join
+
+    ev = _t(spark, sf, "events")
+    snaps = (ev.filter(F.col("event_type") == "purchase")
+             .select("user_id", "ts", F.col("value").alias("snap_value")))
+    joined = asof_join(ev, snaps, key="user_id",
+                       left_ts="ts", right_ts="ts")
+    enriched = joined.select(
+        "user_id", "event_type",
+        F.col("ts_asof").isNotNull().alias("has_snap"))
+    enriched = _cache_scoped("asof_rollup_enriched", enriched)
+    enriched.count()
+    p = 14
+
+    def sketch_side():
+        states = sketch_rollup(enriched, ["event_type", "has_snap"],
+                               "user_id", lambda: HLL(p=p))
+        est = with_presented(states, lambda sk: {"est": sk.estimate()},
+                             "est double")
+        return est.collect()
+
+    def exact_side():
+        return (enriched.rollup("event_type", "has_snap")
+                .agg(F.count_distinct("user_id").alias("exact_distinct"),
+                     F.grouping_id().alias("grouping_id"))).collect()
+
+    with ThreadPoolExecutor(2) as pool:
+        f_sk, f_ex = pool.submit(sketch_side), pool.submit(exact_side)
+        est_rows, exact_rows = f_sk.result(), f_ex.result()
+    exact = {(r["event_type"], r["has_snap"], r["grouping_id"]): r
+             for r in exact_rows}
+    bound = 3.5 * 1.04 / math.sqrt(2 ** p)
+    rows = []
+    for r in est_rows:
+        key = (r["event_type"], r["has_snap"], r["grouping_id"])
+        ex = exact[key]["exact_distinct"]
+        # NULL booleans round-trip as NaN through the DuckDB->pandas
+        # hash path; encode the rolled-up level as the string 'all'
+        hs = "all" if key[1] is None else ("true" if key[1] else "false")
+        rows.append(Row(event_type=key[0], has_snap=hs,
+                        grouping_id=int(key[2]), exact_distinct=int(ex),
+                        hll_ok=bool(abs(r["est"] - ex) / ex <= bound)))
+    return spark.createDataFrame(rows, StructType([
+        StructField("event_type", StringType(), True),
+        StructField("has_snap", StringType(), False),
+        StructField("grouping_id", LongType(), False),
+        StructField("exact_distinct", LongType(), False),
+        StructField("hll_ok", BooleanType(), False)]))
+
+
 def q_time_rollup(spark, sf):
     """Distinct active users at every grain of the time hierarchy —
     (day, hour), (day), grand total — from ONE scan of events:
@@ -959,12 +1024,27 @@ def q_simhash_near_dup(spark, sf):
 
 
 def q_minhash_near_dup(spark, sf):
-    """MinHash-LSH candidates verified with exact shingle Jaccard >= 0.7.
-    Rows-only check (LSH recall < 1 by design)."""
+    """MinHash-LSH candidates verified with exact shingle Jaccard
+    >= 0.7 — VALUE-checked since r7 (the index_dedup argument,
+    promoted off the rows-only list per the r6 VERDICT): the output
+    is always a SUBSET of the exact pair set (candidates are verified
+    with exact Jaccard before the threshold filter — false positives
+    cannot survive), and on these fixtures it EQUALS it, because
+    every qualifying pair sits at j >= 0.8 where the seed-fixed 16x4
+    banding's miss probability is <= 2.2e-4 per pair (1-(1-j^4))^16
+    at j=0.8; <= 1.6e-7 at the j >= 0.889 bulk) — and the signatures
+    are deterministic murmur mixes, so 'no miss' was checked ONCE per
+    fixture (pair sets exactly equal at sf0.001/0.01/0.1) and holds
+    on every rerun. The oracle is DuckDB's exact inverted-index
+    Jaccard join; jaccard is an exact integer ratio on both sides,
+    reported with the stable floor(j*10000+0.5) convention."""
     docs = _t(spark, sf, "documents")
     out = dedup.near_dup_pairs_minhash(docs, "doc_id", "text",
                                        num_perm=64, bands=16, threshold=0.7)
-    return out.select("id_a", "id_b", F.round("jaccard", 2).alias("jaccard"))
+    return out.select(
+        "id_a", "id_b",
+        F.floor(F.col("jaccard") * 10000 + 0.5).cast("long")
+        .alias("jaccard_m4"))
 
 
 def q_embedding_topk(spark, sf):
