@@ -184,6 +184,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cms_string_keys": Q.q_cms_string_keys,
         "spacesaver_string_topk": Q.q_spacesaver_string_topk,
         "asof_rollup": Q.q_asof_rollup,                # NEW r7
+        "wav_features": Q.q_wav_features,              # NEW r7
         # --- rows-only by declared design (no SQL-expressible oracle) -----
         "simhash_near_dup": Q.q_simhash_near_dup,      # rows-only
         "minhash_near_dup": Q.q_minhash_near_dup,      # rows-only
@@ -1337,6 +1338,18 @@ def oracle_sql() -> dict[str, str]:
                      (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 5))
                    AS n_queries,
                    TRUE AS recall_ok
+        """,
+        # real WAV decode: n_bytes comes from the RIFF/PCM16 framing
+        # (44-byte header + 2 bytes/sample at 8 kHz), the verdicts
+        # from the planted silent-half structure — both engine-free
+        "wav_features": """
+            SELECT printf('w%05d', i) AS media_id,
+                   CAST(44 + 2 * (8000 * (250 + 50 * (i % 4)) / 1000)
+                        AS INT) AS n_bytes,
+                   TRUE AS feat_dim_ok,
+                   TRUE AS feat_range_ok,
+                   TRUE AS silence_split_ok
+            FROM generate_series(0, 59) AS t(i)
         """,
         "multimodal_features": """
             WITH m AS (

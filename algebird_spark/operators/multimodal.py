@@ -179,11 +179,88 @@ class AVVideoCodec:
         return out
 
 
+class WaveAudioCodec:
+    """REAL audio decode with zero dependencies: stdlib ``wave`` +
+    ``audioop``-free numpy PCM parsing for RIFF/WAVE payloads (8/16/32
+    bit integer PCM, any channel count — first channel used). Same
+    feature derivation as :class:`SoundfileAudioCodec` (``feat_dim``
+    mean-absolute-amplitude bins over time, peak-normalized to
+    [0, 1)), so the two are drop-in replacements for WAV payloads and
+    the silence/energy structure of a clip survives into the feature.
+    Non-WAV payloads raise ``wave.Error`` per clip — this codec is for
+    pipelines whose audio column really is WAV; arbitrary containers
+    need ``soundfile``."""
+
+    def __init__(self, feat_dim: int = 16):
+        self.feat_dim = feat_dim
+
+    def decode_features(self, payload: bytes) -> np.ndarray:
+        import io
+        import wave
+        with wave.open(io.BytesIO(payload), "rb") as w:
+            n_ch = w.getnchannels()
+            width = w.getsampwidth()
+            frames = w.readframes(w.getnframes())
+        if width == 1:
+            # WAV 8-bit is UNSIGNED, midpoint 128
+            data = (np.frombuffer(frames, dtype=np.uint8)
+                    .astype(np.float64) - 128.0) / 128.0
+        elif width == 2:
+            data = np.frombuffer(frames, dtype="<i2") \
+                .astype(np.float64) / 32768.0
+        elif width == 4:
+            data = np.frombuffer(frames, dtype="<i4") \
+                .astype(np.float64) / 2147483648.0
+        else:
+            raise ValueError(f"unsupported PCM sample width {width}")
+        mono = np.abs(data[::n_ch])
+        if mono.size == 0:
+            return np.zeros(self.feat_dim, dtype=np.float32)
+        pad = (-mono.size) % self.feat_dim
+        mono = np.pad(mono, (0, pad))
+        bins = mono.reshape(self.feat_dim, -1).mean(axis=1)
+        # clamp AFTER the float32 cast (see SoundfileAudioCodec)
+        scaled = (bins / (bins.max() + 1e-9)).astype(np.float32)
+        return _clamp_unit_f32(scaled)
+
+
+def synth_wav_bytes(freq_hz: float, duration_ms: int, rate: int = 8000,
+                    amplitude: float = 0.5,
+                    silence_tail: float = 0.0) -> bytes:
+    """Deterministic PCM16 mono WAV bytes (stdlib ``wave`` writer):
+    a sine at ``freq_hz`` with the trailing ``silence_tail`` fraction
+    zeroed — the planted structure the codec tests/queries verify
+    (energy in the leading bins, exact zero in the tail bins). Framing
+    is fixed: 44-byte RIFF header + 2 bytes/sample, so
+    ``len == 44 + 2 * (rate * duration_ms // 1000)`` is reproducible
+    in SQL."""
+    import io
+    import wave
+    n = rate * duration_ms // 1000
+    t = np.arange(n, dtype=np.float64) / rate
+    sig = amplitude * np.sin(2 * np.pi * freq_hz * t)
+    if silence_tail > 0:
+        sig[int(n * (1.0 - silence_tail)):] = 0.0
+    pcm = np.round(sig * 32767.0).astype("<i2")
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(rate)
+        w.writeframes(pcm.tobytes())
+    return buf.getvalue()
+
+
 def default_audio_codec(feat_dim: int = 16):
+    """Best available REAL audio decode: ``soundfile`` (any container)
+    when installed, else the dependency-free :class:`WaveAudioCodec`
+    (PCM WAV only). Callers whose audio payloads are not WAV and who
+    may run without soundfile should pass an explicit codec (e.g.
+    :class:`DeterministicFakeCodec` for plumbing tests)."""
     try:
         return SoundfileAudioCodec(feat_dim)
     except ImportError:
-        return DeterministicFakeCodec(feat_dim)
+        return WaveAudioCodec(feat_dim)
 
 
 def default_video_codec(feat_dim: int = 16):

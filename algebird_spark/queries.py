@@ -1114,6 +1114,39 @@ def q_multimodal_features(spark, sf):
          .alias("feat_batch_invariant"))
 
 
+def q_wav_features(spark, sf):
+    """REAL audio decode, value-checked (round 7 — closes the 'codec
+    reality' brief item without new dependencies): 60 deterministic
+    PCM16 WAV clips (stdlib ``wave`` writer — sine at
+    200+40*(i%5) Hz, 250+50*(i%4) ms at 8 kHz, back half silenced)
+    flow through the same ``extract_features`` mapInPandas plumbing
+    with :class:`multimodal.WaveAudioCodec` (stdlib ``wave`` reader +
+    numpy PCM parse). The exact column reproduces in SQL from the WAV
+    FORMAT itself — ``n_bytes = 44 + 2*samples`` (RIFF header + PCM16
+    framing) — and the verdicts pin decode SEMANTICS no payload-hash
+    fake can fake: the planted silent half must come back as exact
+    zero bins and the sine half as near-peak bins."""
+    from .operators.multimodal import WaveAudioCodec, synth_wav_bytes
+    rows = [(f"w{i:05d}", "audio",
+             bytearray(synth_wav_bytes(200.0 + 40 * (i % 5),
+                                       250 + 50 * (i % 4), rate=8000,
+                                       silence_tail=0.5)))
+            for i in range(60)]
+    media = spark.createDataFrame(
+        rows, "media_id string, kind string, payload binary")
+    feats = multimodal.extract_features(media, WaveAudioCodec(16))
+    head = F.slice("feature", 1, 8)
+    tail = F.slice("feature", 9, 8)
+    return feats.select(
+        "media_id", "n_bytes",
+        (F.size("feature") == 16).alias("feat_dim_ok"),
+        (F.forall("feature", lambda x: (x >= 0.0) & (x < 1.0)))
+        .alias("feat_range_ok"),
+        ((F.array_min(head) > 0.5)
+         & (F.array_max(tail) == F.lit(0.0).cast("float")))
+        .alias("silence_split_ok"))
+
+
 # ===========================================================================
 # round-1b: QTree / SpaceSaver / SetSize / time-indexed sketch queries
 # ===========================================================================

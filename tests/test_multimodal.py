@@ -90,11 +90,16 @@ def test_codec_contract_holds_for_any_conformant_codec(spark):
 def test_audio_video_codecs_probe_at_construction():
     """soundfile/PyAV are absent in this container: the real codec
     classes must raise ImportError at CONSTRUCTION (the PILImageCodec
-    pattern) and the default_* helpers must fall back to the fake."""
+    pattern). default_video_codec falls back to the fake;
+    default_audio_codec now falls back to the REAL stdlib WAV codec
+    (round 7)."""
     import pytest
     from algebird_spark.operators import multimodal as mm
-    for cls, default in ((mm.SoundfileAudioCodec, mm.default_audio_codec),
-                         (mm.AVVideoCodec, mm.default_video_codec)):
+    for cls, default, fallback in (
+            (mm.SoundfileAudioCodec, mm.default_audio_codec,
+             mm.WaveAudioCodec),
+            (mm.AVVideoCodec, mm.default_video_codec,
+             mm.DeterministicFakeCodec)):
         try:
             cls(16)
             real_available = True
@@ -104,7 +109,61 @@ def test_audio_video_codecs_probe_at_construction():
         if real_available:  # pragma: no cover - env-dependent
             assert isinstance(codec, cls)
         else:
-            assert isinstance(codec, mm.DeterministicFakeCodec)
+            assert isinstance(codec, fallback)
+
+
+def test_wave_codec_real_decode():
+    """WaveAudioCodec actually DECODES: planted silence tail lands as
+    exact zeros in the tail bins and full energy in the head bins —
+    structure no payload-hash fake can reproduce; 8/16/32-bit and
+    stereo payloads agree; non-WAV bytes raise."""
+    import wave as wave_mod
+
+    import numpy as np
+    import pytest
+
+    from algebird_spark.operators import multimodal as mm
+
+    codec = mm.WaveAudioCodec(16)
+    pay = mm.synth_wav_bytes(200.0, 400, rate=8000, silence_tail=0.5)
+    # framing contract: 44-byte header + 2 bytes/sample
+    assert len(pay) == 44 + 2 * (8000 * 400 // 1000)
+    f = codec.decode_features(pay)
+    assert f.shape == (16,) and f.dtype == np.float32
+    assert (f >= 0).all() and (f < 1).all()
+    assert f[:8].min() > 0.5          # sine half: every bin energized
+    assert np.abs(f[8:]).max() == 0.0  # silent half: exact zeros
+
+    # width/channel invariance: same sine as 8-bit, 32-bit, stereo
+    import io
+
+    def rewrite(width, channels):
+        with wave_mod.open(io.BytesIO(pay), "rb") as r:
+            pcm = np.frombuffer(r.readframes(r.getnframes()), dtype="<i2")
+        sig = pcm.astype(np.float64) / 32768.0
+        if width == 1:
+            raw = (np.round(sig * 128.0) + 128).clip(0, 255) \
+                .astype(np.uint8)
+        elif width == 2:
+            raw = np.round(sig * 32767.0).astype("<i2")
+        else:
+            raw = np.round(sig * 2147483647.0).astype("<i4")
+        if channels == 2:
+            raw = np.repeat(raw, 2)
+        buf = io.BytesIO()
+        with wave_mod.open(buf, "wb") as w:
+            w.setnchannels(channels)
+            w.setsampwidth(width)
+            w.setframerate(8000)
+            w.writeframes(raw.tobytes())
+        return buf.getvalue()
+
+    for width, ch in ((1, 1), (4, 1), (2, 2)):
+        g = codec.decode_features(rewrite(width, ch))
+        assert np.abs(g - f).max() < 0.02, (width, ch)
+
+    with pytest.raises(wave_mod.Error):
+        codec.decode_features(b"not a riff payload at all")
 
 
 def test_byte_histogram_codec_huge_payload_stays_below_one():
