@@ -39,22 +39,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     ALL queries remain covered by the local driver-equivalent gate
     (scripts/check_oracles.py) every round regardless of position."""
     return {
-        # === driver window (first 50): hard-signal priority ==============
-        # --- core-sketch slot: hll_rollup supersedes the r1-r5-green
-        #     flagship hll_distinct_per_group here (same build machinery
-        #     plus state re-aggregation across grouping levels; the
-        #     flagship remains entry()'s smoke query and sits in the tail)
-        "hll_rollup": Q.q_hll_rollup,                  # NEW r6
-        "kll_rollup": Q.q_kll_rollup,                  # NEW r6 (quantile
-        # rollup: same one-scan state-merge machinery over KLL states;
-        # displaced text_stats, exact-parity driver-green since r3)
-        "topk_rollup": Q.q_topk_rollup,                # NEW r6 (SpaceSaver
-        # rollup completes the family; displaced hashing_trick,
-        # bit-exact-parity driver-green r4-r5)
-        "pii_scrub": Q.q_pii_scrub,                    # NEW r6 (planted-PII
-        # redaction; displaced dedup_keep_min_id, exact-parity green
-        # since r2)
-        # --- round-5 additions rotated in for hard signal (r5 VERDICT #1) -
+        # === driver window (first 50): round-7 rotation ==================
+        # Round-7 swaps (r6 VERDICT #2/#3): the NEW r7 surfaces
+        # (asof_rollup composition, real-WAV wav_features, the
+        # VALUE-promoted minhash_near_dup) take first-appearance hard
+        # signal; the four r4-r5-green text/dedup queries displaced in
+        # r6 return for fresh green; four core-sketch rows whose keyed
+        # agg path changed in r6 re-verify; and the three stalest
+        # oracled tail rows (scripts/window_debt.py picks these
+        # mechanically — last green r3) rotate in. Displaced to make
+        # room: the ANN recall suite and most of the streaming suite —
+        # every one driver-green 3+ rounds INCLUDING r6, still covered
+        # by the local all-SF gate each round.
+        "asof_rollup": Q.q_asof_rollup,                # NEW r7
+        "wav_features": Q.q_wav_features,              # NEW r7
+        "minhash_near_dup": Q.q_minhash_near_dup,      # VALUE-checked r7
+        "hll_rollup": Q.q_hll_rollup,
+        "kll_rollup": Q.q_kll_rollup,
+        "topk_rollup": Q.q_topk_rollup,
+        "pii_scrub": Q.q_pii_scrub,
         "bloom_join": Q.q_bloom_join,
         "skew_join": Q.q_skew_join,
         "range_pruned": Q.q_range_pruned,
@@ -69,85 +72,58 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdf_normalize": Q.q_cdf_normalize,
         "eventually_quantiles": Q.q_eventually_quantiles,
         "scan_compose": Q.q_scan_compose,
-        # --- round-6 new surfaces (hard signal on first appearance;
-        #     displaced the string-key trio, driver-green r4+r5) ----------
-        "topk_pruned": Q.q_topk_pruned,                # NEW r6
-        "weighted_sample": Q.q_weighted_sample,        # NEW r6
-        "index_dedup": Q.q_index_dedup,                # NEW r6
+        "topk_pruned": Q.q_topk_pruned,
+        "weighted_sample": Q.q_weighted_sample,
+        "index_dedup": Q.q_index_dedup,
         # --- training-data pipeline ops ----------------------------------
         "dedup_exact": Q.q_dedup_exact,
-        "domain_stats": Q.q_domain_stats,     # NEW r6, rotated
-        # into the window late-round for hard signal (displaced
-        # doc_fingerprint, exact-parity driver-green r4-r5)
+        "domain_stats": Q.q_domain_stats,
         "minhash_lsh_recall": Q.q_minhash_lsh_recall,
         "weighted_minhash_recall": Q.q_weighted_minhash_recall,
         "simhash_planted_recall": Q.q_simhash_planted_recall,
         "connected_components": Q.q_connected_components,
-        "asof_join": Q.q_asof_join,  # NEW r6, rotated in late —
-        # union+window ASOF vs DuckDB's native ASOF JOIN row-for-row
-        # (displaced dedup_clusters; sibling connected_components —
-        # same star-contraction machinery — keeps the family's
-        # window signal)
-        "doc_chunks": Q.q_doc_chunks,         # NEW r6, rotated in
-        # (displaced duplicate_passages, driver-green r4-r5)
+        "asof_join": Q.q_asof_join,
+        "doc_chunks": Q.q_doc_chunks,
         "decontamination": Q.q_decontamination,
-        "time_rollup": Q.q_time_rollup,       # NEW r6, rotated in
-        # (displaced text_quality, driver-green r4-r5)
+        "time_rollup": Q.q_time_rollup,
         "training_pipeline": Q.q_training_pipeline,
-        # --- embedding similarity / ANN ----------------------------------
-        "embedding_topk": Q.q_embedding_topk,
-        "ivf_topk_exhaustive": Q.q_ivf_topk_exhaustive,
-        "ivf_recall": Q.q_ivf_recall,
-        "ivf_planted_recall": Q.q_ivf_planted_recall,
-        "lsh_planted_recall": Q.q_lsh_planted_recall,
-        "embedding_near_dup": Q.q_embedding_near_dup,
-        # --- multimodal plumbing (value-checked since r4) ----------------
-        "multimodal_features": Q.q_multimodal_features,
-        # --- streaming / stateful ----------------------------------------
-        "streaming_hll": Q.q_streaming_hll,
-        "streaming_decayed_state": Q.q_streaming_decayed_state,
-        "streaming_windowed_hll": Q.q_streaming_windowed_hll,
-        "sliding_window_counts": Q.q_sliding_window_counts,
-        "streaming_dedup": Q.q_streaming_dedup,
-        "session_windows": Q.q_session_windows,
-        "outlier_detection": Q.q_outlier_detection,
-        "trending_topk": Q.q_trending_topk,
-        # --- remaining window slots (48-50): newest surfaces rotate in --
-        "sketchmap_set": Q.q_sketchmap_set,                    # NEW r6
-        "skew_join_outer": Q.q_skew_join_outer,                # NEW r6
-        "cdf_normalize_hicard": Q.q_cdf_normalize_hicard,      # NEW r6
-        # === tail (51+): driver-green since r1-r5; local gate covers =====
-        "text_stats": Q.q_text_stats,  # driver-green r3-r5; rotated out r6
-        "dedup_clusters": Q.q_dedup_clusters,  # green r4-r5; out r6
-        "doc_fingerprint": Q.q_doc_fingerprint,  # green r4-r5; out r6
-        "duplicate_passages": Q.q_duplicate_passages,  # green r4-r5; out r6
-        "text_quality": Q.q_text_quality,  # green r4-r5; out r6
-        "dedup_keep_min_id": Q.q_dedup_keep_min_id,  # green r2-r5; out r6
-        "hashing_trick": Q.q_hashing_trick,  # green r4-r5; rotated out r6
-        "scan_state": Q.q_scan_state,  # driver-green r5; rotated out r6
-        "ivf_indexed_topk": Q.q_ivf_indexed_topk,  # driver-green r5
-        "sketchmap_hll_distinct": Q.q_sketchmap_hll_distinct,  # green r5
-        # core sketches rotated out in r6 (driver-green r1-r5)
+        "embedding_near_dup": Q.q_embedding_near_dup,  # ANN window rep
+        "sketchmap_set": Q.q_sketchmap_set,
+        "skew_join_outer": Q.q_skew_join_outer,
+        "cdf_normalize_hicard": Q.q_cdf_normalize_hicard,
+        # --- r6-displaced text/dedup rows back for fresh green -----------
+        "doc_fingerprint": Q.q_doc_fingerprint,
+        "duplicate_passages": Q.q_duplicate_passages,
+        "text_quality": Q.q_text_quality,
+        "dedup_clusters": Q.q_dedup_clusters,
+        # --- core rows whose keyed-agg path changed in r6 ----------------
         "hll_distinct_per_group": Q.q_hll_distinct_per_group,
+        "tdigest_quantiles": Q.q_tdigest_quantiles,
+        "bloom_membership": Q.q_bloom_membership,
+        "minhash_jaccard": Q.q_minhash_jaccard,
+        # --- stalest oracled tail rows (window_debt.py; last green r3) ---
+        "stratified_sample": Q.q_stratified_sample,
+        "decaying_cms_inner": Q.q_decaying_cms_inner,
+        "setsize_distinct": Q.q_setsize_distinct,
+        # === tail (51+): driver-green r1-r6; local gate covers ===========
+        "text_stats": Q.q_text_stats,
+        "dedup_keep_min_id": Q.q_dedup_keep_min_id,
+        "hashing_trick": Q.q_hashing_trick,
+        "scan_state": Q.q_scan_state,
+        "ivf_indexed_topk": Q.q_ivf_indexed_topk,
+        "sketchmap_hll_distinct": Q.q_sketchmap_hll_distinct,
         "hll_global_distinct": Q.q_hll_global_distinct,
         "hll_intersection": Q.q_hll_intersection,
         "cms_point_queries": Q.q_cms_point_queries,
         "cms_heavy_hitters": Q.q_cms_heavy_hitters,
         "cms_inner_product": Q.q_cms_inner_product,
-        "bloom_membership": Q.q_bloom_membership,
         "kll_quantiles": Q.q_kll_quantiles,
-        "tdigest_quantiles": Q.q_tdigest_quantiles,
-        "minhash_jaccard": Q.q_minhash_jaccard,
         "qtree_quantile_bounds": Q.q_qtree_quantile_bounds,
         "spacesaver_topk": Q.q_spacesaver_topk,
         "sketchmap_sums": Q.q_sketchmap_sums,
         "sketchmap_minmax": Q.q_sketchmap_minmax,
         "decaying_cms": Q.q_decaying_cms,
-
         "interval_filter": Q.q_interval_filter,
-        "stratified_sample": Q.q_stratified_sample,
-        "decaying_cms_inner": Q.q_decaying_cms_inner,
-        "setsize_distinct": Q.q_setsize_distinct,
         "hllseries_since": Q.q_hllseries_since,
         "exphist_window_count": Q.q_exphist_window_count,
         "decayed_value_sketch": Q.q_decayed_value_sketch,
@@ -183,11 +159,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_string_distinct": Q.q_hll_string_distinct,
         "cms_string_keys": Q.q_cms_string_keys,
         "spacesaver_string_topk": Q.q_spacesaver_string_topk,
-        "asof_rollup": Q.q_asof_rollup,                # NEW r7
-        "wav_features": Q.q_wav_features,              # NEW r7
+        # ANN + streaming suites displaced by the r7 rotation (each
+        # driver-green 3+ rounds incl. r6; local gate still covers)
+        "embedding_topk": Q.q_embedding_topk,
+        "ivf_topk_exhaustive": Q.q_ivf_topk_exhaustive,
+        "ivf_recall": Q.q_ivf_recall,
+        "ivf_planted_recall": Q.q_ivf_planted_recall,
+        "lsh_planted_recall": Q.q_lsh_planted_recall,
+        "multimodal_features": Q.q_multimodal_features,
+        "streaming_hll": Q.q_streaming_hll,
+        "streaming_decayed_state": Q.q_streaming_decayed_state,
+        "streaming_windowed_hll": Q.q_streaming_windowed_hll,
+        "sliding_window_counts": Q.q_sliding_window_counts,
+        "streaming_dedup": Q.q_streaming_dedup,
+        "session_windows": Q.q_session_windows,
+        "outlier_detection": Q.q_outlier_detection,
+        "trending_topk": Q.q_trending_topk,
         # --- rows-only by declared design (no SQL-expressible oracle) -----
         "simhash_near_dup": Q.q_simhash_near_dup,      # rows-only
-        "minhash_near_dup": Q.q_minhash_near_dup,      # rows-only
         "embedding_lsh_recall": Q.q_embedding_lsh_recall,  # rows-only
     }
 

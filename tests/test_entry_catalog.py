@@ -13,20 +13,18 @@ import __spark_entry__ as entry
 
 DRIVER_WINDOW = 50
 
-# Queries that must receive the driver's hard rows+schema+hash signal:
-# every training-data / dedup / ANN / string-key / streaming op, per
-# VERDICT r3 next-round item #1.
+# Queries that must receive the driver's hard rows+schema+hash signal
+# in THIS round's window. Per-round rotation (r6 VERDICT #2): swap the
+# stalest driver-green rows in, freshest multi-green rows out;
+# scripts/window_debt.py computes the staleness ranking mechanically.
 MUST_BE_IN_WINDOW = {
-    # round-5 additions rotated in for hard signal (r5 VERDICT #1)
+    # round-7 new surfaces (hard signal on first appearance)
+    "asof_rollup", "wav_features", "minhash_near_dup",
+    # round-5/6 additions still carrying window signal
     "bloom_join", "skew_join", "range_pruned", "ngram_jaccard_dedup",
     "hll_scan", "streaming_kll", "streaming_sessions", "text_repetition",
     "budget_sample", "pack_sequences", "train_splits", "cdf_normalize",
     "eventually_quantiles", "scan_compose",
-    # round-6 additions (hard signal on first appearance; the
-    # string-key trio — driver-green r4 AND r5 — rotated to the tail
-    # to make room, then text_stats — driver-green r3-r5 — for
-    # kll_rollup, and hashing_trick — bit-exact-parity green r4-r5 —
-    # for topk_rollup)
     "skew_join_outer", "cdf_normalize_hicard", "sketchmap_set",
     "topk_pruned", "weighted_sample", "index_dedup", "hll_rollup",
     "kll_rollup", "topk_rollup", "pii_scrub", "domain_stats",
@@ -35,22 +33,25 @@ MUST_BE_IN_WINDOW = {
     "dedup_exact",
     "minhash_lsh_recall", "weighted_minhash_recall",
     "simhash_planted_recall", "connected_components",
-    "decontamination", "training_pipeline",
-    # ANN
-    "embedding_topk", "ivf_topk_exhaustive", "ivf_recall",
-    "ivf_planted_recall", "lsh_planted_recall", "multimodal_features",
-    "embedding_near_dup",
-    # streaming
-    "streaming_hll", "streaming_decayed_state", "streaming_windowed_hll",
-    "sliding_window_counts", "streaming_dedup", "session_windows",
-    "outlier_detection", "trending_topk",
+    "decontamination", "training_pipeline", "embedding_near_dup",
+    # r6-displaced text/dedup rows back for fresh green (r6 VERDICT #2)
+    "doc_fingerprint", "duplicate_passages", "text_quality",
+    "dedup_clusters",
+    # core rows whose keyed-agg path changed in r6 (r6 VERDICT #2)
+    "hll_distinct_per_group", "tdigest_quantiles", "bloom_membership",
+    "minhash_jaccard",
+    # stalest oracled tail rows (window_debt.py; last green r3)
+    "stratified_sample", "decaying_cms_inner", "setsize_distinct",
 }
 
 # Queries whose semantics are declared non-SQL-expressible; the driver
 # records a rows-only check for them, so they must NOT consume window
-# slots that could carry a value-hashed query.
+# slots that could carry a value-hashed query. (minhash_near_dup left
+# this list in r7: its LSH output provably equals the exact
+# inverted-index answer on these fixtures, so it now carries a DuckDB
+# oracle — see q_minhash_near_dup.)
 ROWS_ONLY = {
-    "simhash_near_dup", "minhash_near_dup", "embedding_lsh_recall",
+    "simhash_near_dup", "embedding_lsh_recall",
 }
 
 
