@@ -142,6 +142,30 @@ def q_hll_rollup(spark, sf):
         StructField("hll_ok", BooleanType(), False)]))
 
 
+def q_hll_rollup_sketch(spark, sf):
+    """Bench-only: the SKETCH side of ``q_hll_rollup`` alone — one
+    lineitem scan builds the finest HLL states, coarse rollup levels
+    derive by merging states. This is the production operator cost; the
+    exact count_distinct ROLLUP in ``q_hll_rollup`` is an in-query
+    oracle for the correctness gate, timed separately as
+    ``q_hll_rollup_exact`` so the headline doesn't conflate them."""
+    li = _t(spark, sf, "lineitem")
+    states = sketch_rollup(li, ["l_returnflag", "l_linestatus"],
+                           "l_partkey", lambda: HLL(p=14))
+    return with_presented(states, lambda sk: {"est": sk.estimate()},
+                          "est double")
+
+
+def q_hll_rollup_exact(spark, sf):
+    """Bench-only: the exact-oracle side of ``q_hll_rollup`` alone
+    (Spark's native count_distinct over ROLLUP — the comparison cost,
+    not the engine's)."""
+    li = _t(spark, sf, "lineitem")
+    return (li.rollup("l_returnflag", "l_linestatus")
+            .agg(F.count_distinct("l_partkey").alias("exact_distinct"),
+                 F.grouping_id().alias("grouping_id")))
+
+
 def q_kll_rollup(spark, sf):
     """Quantiles of l_extendedprice over ROLLUP(l_returnflag,
     l_linestatus), every level from ONE scan: ``api.quantile_rollup``

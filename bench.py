@@ -52,7 +52,12 @@ HEADLINE = [
     "cdf_normalize",
     "bloom_join",
     "topk_pruned",
-    "hll_rollup",
+    # round 7: the r6 "hll_rollup" headline conflated the one-scan
+    # sketch rollup with its in-query exact count_distinct oracle
+    # (VERDICT r6 #5); timed separately so the headline reflects the
+    # production operator. Their sum ~= the old conflated number.
+    "hll_rollup_sketch",
+    "hll_rollup_exact",
 ]
 
 
@@ -151,7 +156,13 @@ def main():
     spark.sparkContext.setLogLevel("ERROR")
 
     import __spark_entry__ as entrymod
-    qs = entrymod.queries()
+    from algebird_spark import queries as Q
+    qs = dict(entrymod.queries())
+    # bench-only split of the hll_rollup catalog query (VERDICT r6 #5):
+    # not catalog entries — the value-checked q_hll_rollup stays the
+    # correctness surface; these isolate its two sides for timing.
+    qs["hll_rollup_sketch"] = Q.q_hll_rollup_sketch
+    qs["hll_rollup_exact"] = Q.q_hll_rollup_exact
 
     # absorb session/JIT warmup so the first timed query isn't penalized
     spark.read.parquet(f"{sf_dir}/lineitem.parquet").limit(1000) \
