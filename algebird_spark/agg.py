@@ -625,10 +625,15 @@ def sketch_rollup(df: DataFrame, keys: Sequence[str], value_col: str,
     order preserved, duplicate sets emit duplicate level rows) and
     overrides ``grouping``.
 
-    The finest state table persists for the duration of the level
-    merges under the operator-scoped cache (two live generations, see
-    ``operators.dedup._cache_scoped``); ``cache=False`` opts out (the
-    plan then rescans the input once per level)."""
+    Plan shape (round 7): the finest states EXPLODE into one
+    (grouping_id, masked-keys) row per level and all levels merge in a
+    single keyed shuffle + single applyInPandas stage — stage count
+    independent of the level count, no intermediate persist. Explicit
+    duplicate GROUPING SETS (SQL emits duplicate level rows; a keyed
+    merge would fold them) fall back to a per-level merge loop, where
+    the finest state table persists under the operator-scoped cache
+    (``cache=False`` opts out — the plan then rescans the input once
+    per level)."""
     keys = list(keys)
     if not keys:
         raise ValueError("sketch_rollup needs at least one key; use "
@@ -658,10 +663,6 @@ def rollup_levels(fine: DataFrame, keys: Sequence[str],
     if sets is not None and len(list(sets)) == 0:
         raise ValueError("sets must name at least one grouping set "
                          "(use [[]] for just the grand total)")
-    if cache:
-        from .operators.dedup import _cache_scoped, _new_generation
-        fine = _cache_scoped("sketch_rollup_fine", fine,
-                             gen=_new_generation())
     d = len(keys)
     if sets is not None:
         idx = {k: i for i, k in enumerate(keys)}
@@ -678,6 +679,47 @@ def rollup_levels(fine: DataFrame, keys: Sequence[str],
         subsets = [frozenset(j for j in range(d) if (m >> (d - 1 - j)) & 1 == 0)
                    for m in range(2 ** d)]
     key_types = {k: fine.schema[k].dataType for k in keys}
+
+    if len(set(subsets)) == len(subsets):
+        # Single-pass plan (round 7): explode each finest-grain state
+        # row into one (grouping_id, masked keys) struct PER LEVEL,
+        # then merge every level in ONE keyed shuffle + ONE
+        # applyInPandas stage. The per-level loop below runs a
+        # separate merge job per level (a d-key CUBE = 2^d Exchanges
+        # and 2^d Python stages) and must persist the fine table to
+        # avoid rescanning the corpus per level; the explode ships the
+        # same total state volume through a single Exchange, needs no
+        # cache, and its stage count is independent of the level
+        # count. Only explicit duplicate GROUPING SETS (which SQL says
+        # emit duplicate rows — a keyed merge would fold them into
+        # one doubly-merged row) take the legacy loop.
+        structs = []
+        for sub in subsets:
+            gid = sum(1 << (d - 1 - i) for i in range(d) if i not in sub)
+            fields = [(F.col(k) if i in sub
+                       else F.lit(None).cast(key_types[k])).alias(k)
+                      for i, k in enumerate(keys)]
+            structs.append(F.struct(
+                F.lit(gid).cast("long").alias("grouping_id"), *fields))
+        flat = (fine.select(F.explode(F.array(*structs)).alias("__lvl"),
+                            STATE_COL, COUNT_COL)
+                .select("__lvl.*", STATE_COL, COUNT_COL))
+        if frozenset() in subsets:
+            # SQL parity: the () grouping set emits its row even on
+            # empty input; folding one monoid-zero state into the
+            # grand-total group is free on non-empty input (identity
+            # law) and supplies that row on empty.
+            zero = fine.sparkSession.createDataFrame(
+                [((2 ** d) - 1,) + (None,) * d
+                 + (bytearray(factory().to_bytes()), 0)], flat.schema)
+            flat = flat.unionByName(zero)
+        merged = merge_sketches(flat, ["grouping_id"] + keys)
+        return merged.select(*keys, "grouping_id", STATE_COL, COUNT_COL)
+
+    if cache:
+        from .operators.dedup import _cache_scoped, _new_generation
+        fine = _cache_scoped("sketch_rollup_fine", fine,
+                             gen=_new_generation())
     out = None
     for sub in subsets:
         kept = [keys[i] for i in range(d) if i in sub]

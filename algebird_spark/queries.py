@@ -1042,7 +1042,20 @@ def q_ngram_jaccard_dedup(spark, sf):
 
 def q_simhash_near_dup(spark, sf):
     """SimHash near-dup pairs (hamming <= 3). Non-SQL-expressible
-    (xxhash64 banding) -> rows-only oracle check."""
+    (murmur64 fingerprint banding) -> rows-only oracle check.
+
+    Rows-only is STRUCTURAL here, not deferred polish (r7 probe,
+    /tmp-reproducible): promotion via the minhash_near_dup route
+    (exact-Jaccard oracle + once-per-fixture no-miss proof) is
+    impossible because the Hamming<=3 set and shingle-Jaccard
+    threshold sets do not nest — simhash approximates token-frequency
+    COSINE, so on these fixtures hamming<=3 misses pairs up to exact
+    bigram Jaccard 0.989 (sf0.1: 65 of 256 j>=0.5 pairs missed, max
+    missed j 0.986-0.989 at every SF) while catching others down to
+    j=0.889. No Jaccard threshold theta gives {hamming<=3 & j>=theta}
+    == {j>=theta}, and DuckDB cannot recompute the murmur64 majority
+    vote. The family's oracle-gated check is simhash_planted_recall
+    (planted Hamming-0 clones, 100% recall gate)."""
     docs = _t(spark, sf, "documents")
     return dedup.near_dup_pairs_simhash(docs, "doc_id", "text", max_hamming=3)
 

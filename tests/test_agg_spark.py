@@ -370,6 +370,31 @@ def test_grouping_sets_levels_equal_direct_builds(spark, tokens):
         df, "tokens", lambda: HLL(p=12)).estimate()
 
 
+def test_duplicate_grouping_sets_emit_duplicate_rows(spark, tokens):
+    """SQL semantics: duplicate GROUPING SETS emit duplicate level
+    rows with IDENTICAL (not doubly-merged) states — this exercises
+    the per-level fallback path, since the single-pass explode plan
+    would fold the duplicates into one group."""
+    from algebird_spark.agg import sketch_rollup
+    dup = sketch_rollup(tokens, ["source"], "tokens", lambda: HLL(p=12),
+                        sets=[["source"], ["source"]]).collect()
+    single = sketch_rollup(tokens, ["source"], "tokens", lambda: HLL(p=12),
+                           sets=[["source"]]).collect()
+    assert len(dup) == 2 * len(single)
+    ests = {}
+    for r in dup:
+        key = (r["source"], r["grouping_id"])
+        ests.setdefault(key, []).append(
+            (from_bytes(bytes(r[STATE_COL])).estimate(), r["n_values"]))
+    for key, pair in ests.items():
+        assert len(pair) == 2 and pair[0] == pair[1], key
+    direct = {(r["source"], r["grouping_id"]):
+              (from_bytes(bytes(r[STATE_COL])).estimate(), r["n_values"])
+              for r in single}
+    for key, pair in ests.items():
+        assert pair[0] == direct[key], key
+
+
 def test_rollup_generic_over_cms(spark, tokens):
     """rollup_levels is sketch-generic: with CMS states the per-level
     TOTALS (which CMS tracks exactly) must equal the exact rollup
