@@ -83,7 +83,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_planted_recall": Q.q_simhash_planted_recall,
         "connected_components": Q.q_connected_components,
         "asof_join": Q.q_asof_join,
-        "doc_chunks": Q.q_doc_chunks,
+        "fd_covariance": Q.q_fd_covariance,  # NEW r7 (mid-round):
+        # FrequentDirections matrix sketch through the same global
+        # build harness; first-appearance hard signal (displaced
+        # doc_chunks, which earned its first-appearance green in r6)
         "decontamination": Q.q_decontamination,
         "time_rollup": Q.q_time_rollup,
         "training_pipeline": Q.q_training_pipeline,
@@ -106,6 +109,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decaying_cms_inner": Q.q_decaying_cms_inner,
         "setsize_distinct": Q.q_setsize_distinct,
         # === tail (51+): driver-green r1-r6; local gate covers ===========
+        "doc_chunks": Q.q_doc_chunks,  # green r6; yielded its slot to
+        # fd_covariance mid-r7
         "text_stats": Q.q_text_stats,
         "dedup_keep_min_id": Q.q_dedup_keep_min_id,
         "hashing_trick": Q.q_hashing_trick,
@@ -1304,6 +1309,18 @@ def oracle_sql() -> dict[str, str]:
               FROM scored)
             SELECT q_id, vec_id, ROUND(cos, 4) AS cos, rank
             FROM ranked WHERE rank <= 5
+        """,
+        # exact side of the FrequentDirections query: row count and
+        # mean squared norm over non-null embeddings; the two sketch
+        # invariants (PSD order, spectral bound) are proved in-query
+        # against the distributed exact Gram and assert literal TRUE
+        "fd_covariance": """
+            SELECT COUNT(*) AS n_vecs,
+                   ROUND(AVG(list_sum(list_transform(
+                       embedding, x -> CAST(x AS DOUBLE) * x))), 4)
+                       AS mean_sq_norm,
+                   TRUE AS fd_bound_ok, TRUE AS fd_psd_ok
+            FROM embeddings WHERE embedding IS NOT NULL
         """,
         "embedding_near_dup": """
             SELECT COUNT(*) AS n_planted,

@@ -2894,6 +2894,58 @@ def q_weighted_minhash_recall(spark, sf):
                     (F.col("__maxwj") < 1.0).alias("frequency_aware")))
 
 
+def q_fd_covariance(spark, sf):
+    """Embedding covariance via FrequentDirections (NEW r7) — the
+    mergeable matrix sketch (Liberty 2013; Ghashami et al. 2016 for
+    mergeability) built through the same partition-combine/tree-merge
+    harness as every scalar sketch (``sketch_global``), vs the exact
+    (d x d) Gram computed by a distributed partial-Gram pass. Verdicts
+    assert the two provable invariants: B^T B <= A^T A in the PSD
+    order (shrink-only) and ||A^T A - B^T B||_2 <= ||A||_F^2 / ell.
+    Exact columns (n_vecs, mean squared norm) are SQL-reproducible;
+    at 100 TB the sketch replaces a d x d * n_partitions shuffle of
+    exact Grams with 8 KB mergeable states and a provable bound."""
+    from .sketches import FrequentDirections
+
+    emb = _t(spark, sf, "embeddings").filter(F.col("embedding").isNotNull())
+    d = len(emb.select("embedding").first()[0])
+    ell = 16
+    sk = sketch_global(emb, "embedding", lambda: FrequentDirections(d, ell))
+
+    def gram_part(pdfs: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        G = np.zeros((d, d))
+        n = 0
+        for pdf in pdfs:
+            if len(pdf) == 0:
+                continue
+            M = np.vstack(pdf["embedding"].to_numpy()).astype(np.float64)
+            G += M.T @ M
+            n += M.shape[0]
+        yield pd.DataFrame({"g": [G.ravel().tobytes()], "n": [n]})
+
+    parts = emb.select("embedding").mapInPandas(
+        gram_part, "g binary, n long").collect()
+    G_exact = np.zeros((d, d))
+    n_vecs = 0
+    for r in parts:
+        G_exact += np.frombuffer(bytes(r["g"]), dtype=np.float64) \
+            .reshape(d, d)
+        n_vecs += r["n"]
+    diff_eigs = np.linalg.eigvalsh(G_exact - sk.gram())
+    sq_frob = float(np.trace(G_exact))
+    psd_tol = 1e-9 * max(sq_frob, 1.0)
+    return spark.createDataFrame(
+        [Row(n_vecs=int(n_vecs),
+             mean_sq_norm=float(round(sq_frob / n_vecs, 4)),
+             fd_bound_ok=bool(np.abs(diff_eigs).max()
+                              <= sk.error_bound() + psd_tol),
+             fd_psd_ok=bool(diff_eigs.min() >= -psd_tol))],
+        StructType([StructField("n_vecs", LongType(), False),
+                    StructField("mean_sq_norm", DoubleType(), False),
+                    StructField("fd_bound_ok", BooleanType(), False),
+                    StructField("fd_psd_ok", BooleanType(), False)]))
+
+
 def q_embedding_near_dup(spark, sf):
     """Embedding-cosine near-duplicate PAIRS (embedding_cosine_dups):
     md5-eligible vectors get a planted copy scaled by 1.5 — cosine is

@@ -5,6 +5,7 @@ from .bloom import BloomFilter, optimal_num_hashes, optimal_width
 from .cms import CMS, cms_params_for_groups
 from .composite import MultiSketch
 from .eventually import Eventually
+from .freqdir import FrequentDirections
 from .hll import HLL, bits_for_error
 from .kll import KLL, kll_rank_error
 from .minhash import MinHash, pick_bands_rows
@@ -21,7 +22,9 @@ __all__ = [
     "Sketch", "from_bytes", "merge_all",
     "BloomFilter", "optimal_num_hashes", "optimal_width",
     "CMS",
-    "cms_params_for_groups", "MultiSketch", "Eventually", "HLL", "bits_for_error", "KLL", "kll_rank_error",
+    "cms_params_for_groups", "MultiSketch", "Eventually",
+    "FrequentDirections",
+    "HLL", "bits_for_error", "KLL", "kll_rank_error",
     "MinHash", "pick_bands_rows", "TDigest",
     "Moments", "SetSize", "QTree", "SpaceSaver",
     "DecayedValue", "ExpHist", "HLLSeries", "SketchMap", "SketchMapHLL",

@@ -232,6 +232,16 @@ class Sketch:
 
 def register(kind: int):
     def deco(fn):
+        prev = _DECODERS.get(kind)
+        if prev is not None and prev is not fn:
+            # a silent overwrite would decode every persisted state of
+            # the EARLIER kind with the later decoder (observed once in
+            # development: two sketches claiming one kind byte turn
+            # from_bytes into garbage-in) — fail at import time instead
+            raise ValueError(
+                f"sketch kind byte {kind} already registered to "
+                f"{prev.__module__}.{prev.__qualname__}; pick the next "
+                f"free byte (registry is append-only)")
         _DECODERS[kind] = fn
         return fn
     return deco

@@ -6,10 +6,10 @@ import numpy as np
 import pytest
 
 from algebird_spark.sketches import (CMS, HLL, KLL, BloomFilter, Eventually,
-                                     ExpHist, HLLSeries, MinHash, Moments,
-                                     MultiSketch, QTree, SetSize, SketchMap,
-                                     SketchMapHLL, SpaceSaver, TDigest,
-                                     from_bytes)
+                                     ExpHist, FrequentDirections, HLLSeries,
+                                     MinHash, Moments, MultiSketch, QTree,
+                                     SetSize, SketchMap, SketchMapHLL,
+                                     SpaceSaver, TDigest, from_bytes)
 
 
 def _states():
@@ -36,6 +36,7 @@ def _states():
         (lambda: Eventually(KLL(k=50), 10, "list"), floats),
         (lambda: Eventually(HLL(p=8), 10**6, "set"), ints),
         (lambda: MultiSketch({"h": HLL(p=8), "k": KLL(k=50)}), ints),
+        (lambda: FrequentDirections(d=10, ell=4), floats),  # 50 rows x 10
     ]:
         s = make()
         s.update_batch(vals)

@@ -19,7 +19,7 @@ DRIVER_WINDOW = 50
 # scripts/window_debt.py computes the staleness ranking mechanically.
 MUST_BE_IN_WINDOW = {
     # round-7 new surfaces (hard signal on first appearance)
-    "asof_rollup", "wav_features", "minhash_near_dup",
+    "asof_rollup", "wav_features", "minhash_near_dup", "fd_covariance",
     # round-5/6 additions still carrying window signal
     "bloom_join", "skew_join", "range_pruned", "ngram_jaccard_dedup",
     "hll_scan", "streaming_kll", "streaming_sessions", "text_repetition",
@@ -28,7 +28,7 @@ MUST_BE_IN_WINDOW = {
     "skew_join_outer", "cdf_normalize_hicard", "sketchmap_set",
     "topk_pruned", "weighted_sample", "index_dedup", "hll_rollup",
     "kll_rollup", "topk_rollup", "pii_scrub", "domain_stats",
-    "doc_chunks", "time_rollup", "asof_join",
+    "time_rollup", "asof_join",
     # training-data pipeline
     "dedup_exact",
     "minhash_lsh_recall", "weighted_minhash_recall",
