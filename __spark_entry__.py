@@ -89,7 +89,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # doc_chunks, which earned its first-appearance green in r6)
         "decontamination": Q.q_decontamination,
         "time_rollup": Q.q_time_rollup,
-        "training_pipeline": Q.q_training_pipeline,
+        "pq_topk": Q.q_pq_topk,  # NEW r7 (mid-round): product-
+        # quantization ANN, deterministic planted verdicts (displaced
+        # training_pipeline — driver-green r4+r5+r6)
         "embedding_near_dup": Q.q_embedding_near_dup,  # ANN window rep
         "sketchmap_set": Q.q_sketchmap_set,
         "skew_join_outer": Q.q_skew_join_outer,
@@ -111,6 +113,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # === tail (51+): driver-green r1-r6; local gate covers ===========
         "doc_chunks": Q.q_doc_chunks,  # green r6; yielded its slot to
         # fd_covariance mid-r7
+        "training_pipeline": Q.q_training_pipeline,  # green r4-r6;
+        # yielded its slot to pq_topk mid-r7
         "text_stats": Q.q_text_stats,
         "dedup_keep_min_id": Q.q_dedup_keep_min_id,
         "hashing_trick": Q.q_hashing_trick,
@@ -1314,6 +1318,16 @@ def oracle_sql() -> dict[str, str]:
         # mean squared norm over non-null embeddings; the two sketch
         # invariants (PSD order, spectral bound) are proved in-query
         # against the distributed exact Gram and assert literal TRUE
+        # exact side of the PQ query: row/plant counts; the ADC-top-1
+        # and exact-rerank verdicts are deterministic by construction
+        # (copy shares the query's code; a query's own code minimizes
+        # every subspace distance table) and assert literal TRUE
+        "pq_topk": """
+            SELECT COUNT(*) AS n_vecs,
+                   CAST(LEAST(5, COUNT(*)) AS BIGINT) AS n_planted,
+                   TRUE AS adc_top1_is_copy, TRUE AS rerank_top2_exact
+            FROM embeddings WHERE embedding IS NOT NULL
+        """,
         "fd_covariance": """
             SELECT COUNT(*) AS n_vecs,
                    ROUND(AVG(list_sum(list_transform(

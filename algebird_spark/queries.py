@@ -2946,6 +2946,52 @@ def q_fd_covariance(spark, sf):
                     StructField("fd_psd_ok", BooleanType(), False)]))
 
 
+def q_pq_topk(spark, sf):
+    """Product-quantization ANN (NEW r7; Jegou et al. 2011): vectors
+    compress to m=8 uint8 codes (32x vs float32 at d=64) and queries
+    scan CODES via per-query distance tables. Deterministic planted
+    design: the 5 lowest-id vectors get EXACT copies under NEGATIVE
+    ids. A copy shares its query's code, and a query's own code
+    minimizes every subspace table (it was assigned by that argmin),
+    so the copy's ADC distance is the global minimum and the negative
+    id wins every tie — pure-ADC top-1 MUST be the copy, seed-free.
+    The exact re-rank stage must then place copy at rank 1 and the
+    original (exact distance 0 too) at rank 2. Codebook training is
+    deterministic (lowest-id init + Lloyd), so all verdicts are
+    stable; n_vecs / n_planted are SQL-reproducible."""
+    from .operators import pq as pqmod
+
+    emb = _t(spark, sf, "embeddings").filter(F.col("embedding").isNotNull())
+    base = emb.select("vec_id", "embedding")
+    planted = (base.orderBy("vec_id").limit(5)
+               .select((-F.col("vec_id") - 1).alias("vec_id"), "embedding"))
+    view = base.unionByName(planted)
+    cb = pqmod.train_pq_codebook(view, m=8, k_sub=64, n_iter=4)
+    enc = pqmod.encode_pq(view, cb)
+    queries = (base.orderBy("vec_id").limit(5)
+               .select(F.col("vec_id").alias("q_id"),
+                       F.col("embedding").alias("q_vec")))
+    adc = pqmod.pq_topk(enc, queries, k=1, codebook=cb).collect()
+    adc_ok = all(r["vec_id"] == -r["q_id"] - 1 for r in adc) and len(adc) == 5
+    rr = pqmod.pq_topk(enc, queries, k=2, codebook=cb, rerank=32,
+                       vectors=view).collect()
+    by_q = {}
+    for r in rr:
+        by_q[(r["q_id"], r["rank"])] = r["vec_id"]
+    rerank_ok = all(by_q.get((r["q_id"], 1)) == -r["q_id"] - 1
+                    and by_q.get((r["q_id"], 2)) == r["q_id"]
+                    for r in adc)
+    n_vecs = base.count()
+    return spark.createDataFrame(
+        [Row(n_vecs=int(n_vecs), n_planted=5,
+             adc_top1_is_copy=bool(adc_ok),
+             rerank_top2_exact=bool(rerank_ok))],
+        StructType([StructField("n_vecs", LongType(), False),
+                    StructField("n_planted", LongType(), False),
+                    StructField("adc_top1_is_copy", BooleanType(), False),
+                    StructField("rerank_top2_exact", BooleanType(), False)]))
+
+
 def q_embedding_near_dup(spark, sf):
     """Embedding-cosine near-duplicate PAIRS (embedding_cosine_dups):
     md5-eligible vectors get a planted copy scaled by 1.5 — cosine is
