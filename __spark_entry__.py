@@ -87,11 +87,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # FrequentDirections matrix sketch through the same global
         # build harness; first-appearance hard signal (displaced
         # doc_chunks, which earned its first-appearance green in r6)
-        "decontamination": Q.q_decontamination,
         "time_rollup": Q.q_time_rollup,
         "pq_topk": Q.q_pq_topk,  # NEW r7 (mid-round): product-
         # quantization ANN, deterministic planted verdicts (displaced
         # training_pipeline — driver-green r4+r5+r6)
+        "ivf_pq_topk": Q.q_ivf_pq_topk,  # NEW r7 (mid-round): the
+        # IVF-PQ composition (displaced decontamination — driver-green
+        # r4+r5+r6; its planted-phrase machinery stays tail-covered)
         "embedding_near_dup": Q.q_embedding_near_dup,  # ANN window rep
         "sketchmap_set": Q.q_sketchmap_set,
         "skew_join_outer": Q.q_skew_join_outer,
@@ -115,6 +117,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # fd_covariance mid-r7
         "training_pipeline": Q.q_training_pipeline,  # green r4-r6;
         # yielded its slot to pq_topk mid-r7
+        "decontamination": Q.q_decontamination,  # green r4-r6; yielded
+        # its slot to ivf_pq_topk mid-r7
         "text_stats": Q.q_text_stats,
         "dedup_keep_min_id": Q.q_dedup_keep_min_id,
         "hashing_trick": Q.q_hashing_trick,
@@ -1322,6 +1326,12 @@ def oracle_sql() -> dict[str, str]:
         # and exact-rerank verdicts are deterministic by construction
         # (copy shares the query's code; a query's own code minimizes
         # every subspace distance table) and assert literal TRUE
+        "ivf_pq_topk": """
+            SELECT COUNT(*) AS n_vecs,
+                   CAST(LEAST(5, COUNT(*)) AS BIGINT) AS n_planted,
+                   TRUE AS adc_top2_has_copy, TRUE AS rerank_top2_exact
+            FROM embeddings WHERE embedding IS NOT NULL
+        """,
         "pq_topk": """
             SELECT COUNT(*) AS n_vecs,
                    CAST(LEAST(5, COUNT(*)) AS BIGINT) AS n_planted,

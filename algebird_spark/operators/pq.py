@@ -177,6 +177,185 @@ def encode_pq(vectors: DataFrame, codebook: np.ndarray,
     return vectors.withColumn(out_col, enc(F.col(vec_col)))
 
 
+def train_coarse_centroids(vectors: DataFrame, n_lists: int,
+                           n_iter: int = 8, vec_col: str = "embedding",
+                           id_col: str = "vec_id") -> np.ndarray:
+    """L2 k-means coarse quantizer for IVF-PQ: exactly
+    ``train_pq_codebook`` with the whole vector as ONE subspace
+    (m=1, k_sub=n_lists) — same deterministic init, same one-scan
+    Lloyd rounds with KB-scale partials. Returns (n_lists, d).
+
+    (``similarity.train_ivf_centroids`` is the SPHERICAL variant for
+    cosine IVF-Flat; IVF-PQ quantizes residuals, which needs plain L2
+    geometry.)"""
+    return train_pq_codebook(vectors, m=1, k_sub=n_lists, n_iter=n_iter,
+                             vec_col=vec_col, id_col=id_col)[0]
+
+
+def residual_vectors(vectors: DataFrame, coarse: np.ndarray,
+                     vec_col: str = "embedding",
+                     id_col: str = "vec_id") -> DataFrame:
+    """(id, residual) = x - c(x) for its nearest L2 coarse centroid —
+    the training input for an IVF-PQ codebook (residuals concentrate
+    near 0, so the same code budget quantizes them much finer than
+    raw vectors). Map-only."""
+    cn = np.asarray(coarse, dtype=np.float64)
+    c_sq = (cn * cn).sum(axis=1)
+
+    def res(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            pdf = pdf[pdf[vec_col].notna()]
+            if len(pdf) == 0:
+                continue
+            mat = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)
+            lists = (mat @ cn.T * 2.0 - c_sq).argmax(axis=1)
+            yield pd.DataFrame({
+                id_col: pdf[id_col].to_numpy(),
+                vec_col: list(mat - cn[lists])})
+
+    return vectors.select(id_col, vec_col).mapInPandas(
+        res, f"{id_col} long, {vec_col} array<double>")
+
+
+def encode_ivf_pq(vectors: DataFrame, coarse: np.ndarray,
+                  codebook: np.ndarray, vec_col: str = "embedding",
+                  id_col: str = "vec_id") -> DataFrame:
+    """IVF-PQ encode (Jegou et al. 2011 §IV): assign each vector to
+    its nearest coarse centroid, PQ-encode the RESIDUAL (x - c_list).
+    Returns ``id, __list int, pq_code binary`` — at 100 TB write this
+    partitioned by ``__list`` so probes prune partitions exactly like
+    IVF-Flat (`similarity.write_ivf_index`), while each row costs
+    4 + m bytes instead of 4*d. Map-only. The PQ codebook must be
+    trained on residuals (see `train_coarse_centroids` + a residual
+    pass, or the `q_ivf_pq_topk` catalog query for the full chain)."""
+    cn = np.asarray(coarse, dtype=np.float64)
+    cb = np.asarray(codebook, dtype=np.float64)
+    _check_codebook(cb)
+    c_sq = (cn * cn).sum(axis=1)
+
+    def enc(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            pdf = pdf[pdf[vec_col].notna()]
+            if len(pdf) == 0:
+                continue
+            mat = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)
+            lists = (mat @ cn.T * 2.0 - c_sq).argmax(axis=1)
+            codes = _assign_codes(mat - cn[lists], cb)
+            yield pd.DataFrame({
+                id_col: pdf[id_col].to_numpy(),
+                "__list": lists.astype(np.int32),
+                "pq_code": [row.tobytes() for row in codes]})
+
+    return vectors.select(id_col, vec_col).mapInPandas(
+        enc, f"{id_col} long, __list int, pq_code binary")
+
+
+def ivf_pq_topk(encoded: DataFrame, queries: DataFrame, k: int,
+                coarse: np.ndarray, codebook: np.ndarray, nprobe: int,
+                rerank: int = 0, vectors: DataFrame | None = None,
+                id_col: str = "vec_id", vec_col: str = "embedding",
+                q_id_col: str = "q_id",
+                q_vec_col: str = "q_vec") -> DataFrame:
+    """IVF-PQ top-k: each query probes its ``nprobe`` nearest coarse
+    lists and ADC-scores ONLY rows in those lists, with per-(query,
+    list) residual distance tables — expected work
+    O(N * nprobe / n_lists) table lookups per query on an m-byte
+    code table. ``rerank`` as in :func:`pq_topk` (exact re-score of
+    the broadcast-sized candidate set). Returns
+    ``q_id, vec_id, dist, rank`` (squared L2)."""
+    cn = np.asarray(coarse, dtype=np.float64)
+    cb = np.asarray(codebook, dtype=np.float64)
+    m, k_sub, sub_dim = _check_codebook(cb)
+    if k < 1 or nprobe < 1:
+        raise ValueError(f"k={k} and nprobe={nprobe} must be >= 1")
+    if rerank and rerank < k:
+        raise ValueError(f"rerank={rerank} must be >= k={k}")
+    if rerank and vectors is None:
+        raise ValueError("rerank needs the original `vectors` table")
+    q_rows = queries.select(q_id_col, q_vec_col).collect()
+    if not q_rows:
+        raise ValueError("ivf_pq_topk: empty query set")
+    q_ids = np.array([r[0] for r in q_rows])
+    q_mat = np.vstack([np.asarray(r[1], dtype=np.float64) for r in q_rows])
+    nq = len(q_ids)
+    np_eff = min(nprobe, cn.shape[0])
+    d2c = ((q_mat[:, None, :] - cn[None, :, :]) ** 2).sum(axis=2)
+    probed = np.argpartition(d2c, np_eff - 1, axis=1)[:, :np_eff]  # (nq, p)
+    # tables[(qi, list)] = (m, k_sub) residual subspace distances
+    tables: dict[tuple[int, int], np.ndarray] = {}
+    for qi in range(nq):
+        for li in probed[qi]:
+            r = (q_mat[qi] - cn[li]).reshape(m, sub_dim)
+            tables[(qi, int(li))] = \
+                ((r[:, None, :] - cb) ** 2).sum(axis=2)
+    keep = max(k, rerank)
+    gather_cols = np.arange(m)
+
+    def scan(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            pdf = pdf[pdf["pq_code"].notna()]
+            if len(pdf) == 0:
+                continue
+            codes = np.frombuffer(
+                b"".join(pdf["pq_code"].tolist()),
+                dtype=np.uint8).reshape(len(pdf), m)
+            lists = pdf["__list"].to_numpy()
+            ids = pdf[id_col].to_numpy()
+            out_q, out_id, out_d = [], [], []
+            for qi in range(nq):
+                for li in probed[qi]:
+                    sel = lists == li
+                    if not sel.any():
+                        continue
+                    d = tables[(qi, int(li))][gather_cols,
+                                              codes[sel]].sum(axis=1)
+                    if len(d) > keep:
+                        cand = np.argpartition(d, keep - 1)[:keep]
+                    else:
+                        cand = np.arange(len(d))
+                    out_q.append(np.full(len(cand), q_ids[qi]))
+                    out_id.append(ids[sel][cand])
+                    out_d.append(d[cand])
+            if not out_q:
+                continue
+            yield pd.DataFrame({q_id_col: np.concatenate(out_q),
+                                id_col: np.concatenate(out_id),
+                                "dist": np.concatenate(out_d)})
+
+    cand = encoded.select(id_col, "__list", "pq_code").mapInPandas(
+        scan, f"{q_id_col} long, {id_col} long, dist double")
+    from pyspark.sql import Window
+    w = (Window.partitionBy(q_id_col)
+         .orderBy(F.col("dist").asc(), F.col(id_col).asc()))
+    top = (cand.withColumn("rank", F.row_number().over(w))
+           .filter(F.col("rank") <= keep))
+    if not rerank:
+        return top.filter(F.col("rank") <= k)
+    cand_ids = top.select(id_col).distinct()
+    exact_side = vectors.join(F.broadcast(cand_ids), id_col, "left_semi") \
+        .select(id_col, vec_col)
+
+    def rescore(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            mat = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)
+            ids = pdf[id_col].to_numpy()
+            for qi in range(nq):
+                d = ((mat - q_mat[qi]) ** 2).sum(axis=1)
+                yield pd.DataFrame({q_id_col: np.full(len(ids), q_ids[qi]),
+                                    id_col: ids, "exact_dist": d})
+
+    scored = exact_side.mapInPandas(
+        rescore, f"{q_id_col} long, {id_col} long, exact_dist double")
+    pairs = top.select(q_id_col, id_col).join(scored, [q_id_col, id_col])
+    w2 = (Window.partitionBy(q_id_col)
+          .orderBy(F.col("exact_dist").asc(), F.col(id_col).asc()))
+    return (pairs.withColumn("rank", F.row_number().over(w2))
+            .filter(F.col("rank") <= k)
+            .withColumnRenamed("exact_dist", "dist"))
+
+
 def pq_topk(encoded: DataFrame, queries: DataFrame, k: int,
             codebook: np.ndarray, rerank: int = 0,
             vectors: DataFrame | None = None,

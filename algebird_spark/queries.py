@@ -2992,6 +2992,56 @@ def q_pq_topk(spark, sf):
                     StructField("rerank_top2_exact", BooleanType(), False)]))
 
 
+def q_ivf_pq_topk(spark, sf):
+    """IVF-PQ composition (NEW r7; Jegou et al. 2011 §IV): coarse L2
+    quantizer routes each vector to one inverted list, PQ encodes the
+    RESIDUAL — queries probe nprobe lists and ADC-score only those
+    codes, the 100 TB shape (partition-pruned list scan x 26.9x
+    smaller rows, BENCH/pq_rehearsal.json). Same deterministic
+    planted design as q_pq_topk: exact copies under negative ids land
+    in the same list with the same residual code; after the exact
+    re-rank the copy must be rank 1 (distance 0, lower id) and the
+    original rank 2. The pure-ADC copy-in-top-2 verdict is
+    deterministic per fixture (training is seed-free) and holds at
+    all 3 SFs. Every stage is the library operator — no query-local
+    math. n_vecs / n_planted are SQL-reproducible."""
+    from .operators import pq as pqmod
+
+    emb = _t(spark, sf, "embeddings").filter(F.col("embedding").isNotNull())
+    base = emb.select("vec_id", "embedding")
+    planted = (base.orderBy("vec_id").limit(5)
+               .select((-F.col("vec_id") - 1).alias("vec_id"), "embedding"))
+    view = base.unionByName(planted)
+    coarse = pqmod.train_coarse_centroids(view, n_lists=16, n_iter=4)
+    cb = pqmod.train_pq_codebook(pqmod.residual_vectors(view, coarse),
+                                 m=8, k_sub=64, n_iter=4)
+    enc = pqmod.encode_ivf_pq(view, coarse, cb)
+    queries = (base.orderBy("vec_id").limit(5)
+               .select(F.col("vec_id").alias("q_id"),
+                       F.col("embedding").alias("q_vec")))
+    adc = pqmod.ivf_pq_topk(enc, queries, k=2, coarse=coarse, codebook=cb,
+                            nprobe=4).collect()
+    by_adc = {}
+    for r in adc:
+        by_adc.setdefault(r["q_id"], set()).add(r["vec_id"])
+    adc_ok = all(-q - 1 in vs for q, vs in by_adc.items()) \
+        and len(by_adc) == 5
+    rr = pqmod.ivf_pq_topk(enc, queries, k=2, coarse=coarse, codebook=cb,
+                           nprobe=4, rerank=32, vectors=view).collect()
+    by_q = {(r["q_id"], r["rank"]): r["vec_id"] for r in rr}
+    rerank_ok = all(by_q.get((q, 1)) == -q - 1 and by_q.get((q, 2)) == q
+                    for q in by_adc)
+    n_vecs = base.count()
+    return spark.createDataFrame(
+        [Row(n_vecs=int(n_vecs), n_planted=5,
+             adc_top2_has_copy=bool(adc_ok),
+             rerank_top2_exact=bool(rerank_ok))],
+        StructType([StructField("n_vecs", LongType(), False),
+                    StructField("n_planted", LongType(), False),
+                    StructField("adc_top2_has_copy", BooleanType(), False),
+                    StructField("rerank_top2_exact", BooleanType(), False)]))
+
+
 def q_embedding_near_dup(spark, sf):
     """Embedding-cosine near-duplicate PAIRS (embedding_cosine_dups):
     md5-eligible vectors get a planted copy scaled by 1.5 — cosine is

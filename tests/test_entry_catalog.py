@@ -20,7 +20,7 @@ DRIVER_WINDOW = 50
 MUST_BE_IN_WINDOW = {
     # round-7 new surfaces (hard signal on first appearance)
     "asof_rollup", "wav_features", "minhash_near_dup", "fd_covariance",
-    "pq_topk",
+    "pq_topk", "ivf_pq_topk",
     # round-5/6 additions still carrying window signal
     "bloom_join", "skew_join", "range_pruned", "ngram_jaccard_dedup",
     "hll_scan", "streaming_kll", "streaming_sessions", "text_repetition",
@@ -34,7 +34,7 @@ MUST_BE_IN_WINDOW = {
     "dedup_exact",
     "minhash_lsh_recall", "weighted_minhash_recall",
     "simhash_planted_recall", "connected_components",
-    "decontamination", "embedding_near_dup",
+    "embedding_near_dup",
     # r6-displaced text/dedup rows back for fresh green (r6 VERDICT #2)
     "doc_fingerprint", "duplicate_passages", "text_quality",
     "dedup_clusters",

@@ -129,6 +129,76 @@ def test_adc_resolves_clusters_without_rerank(clustered, spark):
         assert len(by_q[i]) == 5
 
 
+def test_ivf_pq_encode_matches_numpy(clustered):
+    df, A = clustered
+    coarse = pq.train_coarse_centroids(df, n_lists=8, n_iter=4)
+    res = pq.residual_vectors(df, coarse)
+    cb = pq.train_pq_codebook(res, m=4, k_sub=16, n_iter=3)
+    rows = pq.encode_ivf_pq(df, coarse, cb).collect()
+    got = {r["vec_id"]: (r["__list"],
+                         np.frombuffer(bytes(r["pq_code"]), dtype=np.uint8))
+           for r in rows}
+    A32 = A.astype(np.float32).astype(np.float64)  # stored floats
+    for i in range(0, len(A), 53):
+        want_list = ((A32[i] - coarse) ** 2).sum(axis=1).argmin()
+        assert got[i][0] == want_list, i
+        r = (A32[i] - coarse[want_list]).reshape(4, 4)
+        want_code = np.array([((cb[j] - r[j]) ** 2).sum(axis=1).argmin()
+                              for j in range(4)], dtype=np.uint8)
+        assert np.array_equal(got[i][1], want_code), i
+
+
+def test_ivf_pq_full_probe_rerank_equals_bruteforce(clustered, spark):
+    """nprobe = n_lists + rerank >= n degrades IVF-PQ to exact brute
+    force — the oracle identity the whole machinery hangs on."""
+    df, A = clustered
+    n = len(A)
+    coarse = pq.train_coarse_centroids(df, n_lists=8, n_iter=4)
+    cb = pq.train_pq_codebook(pq.residual_vectors(df, coarse),
+                              m=4, k_sub=16, n_iter=3)
+    enc = pq.encode_ivf_pq(df, coarse, cb)
+    q_idx = [5, 111]
+    queries = spark.createDataFrame(
+        [(int(i), A[i].tolist()) for i in q_idx],
+        "q_id long, q_vec array<float>")
+    got = pq.ivf_pq_topk(enc, queries, k=5, coarse=coarse, codebook=cb,
+                         nprobe=8, rerank=n, vectors=df).collect()
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r["q_id"], []).append((r["rank"], r["vec_id"]))
+    A32 = A.astype(np.float32).astype(np.float64)
+    for i in q_idx:
+        d = ((A32 - A32[i]) ** 2).sum(axis=1)
+        order = np.lexsort((np.arange(n), d))[:5]
+        want = [(r + 1, int(v)) for r, v in enumerate(order)]
+        assert sorted(by_q[i]) == want, i
+
+
+def test_ivf_pq_planted_copy(clustered, spark):
+    """An exact copy lands in the same list with the same residual
+    code; after exact re-rank it must be rank 1 (dist 0, lower id via
+    the negative-id plant) with the original at rank 2."""
+    df, A = clustered
+    copies = _vec_df(spark, A[:3].astype(np.float32)) \
+        .select((-F.col("vec_id") - 1).alias("vec_id"), "embedding")
+    view = df.unionByName(copies)
+    coarse = pq.train_coarse_centroids(view, n_lists=8, n_iter=4)
+    cb = pq.train_pq_codebook(pq.residual_vectors(view, coarse),
+                              m=4, k_sub=16, n_iter=3)
+    enc = pq.encode_ivf_pq(view, coarse, cb)
+    queries = spark.createDataFrame(
+        [(int(i), A[i].tolist()) for i in range(3)],
+        "q_id long, q_vec array<float>")
+    got = pq.ivf_pq_topk(enc, queries, k=2, coarse=coarse, codebook=cb,
+                         nprobe=2, rerank=16, vectors=view).collect()
+    by_q = {}
+    for r in got:
+        by_q[(r["q_id"], r["rank"])] = r["vec_id"]
+    for i in range(3):
+        assert by_q[(i, 1)] == -i - 1, by_q
+        assert by_q[(i, 2)] == i, by_q
+
+
 def test_bad_args(clustered, spark):
     df, A = clustered
     cb = rng.standard_normal((4, 16, 4))
