@@ -177,6 +177,41 @@ def encode_pq(vectors: DataFrame, codebook: np.ndarray,
     return vectors.withColumn(out_col, enc(F.col(vec_col)))
 
 
+def fd_project(vectors: DataFrame, directions: np.ndarray,
+               vec_col: str = "embedding",
+               out_col: str | None = None) -> DataFrame:
+    """Project embeddings onto an (r, d) orthonormal basis — the
+    FrequentDirections -> ANN composition: one ``sketch_global`` pass
+    estimates the PCA basis (``FrequentDirections.top_directions``),
+    then this map-only pass reduces every vector to r dims before
+    LSH/IVF/PQ indexing (a d=768 -> r=64 cut is ~12x less index
+    bandwidth, and FD bounds how much quadratic-form mass the dropped
+    directions carried). NULL vectors stay NULL."""
+    V = np.asarray(directions, dtype=np.float64)
+    if V.ndim != 2:
+        raise ValueError(f"directions must be (r, d), got {V.shape}")
+    out_col = out_col or vec_col
+
+    @F.pandas_udf("array<double>")
+    def proj(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        for s in it:
+            if len(s) == 0:
+                yield pd.Series([], dtype=object)
+                continue
+            nulls = s.isna().to_numpy()
+            out = np.empty(len(s), dtype=object)
+            if (~nulls).any():
+                mat = np.vstack(s[~nulls].to_numpy()).astype(np.float64)
+                rows = mat @ V.T
+                vals = np.empty(rows.shape[0], dtype=object)
+                vals[:] = [r for r in rows]  # keep rows as objects
+                out[~nulls] = vals
+            out[nulls] = None
+            yield pd.Series(out)
+
+    return vectors.withColumn(out_col, proj(F.col(vec_col)))
+
+
 def train_coarse_centroids(vectors: DataFrame, n_lists: int,
                            n_iter: int = 8, vec_col: str = "embedding",
                            id_col: str = "vec_id") -> np.ndarray:

@@ -137,6 +137,17 @@ class FrequentDirections(Sketch):
         """Singular-value estimates of A (descending, <= 2*ell-1 of them)."""
         return np.sort(np.linalg.svd(self._B, compute_uv=False))[::-1]
 
+    def top_directions(self, r: int) -> np.ndarray:
+        """The top-``r`` right singular vectors of the sketch — the
+        PCA basis estimate. Rows are orthonormal, shape (r', d) with
+        r' = min(r, sketch rows)."""
+        if r < 1:
+            raise ValueError(f"r must be >= 1, got {r}")
+        if self._B.shape[0] == 0:
+            return np.zeros((0, self.d))
+        _, _, vt = np.linalg.svd(self._B, full_matrices=False)
+        return vt[:min(r, vt.shape[0])].copy()
+
     # -- envelope ---------------------------------------------------------
     def _payload(self) -> bytes:
         head = struct.pack("<qdi", self.n, self.sq_frob, self._B.shape[0])

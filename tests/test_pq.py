@@ -199,6 +199,32 @@ def test_ivf_pq_planted_copy(clustered, spark):
         assert by_q[(i, 2)] == i, by_q
 
 
+def test_fd_project_composition(spark):
+    """FD basis -> projection: on data lying in an r-dim subspace the
+    FD top-r directions capture it exactly (FD is exact below ell), so
+    projecting and re-expanding reconstructs every vector."""
+    from algebird_spark.agg import sketch_global
+    from algebird_spark.sketches import FrequentDirections
+
+    d, r, n = 12, 3, 300
+    basis = np.linalg.qr(rng.standard_normal((d, r)))[0].T   # (r, d)
+    A = (rng.standard_normal((n, r)) @ basis).astype(np.float32)
+    df = _vec_df(spark, A).repartition(4)
+    sk = sketch_global(df, "embedding", lambda: FrequentDirections(d, 6))
+    V = sk.top_directions(r)
+    assert V.shape == (r, d)
+    rows = pq.fd_project(df, V, out_col="proj").collect()
+    A64 = A.astype(np.float64)
+    for row in rows[:20]:
+        i = row["vec_id"]
+        rec = np.asarray(row["proj"]) @ V
+        assert np.allclose(rec, A64[i], atol=1e-5), i
+    with pytest.raises(ValueError, match=r"\(r, d\)"):
+        pq.fd_project(df, np.zeros(3))
+    with pytest.raises(ValueError, match="r must be"):
+        sk.top_directions(0)
+
+
 def test_bad_args(clustered, spark):
     df, A = clustered
     cb = rng.standard_normal((4, 16, 4))
