@@ -345,7 +345,11 @@ def ivf_pq_topk(encoded: DataFrame, queries: DataFrame, k: int,
                     d = tables[(qi, int(li))][gather_cols,
                                               codes[sel]].sum(axis=1)
                     if len(d) > keep:
-                        cand = np.argpartition(d, keep - 1)[:keep]
+                        # (dist, id) lexsort, NOT argpartition: ADC
+                        # ties are common (cluster-mates share codes),
+                        # and an arbitrary tied survivor set would make
+                        # results depend on physical partitioning
+                        cand = np.lexsort((ids[sel], d))[:keep]
                     else:
                         cand = np.arange(len(d))
                     out_q.append(np.full(len(cand), q_ids[qi]))
@@ -389,6 +393,50 @@ def ivf_pq_topk(encoded: DataFrame, queries: DataFrame, k: int,
     return (pairs.withColumn("rank", F.row_number().over(w2))
             .filter(F.col("rank") <= k)
             .withColumnRenamed("exact_dist", "dist"))
+
+
+def write_ivf_pq_index(vectors: DataFrame, coarse: np.ndarray,
+                       codebook: np.ndarray, path: str,
+                       vec_col: str = "embedding",
+                       id_col: str = "vec_id") -> None:
+    """Materialize the IVF-PQ code table PARTITIONED BY ``__list`` —
+    the 100 TB layout: each inverted list is its own parquet partition
+    directory of (id, m-byte code) rows, so a probed query reads
+    ``nprobe / n_lists`` of a table that is already ~26.9x smaller
+    than the vectors (BENCH/pq_rehearsal.json). Same layout contract
+    as `similarity.write_ivf_index`, same static partition pruning
+    (plan-gated in tests)."""
+    encode_ivf_pq(vectors, coarse, codebook, vec_col, id_col) \
+        .write.partitionBy("__list").mode("overwrite").parquet(path)
+
+
+def ivf_pq_topk_indexed(spark, index_path: str, queries: DataFrame,
+                        k: int, coarse: np.ndarray, codebook: np.ndarray,
+                        nprobe: int, rerank: int = 0,
+                        vectors: DataFrame | None = None,
+                        id_col: str = "vec_id", vec_col: str = "embedding",
+                        q_id_col: str = "q_id",
+                        q_vec_col: str = "q_vec") -> DataFrame:
+    """:func:`ivf_pq_topk` over a materialized ``__list``-partitioned
+    code index: the probed-list union becomes a STATIC ``isin``
+    predicate, so Catalyst prunes unprobed partition directories at
+    planning time and the scan reads only nprobe/n_lists of the
+    (already PQ-compressed) bytes. Results are identical to the
+    in-memory operator over the same encode (verified in tests)."""
+    cn = np.asarray(coarse, dtype=np.float64)
+    q_rows = queries.select(q_id_col, q_vec_col).collect()
+    if not q_rows:
+        raise ValueError("ivf_pq_topk_indexed: empty query set")
+    q_mat = np.vstack([np.asarray(r[1], dtype=np.float64) for r in q_rows])
+    np_eff = min(nprobe, cn.shape[0])
+    d2c = ((q_mat[:, None, :] - cn[None, :, :]) ** 2).sum(axis=2)
+    probed = np.argpartition(d2c, np_eff - 1, axis=1)[:, :np_eff]
+    union = sorted({int(li) for row in probed for li in row})
+    idx = spark.read.parquet(index_path).filter(F.col("__list").isin(union))
+    return ivf_pq_topk(idx, queries, k, coarse, codebook, nprobe,
+                       rerank=rerank, vectors=vectors, id_col=id_col,
+                       vec_col=vec_col, q_id_col=q_id_col,
+                       q_vec_col=q_vec_col)
 
 
 def pq_topk(encoded: DataFrame, queries: DataFrame, k: int,
@@ -447,7 +495,11 @@ def pq_topk(encoded: DataFrame, queries: DataFrame, k: int,
             for qi in range(nq):
                 d = tables[qi][gather_cols, codes].sum(axis=1)
                 if len(d) > keep:
-                    cand = np.argpartition(d, keep - 1)[:keep]
+                    # (dist, id) lexsort, NOT argpartition: ADC ties
+                    # are common (duplicate codes), and an arbitrary
+                    # tied survivor set would make results depend on
+                    # physical partitioning
+                    cand = np.lexsort((ids, d))[:keep]
                 else:
                     cand = np.arange(len(d))
                 out_q.append(np.full(len(cand), q_ids[qi]))

@@ -225,6 +225,33 @@ def test_fd_project_composition(spark):
         sk.top_directions(0)
 
 
+def test_ivf_pq_index_pruned_and_identical(clustered, spark, tmp_path):
+    """The __list-partitioned code index: (a) the probed read carries a
+    PartitionFilters entry (static pruning at planning time), (b) the
+    indexed results EXACTLY equal the in-memory operator's."""
+    df, A = clustered
+    coarse = pq.train_coarse_centroids(df, n_lists=8, n_iter=4)
+    cb = pq.train_pq_codebook(pq.residual_vectors(df, coarse),
+                              m=4, k_sub=16, n_iter=3)
+    path = str(tmp_path / "ivf_pq_index")
+    pq.write_ivf_pq_index(df, coarse, cb, path)
+    queries = spark.createDataFrame(
+        [(int(i), A[i].tolist()) for i in (2, 90)],
+        "q_id long, q_vec array<float>")
+    got = pq.ivf_pq_topk_indexed(spark, path, queries, k=3,
+                                 coarse=coarse, codebook=cb, nprobe=2,
+                                 rerank=8, vectors=df)
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "__list" in plan, plan[:2000]
+    mem = pq.ivf_pq_topk(pq.encode_ivf_pq(df, coarse, cb), queries, k=3,
+                         coarse=coarse, codebook=cb, nprobe=2,
+                         rerank=8, vectors=df)
+    as_map = lambda rows: {(r["q_id"], r["rank"]): r["vec_id"]  # noqa: E731
+                           for r in rows}
+    got_m, mem_m = as_map(got.collect()), as_map(mem.collect())
+    assert got_m == mem_m and len(got_m) == 6
+
+
 def test_bad_args(clustered, spark):
     df, A = clustered
     cb = rng.standard_normal((4, 16, 4))
