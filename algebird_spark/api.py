@@ -315,7 +315,56 @@ def ann_topk(vectors: DataFrame, queries: DataFrame, k: int = 10,
             kw["dim"] = len(vectors.select(
                 kw.get("vec_col", "embedding")).first()[0])
         return _s.lsh_multitable_topk(vectors, queries, k, **kw)
+    if method in ("pq", "ivf_pq"):
+        # NOTE: PQ paths rank by squared L2 (== cosine order only for
+        # normalized vectors). kw: m=8, k_sub=256, n_iter=6, rerank=0
+        # (exact re-score depth; >= k restores exact ranking over the
+        # candidate set), and for ivf_pq: n_lists=64, nprobe=8.
+        from .operators import pq as _pq
+        vec_col = kw.pop("vec_col", "embedding")
+        id_col = kw.pop("id_col", "vec_id")
+        m = kw.pop("m", 8)
+        k_sub = kw.pop("k_sub", 256)
+        n_iter = kw.pop("n_iter", 6)
+        rerank = kw.pop("rerank", 0)
+        if method == "pq":
+            cb = _pq.train_pq_codebook(vectors, m=m, k_sub=k_sub,
+                                       n_iter=n_iter, vec_col=vec_col,
+                                       id_col=id_col)
+            enc = _pq.encode_pq(vectors, cb, vec_col=vec_col)
+            return _pq.pq_topk(enc, queries, k, cb, rerank=rerank,
+                               vectors=vectors if rerank else None,
+                               id_col=id_col, vec_col=vec_col, **kw)
+        coarse = _pq.train_coarse_centroids(
+            vectors, n_lists=kw.pop("n_lists", 64), n_iter=n_iter,
+            vec_col=vec_col, id_col=id_col)
+        cb = _pq.train_pq_codebook(
+            _pq.residual_vectors(vectors, coarse, vec_col, id_col),
+            m=m, k_sub=k_sub, n_iter=n_iter, vec_col=vec_col,
+            id_col=id_col)
+        enc = _pq.encode_ivf_pq(vectors, coarse, cb, vec_col, id_col)
+        return _pq.ivf_pq_topk(enc, queries, k, coarse, cb,
+                               nprobe=kw.pop("nprobe", 8), rerank=rerank,
+                               vectors=vectors if rerank else None,
+                               id_col=id_col, vec_col=vec_col, **kw)
     raise ValueError(f"unknown ANN method {method!r}")
+
+
+def covariance_sketch(df: DataFrame, col: str = "embedding",
+                      ell: int = 16):
+    """FrequentDirections matrix sketch of an embedding column — the
+    mergeable covariance/PCA summary (one distributed pass; PSD order
+    + ||A||_F^2/ell spectral bound; `.gram()`, `.singular_values()`,
+    `.top_directions(r)` on the result). Feed `.top_directions(r)` to
+    `operators.pq.fd_project` to reduce dimensionality before ANN
+    indexing."""
+    from pyspark.sql import functions as F
+
+    from .agg import sketch_global
+    from .sketches import FrequentDirections
+    nn = df.filter(F.col(col).isNotNull())
+    d = len(nn.select(col).first()[0])
+    return sketch_global(nn, col, lambda: FrequentDirections(d, ell))
 
 
 def release_dedup_caches(op: str | None = None) -> None:

@@ -169,6 +169,38 @@ def test_api_ann_topk_methods_agree_on_clusters(spark):
     assert ivf_all == exact  # exhaustive probe == brute force
 
 
+def test_api_ann_pq_methods_and_covariance_sketch(spark):
+    """api sugar for the r7 surfaces: 'pq'/'ivf_pq' with full-depth
+    re-rank reproduce the exact L2 top-k; covariance_sketch returns a
+    bound-respecting FrequentDirections over the embedding column."""
+    import numpy as np
+    import pyspark.sql.functions as F
+
+    from algebird_spark import api
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    n = emb.count()
+    q = (emb.orderBy("vec_id").limit(2)
+         .select(F.col("vec_id").alias("q_id"),
+                 F.col("embedding").alias("q_vec")))
+    pq_full = {(r["q_id"], r["rank"]): r["vec_id"]
+               for r in api.ann_topk(emb, q, k=3, method="pq", m=8,
+                                     k_sub=32, n_iter=2,
+                                     rerank=n).collect()}
+    ivfpq_full = {(r["q_id"], r["rank"]): r["vec_id"]
+                  for r in api.ann_topk(emb, q, k=3, method="ivf_pq",
+                                        m=8, k_sub=32, n_lists=4,
+                                        nprobe=4, n_iter=2,
+                                        rerank=n).collect()}
+    assert pq_full == ivfpq_full and len(pq_full) == 6
+
+    sk = api.covariance_sketch(emb, ell=8)
+    assert sk.n == n
+    assert sk.top_directions(3).shape == (3, 64)
+    assert np.abs(np.linalg.eigvalsh(sk.gram())).max() \
+        <= sk.sq_frob + 1e-6
+
+
 def test_stratified_sample_full_and_zero_fractions(spark):
     from algebird_spark.operators.exact import stratified_sample
     docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
