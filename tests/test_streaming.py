@@ -383,3 +383,48 @@ def test_scan_stream_fold_group_spanning_many_arrow_chunks(spark, tmp_path):
             .reset_index(drop=True))
     assert len(got) == len(want) == ev.count()
     assert (got["sess"].to_numpy() == want["sess"].to_numpy()).all()
+
+
+def test_streaming_frequent_directions_matches_batch(spark, tmp_path):
+    """Protocol-surface proof for the r7 matrix sketch: a conforming
+    Sketch streams unchanged through sketch_state_stream_by_key. The
+    streamed FD state must satisfy both FD invariants against the
+    exact Gram of the same rows, count every vector, and carry the
+    exact ||A||_F^2 (float-sum tolerance only)."""
+    import shutil
+
+    from algebird_spark.sketches import FrequentDirections, from_bytes
+    from algebird_spark.streaming.stateful import sketch_state_stream_by_key
+
+    d = tmp_path / "emb_dir"
+    d.mkdir()
+    shutil.copy("/root/testdata/sf0.001/embeddings.parquet",
+                d / "part-0.parquet")
+    batch = spark.read.parquet(str(d))
+    sdf = spark.readStream.schema(batch.schema).parquet(str(d))
+    dim = len(batch.select("embedding").first()[0])
+    ell = 8
+    prep = lambda df: df.withColumn(  # noqa: E731
+        "grp", (F.col("vec_id") % 2).cast("string"))
+    out = sketch_state_stream_by_key(
+        prep(sdf), ["grp"], ["embedding"],
+        lambda: FrequentDirections(dim, ell))
+    q = (out.writeStream.outputMode("update").format("memory")
+         .queryName("fd_stream").start())
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    rows = spark.sql("SELECT * FROM fd_stream").toPandas() \
+        .groupby("grp").last()
+    pb = prep(batch).toPandas()
+    for grp, r in rows.iterrows():
+        sk = from_bytes(bytes(r["state"]))
+        sub = np.vstack(pb[pb["grp"] == grp]["embedding"].to_numpy()) \
+            .astype(np.float64)
+        assert sk.n == len(sub) == r["n_values"]
+        assert sk.sq_frob == pytest.approx(float((sub * sub).sum()),
+                                           rel=1e-9)
+        diff = np.linalg.eigvalsh(sub.T @ sub - sk.gram())
+        assert diff.min() >= -1e-6 * sk.sq_frob
+        assert np.abs(diff).max() <= sk.error_bound() + 1e-9
