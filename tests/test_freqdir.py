@@ -6,6 +6,7 @@ round-trips, incompatible-merge failures."""
 
 import numpy as np
 import pytest
+from hypothesis import given, settings, strategies as st
 
 from algebird_spark.sketches import (HLL, FrequentDirections,
                                      IncompatibleSketchError, from_bytes)
@@ -148,6 +149,43 @@ def test_bad_params():
         FrequentDirections(0, 4)
     with pytest.raises(ValueError):
         FrequentDirections(8, 0)
+
+
+@settings(max_examples=30, deadline=None)
+@given(data=st.data(),
+       n=st.integers(min_value=0, max_value=400),
+       seed=st.integers(min_value=0, max_value=2**31 - 1))
+def test_property_random_chunkings_and_merge_trees(data, n, seed):
+    """Hypothesis law (the reference's BaseProperties style): for ANY
+    row count, ANY chunking into partitions, and ANY left-fold merge
+    order over the partition sketches, both FD invariants hold against
+    the exact Gram and the exact counters are preserved."""
+    d, ell = 10, 4
+    g = np.random.default_rng(seed)
+    A = g.standard_normal((n, d)) * g.uniform(0.1, 5.0, size=d)
+    cuts = sorted(data.draw(st.lists(
+        st.integers(min_value=0, max_value=n), max_size=6))) + [n]
+    parts, lo = [], 0
+    for hi in cuts:
+        parts.append(A[lo:hi])
+        lo = hi
+    parts.append(A[lo:])
+    sks = []
+    for p in parts:
+        sk = FrequentDirections(d, ell)
+        sk.update_batch(p)
+        sks.append(from_bytes(sk.to_bytes()))
+    order = data.draw(st.permutations(range(len(sks))))
+    acc = sks[order[0]]
+    for i in order[1:]:
+        acc.merge_in_place(sks[i])
+    assert acc.n == n
+    assert acc.sq_frob == pytest.approx(float((A * A).sum()),
+                                        rel=1e-9, abs=1e-9)
+    diff = np.linalg.eigvalsh(A.T @ A - acc.gram())
+    tol = 1e-6 * max(acc.sq_frob, 1.0)
+    assert diff.min() >= -tol
+    assert np.abs(diff).max() <= acc.error_bound() + tol
 
 
 def test_sketch_global_over_array_column(spark):
