@@ -459,7 +459,14 @@ def pq_topk(encoded: DataFrame, queries: DataFrame, k: int,
     candidate ids — a KB-scale set — then one scan-side pass), and the
     final top-k is exact over that candidate set. Returns
     ``q_id, vec_id, dist, rank`` (squared L2; ADC estimate, or exact
-    after re-rank)."""
+    after re-rank).
+
+    NOTE: unlike ``similarity.cosine_topk`` (which drops rows where
+    ``id == q_id``), the code scan has no id-equality filter — a query
+    vector that also lives in the corpus IS returned (dist ~0). The
+    planted-copy catalog verdicts rely on this; filter
+    ``vec_id != q_id`` downstream for the other convention. Applies to
+    :func:`ivf_pq_topk` too."""
     cb = np.asarray(codebook, dtype=np.float64)
     m, k_sub, sub_dim = _check_codebook(cb)
     if k < 1:
