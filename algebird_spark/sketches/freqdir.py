@@ -67,9 +67,12 @@ class FrequentDirections(Sketch):
     def update_batch(self, values) -> None:
         arr = np.asarray(values)
         if arr.dtype == object:  # list-of-vectors from a pandas path
-            arr = np.vstack([np.asarray(v, dtype=np.float64)
-                             for v in values]) if len(values) else \
-                np.zeros((0, self.d))
+            # drop NULL rows, matching the Arrow kernel's SQL-aggregate
+            # null semantics (the streaming harness hands raw pandas
+            # columns through, so None rows can reach us here)
+            rows = [np.asarray(v, dtype=np.float64) for v in values
+                    if v is not None]
+            arr = np.vstack(rows) if rows else np.zeros((0, self.d))
         arr = arr.astype(np.float64, copy=False)
         if arr.ndim == 1:
             if arr.size % self.d:

@@ -97,6 +97,21 @@ def test_flat_stream_reshape_and_misalignment():
         FrequentDirections(d, ell).update_batch(np.zeros((3, d + 2)))
 
 
+def test_null_rows_dropped_in_object_path():
+    """The pandas/streaming path can hand None rows through; they must
+    drop like the Arrow kernel's SQL null semantics, not crash."""
+    d, ell = 6, 3
+    A = rng.standard_normal((20, d))
+    sk = FrequentDirections(d, ell)
+    sk.update_batch(np.array([None, *list(A), None], dtype=object))
+    ref = FrequentDirections(d, ell)
+    ref.update_batch(A)
+    assert sk.n == 20 and sk.sq_frob == pytest.approx(ref.sq_frob)
+    empty = FrequentDirections(d, ell)
+    empty.update_batch(np.array([None, None], dtype=object))
+    assert empty.n == 0
+
+
 def test_nonfinite_rows_dropped():
     d, ell = 6, 3
     A = rng.standard_normal((50, d))
