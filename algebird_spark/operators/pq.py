@@ -88,7 +88,8 @@ def train_pq_codebook(vectors: DataFrame, m: int, k_sub: int = 256,
         raise ValueError(f"m={m} and k_sub={k_sub} must be >= 1")
     if k_sub > 256:
         raise ValueError(f"k_sub={k_sub} > 256 does not fit uint8 codes")
-    train = vectors.select(id_col, vec_col).persist()
+    train = (vectors.select(id_col, vec_col)
+             .filter(F.col(vec_col).isNotNull()).persist())
     try:
         init = (train.orderBy(id_col).limit(k_sub)
                 .select(vec_col).collect())

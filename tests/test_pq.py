@@ -50,6 +50,15 @@ def test_encode_matches_numpy_bruteforce(clustered):
         assert np.array_equal(got[i], want), i
 
 
+def test_train_ignores_null_vectors(spark):
+    df = spark.createDataFrame(
+        [(0, None), (1, [1.0, 2.0]), (2, [3.0, 4.0]), (3, None),
+         (4, [5.0, 6.0])],
+        "vec_id long, embedding array<float>")
+    cb = pq.train_pq_codebook(df, m=1, k_sub=2, n_iter=2)
+    assert cb.shape == (1, 2, 2) and np.isfinite(cb).all()
+
+
 def test_null_vectors_get_null_codes(spark):
     df = spark.createDataFrame(
         [(0, [1.0, 2.0, 3.0, 4.0]), (1, None), (2, [0.0, 0.0, 1.0, 1.0])],
