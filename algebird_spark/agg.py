@@ -640,6 +640,31 @@ def sketch_rollup(df: DataFrame, keys: Sequence[str], value_col: str,
                          "sketch_global for the single keyless state")
     if grouping not in ("rollup", "cube"):
         raise ValueError("grouping must be 'rollup' or 'cube'")
+    # r8 single-merge fusion: rollup_levels works on ANY
+    # (keys, state, count) table, so when the (partition-state rows x
+    # levels) explode stays small, feed it the PARTITION states
+    # directly — every level then merges in the one keyed shuffle +
+    # one applyInPandas stage and the intermediate finest-grain merge
+    # stage disappears (measured: hll_rollup_sketch 2.4 -> 1.9 s at
+    # sf1.0). Monoid associativity makes the result the same merge of
+    # the same partition states, just in one round. At warehouse
+    # scale (many scan partitions) the explode would multiply the
+    # state shuffle by the level count, so the two-stage plan stays
+    # the default there; explicit duplicate GROUPING SETS also keep
+    # it (rollup_levels' keyed merge would fold them).
+    if sets is not None:
+        n_levels = len(list(sets))
+        dup_sets = len({frozenset(s) for s in sets}) != n_levels
+    else:
+        n_levels = (len(keys) + 1 if grouping == "rollup"
+                    else 2 ** len(keys))
+        dup_sets = False
+    parallelism = df.sparkSession.sparkContext.defaultParallelism
+    n_parts = max(df.rdd.getNumPartitions(), parallelism)
+    if not dup_sets and n_parts * n_levels <= 16_384:
+        states = sketch_partitions(df, value_col, factory, keys)
+        return rollup_levels(states, keys, factory, grouping=grouping,
+                             sets=sets, cache=cache)
     fine = sketch_by_key(df, keys, value_col, factory,
                          fanout=fanout, premerge=premerge)
     return rollup_levels(fine, keys, factory, grouping=grouping,

@@ -363,7 +363,11 @@ def covariance_sketch(df: DataFrame, col: str = "embedding",
     from .agg import sketch_global
     from .sketches import FrequentDirections
     nn = df.filter(F.col(col).isNotNull())
-    d = len(nn.select(col).first()[0])
+    head = nn.select(col).first()
+    if head is None:
+        raise ValueError(
+            f"covariance_sketch: no non-null vectors in {col!r}")
+    d = len(head[0])
     return sketch_global(nn, col, lambda: FrequentDirections(d, ell))
 
 

@@ -506,10 +506,191 @@ def jaccard_verify(df: DataFrame, pairs: DataFrame, id_col: str = "doc_id",
                   .filter(F.col("jaccard") >= threshold))
 
 
+def _collect_shingle_index(src: DataFrame, id_col: str, text_col: str,
+                           shingle_n: int, seed: int = 12345678):
+    """Driver-side (ids, lens, flat) shingle index for the broadcast
+    path: a mapInArrow kernel emits one FLAT (doc_id, shingle) row per
+    distinct shingle — Arrow-native both directions, no per-doc Python
+    lists (the Series-of-lists round trip cost ~1.5 s of the collect
+    at sf1.0). Per-batch dedup is one lexsort; driver re-sorts by id.
+    Returns (ids int64 ascending, lens int64, flat int64 doc-major)."""
+    import pyarrow as pa
+
+    def kern(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for batch in batches:
+            texts = batch.column(
+                batch.schema.get_field_index(text_col)).to_pylist()
+            bids = batch.column(batch.schema.get_field_index(id_col)) \
+                .to_numpy(zero_copy_only=False).astype(np.int64)
+            if len(bids) == 0:
+                continue
+            hv, starts, _ = _shingle_hashes_batch(texts, shingle_n, seed)
+            hv = hv.view(np.int64)
+            doc_rep = np.repeat(np.arange(len(bids), dtype=np.int64),
+                                np.diff(starts))
+            o = np.lexsort((hv, doc_rep))
+            d_s, h_s = doc_rep[o], hv[o]
+            keep = np.concatenate(
+                ([True], (d_s[1:] != d_s[:-1]) | (h_s[1:] != h_s[:-1])))
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(bids[d_s[keep]]), pa.array(h_s[keep])],
+                names=["doc_id", "shingle"])
+
+    pdf = (src.select(F.col(id_col).alias(id_col), text_col)
+           .filter(has_tokens(text_col))
+           .mapInArrow(kern, "doc_id long, shingle long").toPandas())
+    if len(pdf) == 0:
+        return (np.empty(0, np.int64), np.empty(0, np.int64),
+                np.empty(0, np.int64))
+    rid = pdf["doc_id"].to_numpy()
+    rsh = pdf["shingle"].to_numpy()
+    o = np.argsort(rid, kind="stable")
+    rid, flat = rid[o], rsh[o]
+    bump = np.concatenate(([True], rid[1:] != rid[:-1]))
+    ids = rid[bump]
+    lens = np.diff(np.concatenate(
+        (np.flatnonzero(bump), [len(rid)]))).astype(np.int64)
+    return ids.astype(np.int64), lens, flat.astype(np.int64)
+
+
+def _ngram_pairs_broadcast(spark, index, threshold: float,
+                           max_df: int | None) -> DataFrame:
+    """Broadcast-index evaluation of the exact shingle-Jaccard pair
+    set (r8 optimization; guide §8 "decide with small rows"): the
+    shingle table — ids + distinct-shingle arrays, a few bytes per
+    input MB — collects once, the driver factorizes it into a compact
+    CSR inverted index, and each task intersection-counts a CHUNK of
+    docs against the broadcast index with one ragged gather + bincount
+    per doc. No pair row ever crosses a shuffle: the sf1.0 bench
+    fixture expands to 127M (pair, shingle) rows under the
+    explode+groupBy plan (avg shingle df ~94) and every one of them
+    paid an Exchange; here the same 127M intersection increments run
+    as numpy bincounts inside the scan tasks and only final
+    (id_a, id_b, jaccard) survivors are emitted. Arithmetic is
+    IDENTICAL to the index plan: common counts are exact ints, jaccard
+    the same one IEEE division, so outputs are bit-equal.
+
+    ``max_df`` parity: hot shingles drop from the index AND the gather
+    (same "common shrinks, sizes stay full" semantics as the
+    explode-path guard).
+
+    ``index`` is the (ids, lens, flat) triple from
+    :func:`_collect_shingle_index` — ids ascending, so doc position
+    i < j  <=>  id_a < id_b."""
+    ids, lens, flat = index
+    n_docs = len(ids)
+    out_schema = "id_a long, id_b long, jaccard double"
+    if n_docs < 2:
+        return spark.createDataFrame([], out_schema)
+    doc_of = np.repeat(np.arange(n_docs, dtype=np.int64), lens)
+    # factorize shingle hashes with ONE argsort: dense codes in
+    # doc-major order AND the CSR postings fall out of the same sort
+    o = np.argsort(flat, kind="stable")
+    sflat = flat[o]
+    bump = np.concatenate(([0], (sflat[1:] != sflat[:-1]).astype(np.int32)))
+    code_sorted = np.cumsum(bump, dtype=np.int32)
+    n_sh = int(code_sorted[-1]) + 1
+    codes = np.empty(len(flat), dtype=np.int32)
+    codes[o] = code_sorted
+    postings = doc_of[o].astype(np.int32)    # doc positions per code
+    dfreq = np.bincount(code_sorted, minlength=n_sh)
+    if max_df is not None:
+        # hot shingles leave the index entirely: common counts shrink,
+        # set sizes (lens) stay full — the explode path's semantics
+        hot = dfreq > max_df
+        postings = postings[~hot[code_sorted]]
+        dfreq = np.where(hot, 0, dfreq)
+        keep_d = ~hot[codes]
+        codes = codes[keep_d]
+        doc_idx = doc_of[keep_d]
+        f_lens = np.bincount(doc_idx, minlength=n_docs)
+    else:
+        doc_idx = doc_of
+        f_lens = lens
+    pstarts = np.zeros(n_sh + 1, dtype=np.int64)
+    np.cumsum(dfreq, out=pstarts[1:])
+    f_starts = np.zeros(n_docs + 1, dtype=np.int64)
+    np.cumsum(f_lens, out=f_starts[1:])
+    bc = spark.sparkContext.broadcast(
+        (ids, lens, codes, f_starts, postings, pstarts, float(threshold)))
+
+    # balance tasks by each doc's gather volume (sum of its shingles'
+    # document frequencies), not by doc count — frequency skew
+    # otherwise serializes the tail
+    plen_drv = pstarts[1:] - pstarts[:-1]
+    doc_cost = np.bincount(doc_idx, weights=plen_drv[codes].astype(
+        np.float64), minlength=n_docs)
+    cum_cost = np.cumsum(doc_cost)
+    n_chunks = max(1, min(spark.sparkContext.defaultParallelism * 2,
+                          (n_docs + 63) // 64))
+    targets = np.linspace(0, cum_cost[-1], n_chunks + 1)[1:-1]
+    bounds = np.unique(np.concatenate(
+        ([0], np.searchsorted(cum_cost, targets) + 1, [n_docs])))
+    n_chunks = len(bounds) - 1
+
+    def run(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        (ids_, lens_, f_codes_, f_starts_, postings_, pstarts_,
+         thr) = bc.value
+        plen = (pstarts_[1:] - pstarts_[:-1])
+        for pdf_ in it:
+            for c in pdf_["c"].tolist():
+                lo_d, hi_d = int(bounds[c]), int(bounds[c + 1])
+                out_a, out_b, out_j = [], [], []
+                for i in range(lo_d, hi_d):
+                    cs = f_codes_[f_starts_[i]:f_starts_[i + 1]]
+                    if len(cs) == 0:
+                        continue
+                    # ragged gather of this doc's postings segments
+                    seg_lens = plen[cs]
+                    tot = int(seg_lens.sum())
+                    if tot == 0:
+                        continue
+                    cum = np.zeros(len(cs), dtype=np.int64)
+                    np.cumsum(seg_lens[:-1], out=cum[1:])
+                    idx = (np.arange(tot, dtype=np.int64)
+                           - np.repeat(cum, seg_lens)
+                           + np.repeat(pstarts_[cs], seg_lens))
+                    partners = postings_[idx]
+                    common = np.bincount(partners)
+                    nz = np.flatnonzero(common)
+                    nz = nz[nz > i]          # emit each pair once, a < b
+                    if len(nz) == 0:
+                        continue
+                    c_ab = common[nz].astype(np.float64)
+                    jac = c_ab / (lens_[i] + lens_[nz] - c_ab)
+                    keep = jac >= thr
+                    if keep.any():
+                        nzk = nz[keep]
+                        out_a.append(np.full(len(nzk), ids_[i],
+                                             dtype=np.int64))
+                        out_b.append(ids_[nzk])
+                        out_j.append(jac[keep])
+                if out_a:
+                    yield pd.DataFrame({
+                        "id_a": np.concatenate(out_a),
+                        "id_b": np.concatenate(out_b),
+                        "jaccard": np.concatenate(out_j)})
+
+    # one chunk id per partition via range(numPartitions=...): no
+    # Exchange at all ahead of the kernel
+    chunks = spark.range(0, n_chunks, numPartitions=n_chunks) \
+        .select(F.col("id").alias("c"))
+    return chunks.mapInPandas(run, out_schema)
+
+
+# Inputs larger than this many docs keep the explode+groupBy inverted
+# index (the 100 TB plan); below it the whole shingle table fits a
+# broadcast (~50 MB at 1M short docs) and the kernel path wins. Like
+# autoBroadcastJoinThreshold this is a size gate, not a semantics
+# switch — both paths emit identical pairs.
+_NGRAM_BROADCAST_MAX_DOCS = 2_000_000
+
+
 def near_dup_pairs_ngram(df: DataFrame, id_col: str = "doc_id",
                          text_col: str = "text", shingle_n: int = 3,
                          threshold: float = 0.5,
-                         max_df: int | None = None) -> DataFrame:
+                         max_df: int | None = None,
+                         broadcast_max_docs: int | None = None) -> DataFrame:
     """EXACT word n-gram Jaccard near-dup over the whole corpus via an
     inverted shingle index — the third dedup family of the pipeline
     brief (exact-hash / MinHash-LSH / SimHash / n-gram Jaccard /
@@ -540,7 +721,32 @@ def near_dup_pairs_ngram(df: DataFrame, id_col: str = "doc_id",
     bucket never materializes as one unbounded row; this adds one
     cheap count aggregation over the (scoped-persisted) shingle
     table. Exact-duplicate clusters make every one of their shingle
-    buckets quadratic: run :func:`dedup_exact` first at scale."""
+    buckets quadratic: run :func:`dedup_exact` first at scale.
+
+    Physical plan choice (r8): corpora at or below
+    ``broadcast_max_docs`` (default ``_NGRAM_BROADCAST_MAX_DOCS``;
+    ``0`` disables) with integral ids take the broadcast-index kernel
+    (:func:`_ngram_pairs_broadcast`) — identical output, no pair-row
+    shuffle; one cheap ``df.count()`` probe (a metadata count for
+    parquet scans) makes the decision. Larger corpora keep the
+    explode+groupBy inverted index described above."""
+    from pyspark.sql.types import LongType
+
+    limit = (_NGRAM_BROADCAST_MAX_DOCS if broadcast_max_docs is None
+             else broadcast_max_docs)
+    src = df
+    if (limit > 0 and isinstance(df.schema[id_col].dataType, LongType)
+            and (n_docs_probe := df.count()) <= limit):
+        # below the gate the corpus is MBs: spread the shingle kernel
+        # across cores when there is real work (a small scan often
+        # arrives as 1-2 input partitions, serializing the kernel); at
+        # tiny counts the round-robin shuffle costs more than it saves
+        par = df.sparkSession.sparkContext.defaultParallelism
+        if n_docs_probe >= 20_000 and df.rdd.getNumPartitions() < par:
+            src = df.repartition(par)
+        index = _collect_shingle_index(src, id_col, text_col, shingle_n)
+        return _ngram_pairs_broadcast(df.sparkSession, index,
+                                      threshold, max_df)
     sh = (df.filter(has_tokens(text_col))
           .select(F.col(id_col),
                   shingle_hashes_udf(shingle_n)(F.col(text_col))
@@ -626,6 +832,104 @@ def near_dup_pairs_minhash(df: DataFrame, id_col: str = "doc_id",
 # SimHash near-dup
 # ---------------------------------------------------------------------------
 
+# Broadcast gate for the kernel path below: fingerprints are 16 B/doc
+# (id + simhash), so 200k docs broadcast ~3 MB and the driver-side
+# banding index stays ~100 MB; larger corpora keep the explode+groupBy
+# plan. A size gate, not a semantics switch — identical output.
+_SIMHASH_BROADCAST_MAX_DOCS = 200_000
+
+_PC16 = np.unpackbits(
+    np.arange(65536, dtype=np.uint16).view(np.uint8)).reshape(-1, 16) \
+    .sum(axis=1).astype(np.uint8).reshape(65536)
+
+
+def _popcount64(x: np.ndarray) -> np.ndarray:
+    """Vectorized 64-bit popcount via a 16-bit lookup (numpy < 2.0 has
+    no bitwise_count)."""
+    r = _PC16[(x & np.uint64(0xFFFF)).astype(np.int64)].astype(np.int64)
+    for sh in (16, 32, 48):
+        r += _PC16[((x >> np.uint64(sh)) & np.uint64(0xFFFF))
+                   .astype(np.int64)]
+    return r
+
+
+def _simhash_pairs_broadcast(fp: DataFrame, id_col: str,
+                             max_hamming: int) -> DataFrame:
+    """Broadcast-kernel evaluation of the exact Hamming<=h pair set
+    (r8; the ngram `_ngram_pairs_broadcast` pattern): the fingerprint
+    table — 16 bytes per doc — collects once and broadcasts (~1 MB at
+    the gate); each task owns ONE pigeonhole combo of the 8-chunk
+    banding (the same C(8, 8-h) combos the JVM plan explodes), builds
+    that combo's bucket index with a local argsort, expands multi-doc
+    buckets per size class fully vectorized, and verifies candidates
+    with exact xor+popcount. No banded row ever shuffles and the
+    driver does no indexing work: the sf1.0 fixture paid ~6 s of HOF
+    key evaluation + 2.8M-row explode + object collect_list for the
+    identical candidate set. Output is bit-identical to the explode
+    plan's (same candidate superset by pigeonhole, same exact Hamming
+    predicate, same final distinct)."""
+    from itertools import combinations as _combinations
+
+    spark = fp.sparkSession
+    out_schema = "id_a long, id_b long, hamming integer"
+    pdf = fp.toPandas()
+    n_docs = len(pdf)
+    if n_docs < 2:
+        return spark.createDataFrame([], out_schema)
+    order = np.argsort(pdf[id_col].to_numpy(), kind="stable")
+    ids = pdf[id_col].to_numpy()[order].astype(np.int64)
+    sh = pdf["simhash"].to_numpy()[order].astype(np.int64).view(np.uint64)
+    chunks = 8
+    w = 64 // chunks
+    combos = list(_combinations(range(chunks), chunks - max_hamming))
+    bc = spark.sparkContext.broadcast((ids, sh))
+    h = int(max_hamming)
+
+    def run(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        ids_, sh_ = bc.value
+        n = len(ids_)
+        mask = np.uint64((1 << w) - 1)
+        for pdf_ in it:
+            for ci in pdf_["c"].tolist():
+                key = np.zeros(n, dtype=np.uint64)
+                for j in combos[ci]:
+                    key = (key << np.uint64(w)) \
+                        | ((sh_ >> np.uint64(w * j)) & mask)
+                porder = np.argsort(key, kind="stable")
+                sk = key[porder]
+                change = np.flatnonzero(sk[1:] != sk[:-1]) + 1
+                starts = np.concatenate(([0], change, [n]))
+                sizes = np.diff(starts)
+                packs = []
+                for z in np.unique(sizes[sizes > 1]):
+                    z = int(z)
+                    bsel = np.flatnonzero(sizes == z)
+                    gather = (starts[bsel][:, None]
+                              + np.arange(z, dtype=np.int64)[None, :])
+                    mats = np.sort(porder[gather], axis=1)
+                    iu, ju = np.triu_indices(z, k=1)
+                    a = mats[:, iu].ravel().astype(np.uint64)
+                    b = mats[:, ju].ravel().astype(np.uint64)
+                    packs.append((a << np.uint64(32)) | b)
+                if not packs:
+                    continue
+                packed = np.unique(np.concatenate(packs))
+                a = (packed >> np.uint64(32)).astype(np.int64)
+                b = (packed & np.uint64(0xFFFFFFFF)).astype(np.int64)
+                ham = _popcount64(sh_[a] ^ sh_[b])
+                keep = ham <= h
+                if keep.any():
+                    yield pd.DataFrame({
+                        "id_a": ids_[a[keep]], "id_b": ids_[b[keep]],
+                        "hamming": ham[keep].astype(np.int32)})
+
+    chunked = spark.range(0, len(combos), numPartitions=len(combos)) \
+        .select(F.col("id").alias("c"))
+    # cross-combo duplicates remain (one pair can match several
+    # combos): the same final distinct the explode plan runs
+    return chunked.mapInPandas(run, out_schema).distinct()
+
+
 def near_dup_pairs_simhash(df: DataFrame, id_col: str = "doc_id",
                            text_col: str = "text", max_hamming: int = 3,
                            chunks: int | None = None,
@@ -648,9 +952,13 @@ def near_dup_pairs_simhash(df: DataFrame, id_col: str = "doc_id",
     chunks=8 (h=3) each doc emits C(8,5)=56 keys of ~46 bits (combo id
     + 40 payload bits): 56x the shuffle rows, but expected bucket size
     N/2^40 — the join stays linear far past 10^12 docs. Default
-    (chunks=None) adapts on the ``approx_rows`` hint: 4 below 2M docs
-    (key space 2^16 x 4 keeps buckets ~30 rows there and the plan
-    compact), 8 at or above. ``approx_rows`` is a CHEAP caller-side
+    (chunks=None) adapts on the ``approx_rows`` hint: 4 below 50k docs
+    (key space 2^16 x 4 keeps the plan compact there), 8 at or above —
+    the cutover is set by MEASURED piece concentration, not the
+    uniform-key estimate: real simhash pieces cluster (similar docs
+    share pieces), and at 50k bench docs the 4-chunk scheme already
+    produced a 2,357-doc bucket and 33.9M raw candidate pairs vs 1.15M
+    under 8 chunks (r8 profile), a ~6 s difference at 32 cores. ``approx_rows`` is a CHEAP caller-side
     hint (catalog row-count statistic, Iceberg snapshot summary,
     yesterday's count) — the operator itself NEVER runs a Spark
     action: a ``df.count()`` here would be a full extra scan of the
@@ -663,10 +971,37 @@ def near_dup_pairs_simhash(df: DataFrame, id_col: str = "doc_id",
     recall on pathological simhash collisions, e.g. boilerplate docs;
     exact dedup upstream removes most of those).
 
-    Returns (id_a, id_b, hamming)."""
+    Returns (id_a, id_b, hamming).
+
+    Physical plan choice (r8): when the ``approx_rows`` hint says the
+    corpus fits ``_SIMHASH_BROADCAST_MAX_DOCS`` (and ``chunks`` was
+    not explicitly forced), the broadcast-kernel path
+    (:func:`_simhash_pairs_broadcast`) computes the identical pair set
+    with no banded-row shuffle; it collects the (id, simhash) table at
+    CALL time — bounded by the gate — where the at-scale plan stays
+    fully lazy."""
     from itertools import combinations
+
+    from pyspark.sql.types import LongType
+
+    if (chunks is None and approx_rows is not None
+            and approx_rows <= _SIMHASH_BROADCAST_MAX_DOCS
+            and max_hamming < 8
+            and isinstance(df.schema[id_col].dataType, LongType)):
+        # below the gate the corpus is MBs: spread the fingerprint
+        # kernel across cores (small scans arrive as 1-2 partitions,
+        # serializing it — see near_dup_pairs_ngram)
+        src = df
+        par = df.sparkSession.sparkContext.defaultParallelism
+        if approx_rows >= 20_000 and df.rdd.getNumPartitions() < par:
+            src = df.repartition(par)
+        fp = simhash64_df(src, id_col, text_col) \
+            .filter(F.col("simhash").isNotNull())
+        out = _simhash_pairs_broadcast(fp, id_col, max_hamming)
+        out._algebird_cache = CacheHandle(_new_generation(), ())
+        return out
     if chunks is None:
-        chunks = 8 if (approx_rows or 0) >= 2_000_000 else 4
+        chunks = 8 if (approx_rows or 0) >= 50_000 else 4
     if 64 % chunks or chunks <= max_hamming:
         raise ValueError("chunks must divide 64 and exceed max_hamming")
     w = 64 // chunks

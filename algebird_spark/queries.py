@@ -445,6 +445,123 @@ def q_bloom_membership(spark, sf):
 _QUANTILE_PS = [0.05, 0.25, 0.5, 0.75, 0.95]
 
 
+def _percentile_interp(position: float, lo: int, hi: int, v_lo: float,
+                       v_hi: float) -> float:
+    """Replicates Spark Percentile.getPercentile's interpolation
+    EXACTLY (same IEEE ops in the same order, including both
+    short-circuits), so callers that replaced the `percentile(...)`
+    aggregate with an order-statistics plan return bit-identical
+    doubles. ``lo``/``hi`` are the 0-based floor/ceil ranks."""
+    if hi == lo or v_hi == v_lo:
+        return v_lo
+    return (hi - position) * v_lo + (position - lo) * v_hi
+
+
+def _exact_percentiles(df, key_col: str, value_col: str,
+                       ps: list[float], accuracy: int = 10_000) -> dict:
+    """EXACT per-group percentiles of ``value_col`` (same values as
+    ``percentile(value_col, array(ps))``, bit-for-bit) without the
+    aggregate's per-group counts map, which on near-distinct columns
+    holds ~n entries and dominated the quantile queries (10.1 s
+    measured alone at sf1.0 vs ~1.7 s for this plan).
+
+    Three codegen jobs (guide §1.2 — fix the distributed algorithm):
+
+    1. ``percentile_approx`` at deterministic GK ``accuracy`` brackets
+       every needed rank inside a narrow value window (rank error
+       <= n/accuracy per side, Greenwald-Khanna bound);
+    2. one conditional aggregate counts the EXACT number of rows below
+       each window start (plus the group count n);
+    3. the window rows — a ~6*len(ps)/accuracy fraction of the input —
+       are collected and sorted driver-side; the needed order
+       statistics are picked by exact rank.
+
+    The GK bound makes a window miss impossible in theory; a
+    containment check still guards it, falling back to a row_number
+    window plan (also exact) on any shortfall. Interpolation
+    replicates Percentile.getPercentile via ``_percentile_interp``."""
+    from pyspark.sql import Window
+
+    spark = df.sparkSession
+    margin = 3.0 / accuracy
+    src = (df.select(F.col(key_col).alias("k"),
+                     F.col(value_col).cast("double").alias("v"))
+           .filter(F.col("v").isNotNull()))
+    qs = []
+    for p in ps:
+        qs += [max(0.0, p - margin), min(1.0, p + margin)]
+    cuts = {r["k"]: list(r["c"]) for r in src.groupBy("k").agg(
+        F.percentile_approx("v", F.array(*[F.lit(q) for q in qs]),
+                            F.lit(accuracy)).alias("c")).collect()}
+    names = [x for i in range(len(ps)) for x in (f"vlo{i}", f"vhi{i}")]
+    cut_df = spark.createDataFrame(
+        [(k, *vals) for k, vals in cuts.items()],
+        ", ".join([f"k {src.schema['k'].dataType.simpleString()}"]
+                  + [f"{n} double" for n in names]))
+    j = src.join(F.broadcast(cut_df), "k")
+    stats = {r["k"]: r for r in j.groupBy("k").agg(
+        F.count("*").alias("n"),
+        *[F.sum((F.col("v") < F.col(f"vlo{i}")).cast("long"))
+          .alias(f"below{i}") for i in range(len(ps))]).collect()}
+    cond = None
+    for i in range(len(ps)):
+        c = (F.col("v") >= F.col(f"vlo{i}")) & (F.col("v") <= F.col(f"vhi{i}"))
+        cond = c if cond is None else cond | c
+    by_key: dict = {}
+    for r in j.filter(cond).select("k", "v").collect():
+        by_key.setdefault(r["k"], []).append(r["v"])
+    out = {}
+    fallback = []
+    for key, st in stats.items():
+        n = st["n"]
+        allv = by_key.get(key, [])
+        got = []
+        for i, p in enumerate(ps):
+            position = (n - 1) * p
+            lo = int(math.floor(position))
+            hi = int(math.ceil(position))
+            vlo_c, vhi_c = cuts[key][2 * i], cuts[key][2 * i + 1]
+            wv = sorted(v for v in allv if vlo_c <= v <= vhi_c)
+            below = st[f"below{i}"]
+            if not (below <= lo and hi <= below + len(wv) - 1):
+                fallback.append(key)
+                break
+            got.append(_percentile_interp(position, lo, hi,
+                                          wv[lo - below], wv[hi - below]))
+        else:
+            out[key] = got
+    if fallback:
+        # GK bound violated (should be impossible): exact row_number
+        # window pick for the affected groups — slower, still exact.
+        need_rows = []
+        pos_by_key = {}
+        for key in fallback:
+            n = stats[key]["n"]
+            trip = []
+            for p in ps:
+                position = (n - 1) * p
+                lo = int(math.floor(position)) + 1
+                hi = int(math.ceil(position)) + 1
+                trip.append((position, lo, hi))
+                need_rows += [(key, lo), (key, hi)]
+            pos_by_key[key] = trip
+        need_df = spark.createDataFrame(
+            sorted(set(need_rows)),
+            f"k {src.schema['k'].dataType.simpleString()}, rn long")
+        w = Window.partitionBy("k").orderBy("v")
+        picked = {(r["k"], r["rn"]): r["v"] for r in
+                  src.join(F.broadcast(need_df.select("k").distinct()),
+                           "k", "left_semi")
+                  .withColumn("rn", F.row_number().over(w).cast("long"))
+                  .join(F.broadcast(need_df), ["k", "rn"]).collect()}
+        for key in fallback:
+            out[key] = [
+                _percentile_interp(position, lo - 1, hi - 1,
+                                   picked[(key, lo)], picked[(key, hi)])
+                for position, lo, hi in pos_by_key[key]]
+    return out
+
+
 def _quantile_query(spark, sf, factory, ok_fn, sketch_name):
     from concurrent.futures import ThreadPoolExecutor
 
@@ -456,17 +573,20 @@ def _quantile_query(spark, sf, factory, ok_fn, sketch_name):
         return {r["l_returnflag"]: from_bytes(bytes(r[STATE_COL]))
                 for r in states.collect()}
 
-    # exact side: prune to the two columns; the scan's natural
-    # parallelism + AQE handle the partial aggregation (measured: a
-    # forced repartition costs an extra shuffle and is SLOWER at every
-    # fixture SF — 2.0 s vs 1.26 s at sf0.1 — and at warehouse scale
-    # the parquet layout supplies the partitions anyway)
+    # exact side (r8): `percentile(...)` built a ~5.5M-entry counts
+    # map per group (l_extendedprice is 76% distinct at sf1.0) and
+    # cost 10.1 s measured alone. Replaced by the GK-pruned exact
+    # pick (_exact_percentiles below): deterministic percentile_approx
+    # bounds shrink each needed rank to a ~6/A-fraction value window,
+    # codegen aggregates count exact ranks below each window, and the
+    # exact order statistics come from sorting only the collected
+    # window rows. Measured 10.1 -> ~1.7 s; values bit-identical (the
+    # interpolation REPLICATES Percentile.getPercentile: position =
+    # (n-1)*p, floor/ceil, the equal-key and whole-position
+    # short-circuits, (higher-position)*v_lo + (position-lower)*v_hi).
     def exact_side():
-        exact_src = li.select("l_returnflag", "l_extendedprice")
-        return {r["l_returnflag"]: r["q"] for r in exact_src
-                .groupBy("l_returnflag").agg(
-            F.expr(f"percentile(l_extendedprice, array({','.join(map(str, _QUANTILE_PS))}))")
-            .alias("q")).collect()}
+        return _exact_percentiles(li, "l_returnflag", "l_extendedprice",
+                                  _QUANTILE_PS)
 
     # the two sides are independent Spark jobs over the same scan —
     # submit concurrently (Spark's scheduler interleaves them; measured
@@ -914,6 +1034,14 @@ def q_text_repetition(spark, sf):
     docs = (_t(spark, sf, "documents")
             .filter(F.trim(F.col("text")) != "")
             .select("doc_id", "source", "text"))
+    # the per-doc Counter kernel is CPU-bound and the fixture scan
+    # arrives as 1-2 input partitions, serializing it (r8: 1.8 s ->
+    # 0.65 s at sf1.0 for a ~0.1 s round-robin shuffle of a few MB);
+    # at warehouse scale the scan supplies the partitions and this
+    # branch is a no-op
+    par = spark.sparkContext.defaultParallelism
+    if docs.rdd.getNumPartitions() < par:
+        docs = docs.repartition(par)
     st = text.repetition_stats(docs)
     return st.groupBy("source").agg(
         F.count("*").alias("n_docs"),
@@ -1040,6 +1168,26 @@ def q_ngram_jaccard_dedup(spark, sf):
         .alias("jaccard_m4"))
 
 
+def _parquet_rows(sf: str, table: str) -> int | None:
+    """Row count of a fixture table from parquet FOOTER metadata only —
+    the cheap cardinality hint the banding operators ask their callers
+    for (``approx_rows``), with zero Spark jobs. Returns None when the
+    path is not plain local parquet (caller then keeps the operator's
+    conservative default)."""
+    import glob
+    import os
+    try:
+        import pyarrow.parquet as _pq
+        path = os.path.join(sf, f"{table}.parquet")
+        files = (sorted(glob.glob(os.path.join(path, "*.parquet")))
+                 if os.path.isdir(path) else [path])
+        if not files:
+            return None
+        return sum(_pq.ParquetFile(f).metadata.num_rows for f in files)
+    except Exception:
+        return None
+
+
 def q_simhash_near_dup(spark, sf):
     """SimHash near-dup pairs (hamming <= 3). Non-SQL-expressible
     (murmur64 fingerprint banding) -> rows-only oracle check.
@@ -1057,7 +1205,15 @@ def q_simhash_near_dup(spark, sf):
     vote. The family's oracle-gated check is simhash_planted_recall
     (planted Hamming-0 clones, 100% recall gate)."""
     docs = _t(spark, sf, "documents")
-    return dedup.near_dup_pairs_simhash(docs, "doc_id", "text", max_hamming=3)
+    # footer-metadata row hint (no Spark job): lets the operator pick
+    # the wide 8-chunk banding once the fixture outgrows the compact
+    # 4-chunk scheme's 16-bit key space (r8; measured at 50k docs:
+    # 33.9M raw candidate pairs under 4 chunks — simhash pieces
+    # CONCENTRATE, max bucket 2357 — vs 1.15M under 8 chunks; the
+    # candidate set and thus the output are identical by pigeonhole +
+    # exact Hamming verify)
+    return dedup.near_dup_pairs_simhash(docs, "doc_id", "text", max_hamming=3,
+                                        approx_rows=_parquet_rows(sf, "documents"))
 
 
 def q_minhash_near_dup(spark, sf):

@@ -44,7 +44,8 @@ class BloomFilter(Sketch):
         self.seed = seed
         self.m = optimal_width(num_entries, fp_prob)
         self.k = optimal_num_hashes(num_entries, self.m)
-        self.bits = np.zeros((self.m + 7) // 8, dtype=np.uint8)
+        self._bits = np.zeros((self.m + 7) // 8, dtype=np.uint8)
+        self._mark = None  # lazy scatter map (r8); packed by _sync()
         self.n_inserted = 0  # distinct inserts not tracked; count of updates
 
     def _params(self) -> dict:
@@ -67,14 +68,43 @@ class BloomFilter(Sketch):
         values = np.asarray(values)
         if values.size == 0:
             return
+        # r8: scatter into a lazy bool bitmap instead of
+        # np.bitwise_or.at (ufunc.at was the dominant update cost —
+        # 1.19 s per 6M values; scatter assignment is ~4x faster). The
+        # map packs into `bits` once, on the first read/merge/
+        # serialize (_sync), with the identical bit layout:
+        # mask 1 << (slot & 7) == packbits bitorder='little'.
+        if self._mark is None:
+            self._mark = np.zeros(self.m, dtype=bool)
         for lo in range(0, values.shape[0], self._CHUNK):
-            slots = self._slots(values[lo:lo + self._CHUNK]).ravel()
-            byte_idx = slots >> 3
-            masks = np.left_shift(np.uint8(1), (slots & 7).astype(np.uint8))
-            np.bitwise_or.at(self.bits, byte_idx, masks)
+            self._mark[self._slots(values[lo:lo + self._CHUNK]).ravel()] = True
         self.n_inserted += int(values.size)
 
+    def _sync(self) -> None:
+        """Fold the lazy scatter map into the packed bit array."""
+        if self._mark is None:
+            return
+        np.bitwise_or(
+            self._bits,
+            np.packbits(self._mark, bitorder="little")[:len(self._bits)],
+            out=self._bits)
+        self._mark = None
+
+    @property
+    def bits(self) -> np.ndarray:
+        """Packed bit array — syncing accessor, so external readers
+        (tests, hamming, serialization) always see update_batch's
+        writes regardless of the lazy scatter map."""
+        self._sync()
+        return self._bits
+
+    @bits.setter
+    def bits(self, value: np.ndarray) -> None:
+        self._mark = None
+        self._bits = value
+
     def contains_batch(self, values) -> np.ndarray:
+        self._sync()
         values = np.asarray(values)
         if values.size == 0:
             return np.zeros(0, dtype=bool)
@@ -98,6 +128,7 @@ class BloomFilter(Sketch):
         return (t / self.m) ** self.k
 
     def set_bits(self) -> int:
+        self._sync()
         return int(np.unpackbits(self.bits).sum())
 
     def size_estimate(self) -> Approximate:
@@ -113,10 +144,14 @@ class BloomFilter(Sketch):
         return Approximate(max(0.0, est - d), est, est + d, 0.9)
 
     def hamming_distance(self, other: "BloomFilter") -> int:
+        self._sync()
+        other._sync()
         self.merge_check(other)
         return int(np.unpackbits(np.bitwise_xor(self.bits, other.bits)).sum())
 
     def merge_in_place(self, other: "BloomFilter") -> "BloomFilter":
+        self._sync()
+        other._sync()
         self.merge_check(other)
         np.bitwise_or(self.bits, other.bits, out=self.bits)
         self.n_inserted += other.n_inserted
@@ -126,6 +161,7 @@ class BloomFilter(Sketch):
         return self.size_estimate().estimate
 
     def _payload(self) -> bytes:
+        self._sync()
         return np.array([self.n_inserted], dtype=np.int64).tobytes() + self.bits.tobytes()
 
 

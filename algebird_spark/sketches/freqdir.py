@@ -54,6 +54,15 @@ class FrequentDirections(Sketch):
             raise ValueError(f"d must be >= 1, got {d}")
         if not 1 <= ell:
             raise ValueError(f"ell must be >= 1, got {ell}")
+        if ell > d:
+            # _shrink's SVD yields at most d singular values; with
+            # ell > d it could never reach ell rows to subtract, the
+            # buffer would never shrink and update_batch's fill loop
+            # would take 0-row slices forever (confirmed hang at
+            # d=4, ell=8). ell = d already stores A^T A exactly.
+            raise ValueError(
+                f"ell ({ell}) must be <= d ({d}): an ell=d sketch is "
+                "already exact, larger ell cannot shrink")
         self.d = int(d)
         self.ell = int(ell)
         self._B = np.zeros((0, self.d), dtype=np.float64)

@@ -233,7 +233,9 @@ def test_release_dedup_caches_api(spark):
     df = spark.createDataFrame(
         [Row(doc_id=i, text=f"api cache test doc {i} alpha beta")
          for i in range(20)])
-    d.near_dup_pairs_simhash(df, approx_rows=20).count()
+    # above the r8 broadcast gate: the persisted-fingerprint cache
+    # registry under test only exists on the at-scale JVM path
+    d.near_dup_pairs_simhash(df, approx_rows=500_000).count()
     assert "simhash" in d._OPERATOR_CACHES
     api.release_dedup_caches("simhash")
     assert "simhash" not in d._OPERATOR_CACHES
@@ -377,3 +379,17 @@ def test_estimate_join_size(spark, li):
         .agg(F.sum(F.col("ca") * F.col("cr"))).collect()[0][0]
     assert ap.low <= exact <= ap.high
     assert ap.estimate >= exact  # CMS inner product never underestimates
+
+
+def test_covariance_sketch_empty_column_raises_loudly(spark):
+    # ADVICE r7: an all-NULL / empty embedding column died with an
+    # opaque 'NoneType is not subscriptable'; must name the problem.
+    import pyspark.sql.functions as F
+    import pytest as _pytest
+
+    from algebird_spark import api
+
+    emb = (spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+           .select(F.lit(None).cast("array<double>").alias("embedding")))
+    with _pytest.raises(ValueError, match="no non-null vectors"):
+        api.covariance_sketch(emb, ell=8)

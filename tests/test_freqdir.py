@@ -222,3 +222,15 @@ def test_sketch_global_over_array_column(spark):
     assert w.min() >= -1e-6 * sk.sq_frob
     assert err <= sk.error_bound() + 1e-9
     assert sk.sq_frob == pytest.approx(float((A64 * A64).sum()), rel=1e-9)
+
+
+def test_ell_gt_d_rejected_loudly():
+    # ADVICE r7: ell > d made _shrink a no-op (SVD has <= d singular
+    # values) so update_batch's fill loop hung forever; must refuse at
+    # construction instead.
+    with pytest.raises(ValueError, match="ell"):
+        FrequentDirections(d=4, ell=8)
+    # ell == d stays legal (exact Gram) and terminates
+    sk = FrequentDirections(d=4, ell=4)
+    sk.update_batch(rng.standard_normal((64, 4)))
+    assert sk.n == 64

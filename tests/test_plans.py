@@ -433,10 +433,16 @@ def test_lsh_candidates_single_shuffle(spark):
     # one Aggregate (the bucket groupBy), no Join anywhere
     assert "Join" not in plan, plan
 
-    sim = dedup.near_dup_pairs_simhash(docs, approx_rows=60)
+    # at-scale JVM plan (above the r8 broadcast gate): still no Join
+    sim = dedup.near_dup_pairs_simhash(docs, approx_rows=500_000)
     sim_plan = sim._jdf.queryExecution().optimizedPlan().toString()
     assert "Join" not in sim_plan, sim_plan
     sim._algebird_cache.release()
+    # broadcast-kernel plan (below the gate): also join-free
+    sim_b = dedup.near_dup_pairs_simhash(docs, approx_rows=60)
+    sim_b_plan = sim_b._jdf.queryExecution().optimizedPlan().toString()
+    assert "Join" not in sim_b_plan, sim_b_plan
+    sim_b._algebird_cache.release()
 
 
 def test_ivf_index_spill_written_matches_in_memory(spark, tmp_path):
@@ -474,8 +480,11 @@ def test_ngram_jaccard_two_exchanges_no_join(spark):
     from algebird_spark.operators.dedup import near_dup_pairs_ngram
 
     docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    # pin the at-scale inverted-index plan (broadcast gate disabled;
+    # below the gate the r8 broadcast-kernel path runs instead and has
+    # no Exchange at all — parity is covered in test_shingles)
     out = near_dup_pairs_ngram(docs, "doc_id", "text", shingle_n=3,
-                               threshold=0.5)
+                               threshold=0.5, broadcast_max_docs=0)
     plan = plan_of(out)
     tree = plan.split("\n\n")[0]
     assert len(re.findall(r"Exchange \(\d+\)", tree)) == 2, tree

@@ -199,3 +199,35 @@ def test_ngram_near_dup_randomized_corpus_parity(spark):
     assert set(got) == set(want), (set(got) ^ set(want))
     for k in want:
         assert got[k] == pytest.approx(want[k], abs=1e-12), k
+
+
+def test_ngram_broadcast_path_matches_index_path(spark):
+    """r8: the broadcast-index kernel (default below the size gate)
+    emits exactly the explode+groupBy inverted index's pairs —
+    including jaccard doubles — with and without max_df pruning."""
+    from algebird_spark.operators.dedup import near_dup_pairs_ngram
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    for kw in ({}, {"max_df": 20, "threshold": 0.3}):
+        new = sorted(map(tuple, near_dup_pairs_ngram(
+            docs, "doc_id", "text", shingle_n=3, **kw).collect()))
+        old = sorted(map(tuple, near_dup_pairs_ngram(
+            docs, "doc_id", "text", shingle_n=3, broadcast_max_docs=0,
+            **kw).collect()))
+        assert new == old and len(new) > 0
+
+
+def test_simhash_broadcast_path_matches_jvm_path(spark):
+    """r8: the broadcast-kernel simhash path (taken below the gate when
+    approx_rows is hinted) emits exactly the JVM banding plan's
+    (id_a, id_b, hamming) rows."""
+    from algebird_spark.operators.dedup import near_dup_pairs_simhash
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    new = sorted(map(tuple, near_dup_pairs_simhash(
+        docs, approx_rows=5000).collect()))
+    jvm4 = sorted(map(tuple, near_dup_pairs_simhash(
+        docs, chunks=4).collect()))
+    jvm8 = sorted(map(tuple, near_dup_pairs_simhash(
+        docs, chunks=8).collect()))
+    assert new == jvm4 == jvm8 and len(new) > 0
