@@ -621,7 +621,7 @@ def _ngram_pairs_broadcast(spark, index, threshold: float,
     doc_cost = np.bincount(doc_idx, weights=plen_drv[codes].astype(
         np.float64), minlength=n_docs)
     cum_cost = np.cumsum(doc_cost)
-    n_chunks = max(1, min(spark.sparkContext.defaultParallelism * 2,
+    n_chunks = max(1, min(spark.sparkContext.defaultParallelism,
                           (n_docs + 63) // 64))
     targets = np.linspace(0, cum_cost[-1], n_chunks + 1)[1:-1]
     bounds = np.unique(np.concatenate(
@@ -690,7 +690,8 @@ def near_dup_pairs_ngram(df: DataFrame, id_col: str = "doc_id",
                          text_col: str = "text", shingle_n: int = 3,
                          threshold: float = 0.5,
                          max_df: int | None = None,
-                         broadcast_max_docs: int | None = None) -> DataFrame:
+                         broadcast_max_docs: int | None = None,
+                         approx_rows: int | None = None) -> DataFrame:
     """EXACT word n-gram Jaccard near-dup over the whole corpus via an
     inverted shingle index — the third dedup family of the pipeline
     brief (exact-hash / MinHash-LSH / SimHash / n-gram Jaccard /
@@ -735,8 +736,11 @@ def near_dup_pairs_ngram(df: DataFrame, id_col: str = "doc_id",
     limit = (_NGRAM_BROADCAST_MAX_DOCS if broadcast_max_docs is None
              else broadcast_max_docs)
     src = df
+    # ``approx_rows`` (caller-side cardinality hint, e.g. parquet
+    # footer counts) skips the row-count probe job entirely
     if (limit > 0 and isinstance(df.schema[id_col].dataType, LongType)
-            and (n_docs_probe := df.count()) <= limit):
+            and (n_docs_probe := (approx_rows if approx_rows is not None
+                                  else df.count())) <= limit):
         # below the gate the corpus is MBs: spread the shingle kernel
         # across cores when there is real work (a small scan often
         # arrives as 1-2 input partitions, serializing the kernel); at
@@ -884,13 +888,15 @@ def _simhash_pairs_broadcast(fp: DataFrame, id_col: str,
     combos = list(_combinations(range(chunks), chunks - max_hamming))
     bc = spark.sparkContext.broadcast((ids, sh))
     h = int(max_hamming)
+    n_tasks = min(len(combos), spark.sparkContext.defaultParallelism)
 
     def run(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         ids_, sh_ = bc.value
         n = len(ids_)
         mask = np.uint64((1 << w) - 1)
         for pdf_ in it:
-            for ci in pdf_["c"].tolist():
+            for task in pdf_["c"].tolist():
+              for ci in range(task, len(combos), n_tasks):
                 key = np.zeros(n, dtype=np.uint64)
                 for j in combos[ci]:
                     key = (key << np.uint64(w)) \
@@ -923,7 +929,7 @@ def _simhash_pairs_broadcast(fp: DataFrame, id_col: str,
                         "id_a": ids_[a[keep]], "id_b": ids_[b[keep]],
                         "hamming": ham[keep].astype(np.int32)})
 
-    chunked = spark.range(0, len(combos), numPartitions=len(combos)) \
+    chunked = spark.range(0, n_tasks, numPartitions=n_tasks) \
         .select(F.col("id").alias("c"))
     # cross-combo duplicates remain (one pair can match several
     # combos): the same final distinct the explode plan runs

@@ -499,16 +499,29 @@ def _exact_percentiles(df, key_col: str, value_col: str,
         ", ".join([f"k {src.schema['k'].dataType.simpleString()}"]
                   + [f"{n} double" for n in names]))
     j = src.join(F.broadcast(cut_df), "k")
-    stats = {r["k"]: r for r in j.groupBy("k").agg(
-        F.count("*").alias("n"),
-        *[F.sum((F.col("v") < F.col(f"vlo{i}")).cast("long"))
-          .alias(f"below{i}") for i in range(len(ps))]).collect()}
-    cond = None
-    for i in range(len(ps)):
-        c = (F.col("v") >= F.col(f"vlo{i}")) & (F.col("v") <= F.col(f"vhi{i}"))
-        cond = c if cond is None else cond | c
+
+    def rank_counts():
+        return {r["k"]: r for r in j.groupBy("k").agg(
+            F.count("*").alias("n"),
+            *[F.sum((F.col("v") < F.col(f"vlo{i}")).cast("long"))
+              .alias(f"below{i}") for i in range(len(ps))]).collect()}
+
+    def window_rows():
+        cond = None
+        for i in range(len(ps)):
+            c = ((F.col("v") >= F.col(f"vlo{i}"))
+                 & (F.col("v") <= F.col(f"vhi{i}")))
+            cond = c if cond is None else cond | c
+        return j.filter(cond).select("k", "v").collect()
+
+    # jobs 2 and 3 both depend only on the cuts — submit concurrently
+    # (the _quantile_query thread pattern)
+    from concurrent.futures import ThreadPoolExecutor
+    with ThreadPoolExecutor(2) as pool:
+        f_s, f_w = pool.submit(rank_counts), pool.submit(window_rows)
+        stats, win = f_s.result(), f_w.result()
     by_key: dict = {}
-    for r in j.filter(cond).select("k", "v").collect():
+    for r in win:
         by_key.setdefault(r["k"], []).append(r["v"])
     out = {}
     fallback = []
@@ -1161,7 +1174,8 @@ def q_ngram_jaccard_dedup(spark, sf):
     rounding just gives the hash a stable integer column."""
     docs = _t(spark, sf, "documents")
     out = dedup.near_dup_pairs_ngram(docs, "doc_id", "text",
-                                     shingle_n=3, threshold=0.5)
+                                     shingle_n=3, threshold=0.5,
+                                     approx_rows=_parquet_rows(sf, "documents"))
     return out.select(
         "id_a", "id_b",
         F.floor(F.col("jaccard") * 10000 + 0.5).cast("long")
