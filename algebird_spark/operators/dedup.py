@@ -629,6 +629,10 @@ def _ngram_pairs_broadcast(spark, index, threshold: float,
     n_chunks = len(bounds) - 1
 
     def run(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # per-DOC bincount loop: measured 15.2 s single-core for the
+        # whole sf1.0 fixture vs 21.0 s for a 64-doc-block bincount
+        # matrix variant (np.nonzero over the mostly-dense block
+        # matrices costs more than the per-doc call overhead saves)
         (ids_, lens_, f_codes_, f_starts_, postings_, pstarts_,
          thr) = bc.value
         plen = (pstarts_[1:] - pstarts_[:-1])

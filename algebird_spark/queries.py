@@ -408,9 +408,19 @@ def q_bloom_membership(spark, sf):
     filter state ships to executors inside a vectorized pandas UDF;
     presence truth comes from a join against distinct order keys; all
     verdicts fold with aggregates — no key set is ever collected."""
+    from .operators.dedup import _cache_scoped, _new_generation
+
     od = _t(spark, sf, "orders")
     cu = _t(spark, sf, "customer")
-    n_keys = od.select("o_custkey").distinct().count()
+    # r8: the distinct key set feeds BOTH the sizing count and the
+    # presence-truth join — persist it so the distinct aggregation
+    # runs once (was one count job + a second distinct inside the
+    # probe plan)
+    dk = _cache_scoped(
+        "bloom_membership_keys",
+        od.select(F.col("o_custkey").alias("c_custkey")).distinct(),
+        gen=_new_generation())
+    n_keys = dk.count()
     fpp = 0.01
     bf = sketch_global(od, "o_custkey",
                        lambda: BloomFilter(num_entries=max(n_keys, 64),
@@ -423,8 +433,7 @@ def q_bloom_membership(spark, sf):
         for s in it:
             yield pd.Series(local.contains_batch(s.to_numpy()))
 
-    present = od.select(F.col("o_custkey").alias("c_custkey")).distinct() \
-        .withColumn("__present", F.lit(True))
+    present = dk.withColumn("__present", F.lit(True))
     probed = (cu.select("c_custkey")
               .join(present, "c_custkey", "left")
               .select(bf_hit(F.col("c_custkey")).alias("hit"),
