@@ -360,6 +360,11 @@ def q_cms_point_queries(spark, sf):
     full key set is ever collected — stays runnable at sf10+."""
     li = _t(spark, sf, "lineitem")
     eps, delta = 0.0005, 1e-6
+    # (r8 late: overlapping the exact groupBy with the build via the
+    # thread pattern was MEASURED NEUTRAL at sf0.1 AND at a 6M-row
+    # fixture — the Python build already saturates all cores, so the
+    # concurrent JVM job just waits for slots; scripts/ab_r08_late.py.
+    # Kept sequential.)
     sk = sketch_global(li, "l_partkey", lambda: CMS(eps=eps, delta=delta),
                        fanout=16)
     sk_bytes, total = sk.to_bytes(), sk.total
@@ -422,7 +427,16 @@ def q_bloom_membership(spark, sf):
         gen=_new_generation())
     n_keys = dk.count()
     fpp = 0.01
-    bf = sketch_global(od, "o_custkey",
+    # r8 (late): build from the CACHED distinct key set, not a second
+    # orders scan — Bloom insertion is idempotent (bit-OR), so the BIT
+    # ARRAY (all contains_batch reads; all this query's output depends
+    # on) is identical whether each key is inserted once or
+    # |orders|/|keys| times (tests/test_api.py::
+    # test_bloom_from_distinct_keys_bit_identical; only the untouched
+    # n_inserted header differs), and the build pass now reads ~n_keys
+    # cached rows instead of re-scanning the table through the Python
+    # boundary
+    bf = sketch_global(dk, "c_custkey",
                        lambda: BloomFilter(num_entries=max(n_keys, 64),
                                            fp_prob=fpp), fanout=16)
     bf_bytes = bf.to_bytes()

@@ -393,3 +393,31 @@ def test_covariance_sketch_empty_column_raises_loudly(spark):
            .select(F.lit(None).cast("array<double>").alias("embedding")))
     with _pytest.raises(ValueError, match="no non-null vectors"):
         api.covariance_sketch(emb, ell=8)
+
+
+def test_bloom_from_distinct_keys_bit_identical(spark):
+    # r8 (late): q_bloom_membership builds the filter from the cached
+    # DISTINCT key set instead of re-scanning the full table. Bloom
+    # insertion is an idempotent bit-OR, so the BIT ARRAY — the only
+    # state contains_batch reads, hence the only state the query's
+    # output depends on — must be identical whichever side feeds the
+    # build. (The n_inserted header counts update calls, not distinct
+    # keys, so it legitimately differs and is asserted to.)
+    from algebird_spark.agg import sketch_global
+    from algebird_spark.sketches import BloomFilter
+
+    od = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    dk = od.select(F.col("o_custkey").alias("c_custkey")).distinct()
+    n_keys = dk.count()
+    n_rows = od.count()
+
+    def factory():
+        return BloomFilter(num_entries=max(n_keys, 64), fp_prob=0.01)
+
+    bf_full = sketch_global(od, "o_custkey", factory, fanout=16)
+    bf_dist = sketch_global(dk, "c_custkey", factory, fanout=16)
+    assert np.array_equal(bf_full.bits, bf_dist.bits)
+    assert bf_full.n_inserted == n_rows and bf_dist.n_inserted == n_keys
+    probe = np.array([1, 2, 3, 10**9, 10**9 + 1], dtype=np.int64)
+    assert np.array_equal(bf_full.contains_batch(probe),
+                          bf_dist.contains_batch(probe))
