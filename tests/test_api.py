@@ -421,3 +421,24 @@ def test_bloom_from_distinct_keys_bit_identical(spark):
     probe = np.array([1, 2, 3, 10**9, 10**9 + 1], dtype=np.int64)
     assert np.array_equal(bf_full.contains_batch(probe),
                           bf_dist.contains_batch(probe))
+
+
+def test_hll_from_distinct_pairs_estimate_identical(spark):
+    # r8 (late): q_hll_distinct_per_group feeds the HLL build from the
+    # distinct (group, value) pairs. HLL insertion is idempotent
+    # (register = max(rho)), so per-group estimates must be identical
+    # whichever side feeds the build.
+    from algebird_spark.agg import sketch_by_key, with_presented
+    from algebird_spark.sketches import HLL
+
+    li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    dk = li.select("l_returnflag", "l_partkey").distinct()
+
+    def build(df):
+        states = sketch_by_key(df, ["l_returnflag"], "l_partkey",
+                               lambda: HLL(p=14))
+        est = with_presented(states, lambda sk: {"est": sk.estimate()},
+                             "est double")
+        return {r["l_returnflag"]: r["est"] for r in est.collect()}
+
+    assert build(li) == build(dk)
